@@ -1,0 +1,170 @@
+"""Text kernels for the LLM-data-pipeline surface (BASELINE.json north star).
+
+Everything here is built from native `pyspark.sql.functions` column
+expressions — JVM-side, inside whole-stage codegen, no Python in the hot
+path.  This matters at 100 TB: tokenization and hashing run per-document at
+full scan speed; a Python UDF here would dominate the pipeline.
+
+The 60-bit hash primitive `md5_long` is deliberately engine-portable
+(md5 hex prefix parsed as an integer) so MinHash/SimHash signatures are
+bit-identical between Spark and the DuckDB oracle:
+  Spark :  conv(substr(md5(s), 1, 15), 16, 10)::bigint
+  DuckDB:  ('0x' || substr(md5(s), 1, 15))::bigint
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+
+def _col(c: str | Column) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+# ---------------------------------------------------------------------------
+# tokenization
+# ---------------------------------------------------------------------------
+
+#: the word-character normalization both engines agree on
+_NORM_PATTERN = "[^a-z0-9]+"
+
+
+def normalize(text: str | Column) -> Column:
+    """lower + collapse non-alphanumerics to single spaces + trim."""
+    return F.trim(F.regexp_replace(F.lower(_col(text)), _NORM_PATTERN, " "))
+
+
+def tokens(text: str | Column) -> Column:
+    """array<string> of normalized word tokens (whitespace split, no empties)."""
+    return F.filter(F.split(normalize(text), " "), lambda x: x != "")
+
+
+def token_count(text: str | Column) -> Column:
+    return F.size(tokens(text))
+
+
+def char_ngrams(text: str | Column, n: int) -> Column:
+    """array<string> of character n-gram shingles over the normalized text."""
+    norm = normalize(text)
+    count = F.greatest(F.length(norm) - F.lit(n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), count), lambda i: F.substring(norm, i, F.lit(n))
+    )
+
+
+def word_ngrams(text: str | Column, n: int) -> Column:
+    """array<string> of word n-grams (space-joined)."""
+    toks = tokens(text)
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+
+
+# ---------------------------------------------------------------------------
+# portable 60-bit hash
+# ---------------------------------------------------------------------------
+
+
+def md5_long(s: Column) -> Column:
+    """First 15 hex digits of md5 as a non-negative int64 — engine-portable
+    (same value from DuckDB's ('0x'||substr(md5(s),1,15))::BIGINT)."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+
+
+def minhash_value(s: Column, seed: int) -> Column:
+    """Seeded portable hash: md5 of the seed-prefixed string."""
+    return md5_long(F.concat(F.lit(f"{seed}:"), s))
+
+
+# ---------------------------------------------------------------------------
+# quality scoring / language id (heuristic, SQL-expressible)
+# ---------------------------------------------------------------------------
+
+#: tiny per-language stopword lists for the n-gram/stopword language heuristic
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "de", "que", "pour"),
+}
+
+
+def stopword_hits(text: str | Column, lang: str = "en") -> Column:
+    """# tokens that are stopwords of `lang`."""
+    words = LANG_STOPWORDS[lang]
+    toks = tokens(text)
+    return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+
+def stopword_ratio(text: str | Column, lang: str = "en") -> Column:
+    n = token_count(text)
+    return F.when(n > 0, stopword_hits(text, lang) / n).otherwise(F.lit(0.0))
+
+
+def alpha_ratio(text: str | Column) -> Column:
+    """fraction of characters that are ascii letters."""
+    c = _col(text)
+    n = F.length(c)
+    alpha = F.length(F.regexp_replace(F.lower(c), "[^a-z]+", ""))
+    return F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+
+
+def mean_token_len(text: str | Column) -> Column:
+    toks = tokens(text)
+    n = F.size(toks)
+    total = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.when(n > 0, total.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def quality_score(text: str | Column) -> Column:
+    """Composite [0,1] quality heuristic: alpha ratio, stopword density and a
+    mean-token-length window — the classic cheap pre-LLM text filter."""
+    c = _col(text)
+    len_ok = F.when(
+        (F.length(c) >= 50) & (F.length(c) <= 20000), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    tok_ok = F.when(
+        (mean_token_len(c) >= 3.0) & (mean_token_len(c) <= 10.0), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    return F.round(
+        0.4 * alpha_ratio(c) + 0.3 * stopword_ratio(c) * 5.0 + 0.15 * len_ok + 0.15 * tok_ok,
+        6,
+    )
+
+
+def lang_scores(text: str | Column) -> list[tuple[str, Column]]:
+    return [(lang, stopword_hits(text, lang)) for lang in LANG_STOPWORDS]
+
+
+def lang_id(text: str | Column) -> Column:
+    """argmax language by stopword hits; ties broken by fixed en>de>fr order;
+    'und' (undetermined) when nothing matched."""
+    scores = lang_scores(text)
+    best = scores[0][1]
+    for _, s in scores[1:]:
+        best = F.greatest(best, s)
+    expr = F.lit("und")
+    # reverse order so earlier languages win ties
+    for lang, s in reversed(scores):
+        expr = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting
+# ---------------------------------------------------------------------------
+
+
+def content_fingerprint(text: str | Column) -> Column:
+    """Order-insensitive document fingerprint: md5 over the sorted distinct
+    token set (the classic "bag fingerprint" for near-identical detection)."""
+    toks = tokens(text)
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
+
+
+def shingle_fingerprint(text: str | Column, k: int = 3) -> Column:
+    """md5 over sorted distinct k-shingles (order-sensitive local structure)."""
+    sh = char_ngrams(text, k)
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(sh)), " "))

@@ -1,0 +1,270 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star): exact dedup,
+MinHash+LSH, SimHash, and n-gram Jaccard — each expressed with native
+column functions only (no Python in the hot path) so the whole pipeline
+stays in whole-stage codegen and scales to 100 TB corpora.
+
+Scale shapes:
+- exact:    hash the normalized text FIRST (64-bit portable hash), group on
+            the hash — the shuffle carries 8-byte keys, not documents.
+- MinHash:  signatures are computed per-row with array expressions (no
+            explode), then only (band_hash → id) pairs shuffle; candidate
+            verification joins tiny id-pair lists back to shingle sets.
+- SimHash:  one 16/32-bit integer per doc; candidates = equal simhash
+            (or rotate-XOR buckets for hamming>0) — a plain equi-join.
+- Jaccard:  inverted-index pair join (shared shingle → pair) with counts;
+            at planet scale this runs AFTER LSH banding cut candidates.
+
+All hashes go through the engine-portable md5-prefix hash
+(functions.text.md5_long) so every operator is value-checkable against a
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from overturemaps_duckdb_spark.functions.text import (
+    char_ngrams,
+    md5_long,
+    normalize,
+    tokens,
+)
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the lowest-id representative per exact (normalized) text.
+
+    groupBy on the 60-bit content hash; the full text never shuffles."""
+    keyed = df.withColumn("_h", md5_long(normalize(text_col)))
+    keep = keyed.groupBy("_h").agg(F.min(id_col).alias(id_col))
+    return (
+        keyed.join(keep, [ "_h", id_col], "left_semi")
+        .drop("_h")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(
+    text: str | Column, *, n_hashes: int = 16, shingle_k: int = 5
+) -> Column:
+    """array<bigint> MinHash signature: per seed, the min portable hash over
+    the doc's distinct k-shingles — pure array expressions, no explode."""
+    shingles = F.array_distinct(char_ngrams(text, shingle_k))
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingles,
+                    lambda s, seed=seed: md5_long(F.concat(F.lit(f"{seed}:"), s)),
+                )
+            )
+            for seed in range(n_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding, verified with exact
+    shingle-set Jaccard.
+
+    LSH: split the signature into `bands` bands of `n_hashes/bands` rows;
+    docs sharing any band hash are candidates (banded equi-join — the only
+    shuffle is on (band_idx, band_hash)).  Candidates are then verified
+    exactly, so the output is threshold-exact (LSH affects recall only;
+    the verification join keeps precision 1.0).
+
+    Returns (a_id, b_id, jaccard) with a_id < b_id.
+    """
+    rows = n_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(text_col, n_hashes=n_hashes, shingle_k=shingle_k).alias("sig"),
+        F.array_distinct(char_ngrams(text_col, shingle_k)).alias("shingles"),
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("sig", bi * rows + 1, rows),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("bhash"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bhash")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bhash") == F.col("r.bhash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("a_id"), F.col("r.id").alias("b_id"))
+        .distinct()
+    )
+    return _verify_jaccard(cand, sig, jaccard_threshold)
+
+
+def _verify_jaccard(cand: DataFrame, sig: DataFrame, threshold: float) -> DataFrame:
+    sh = sig.select("id", "shingles")
+    a = sh.select(F.col("id").alias("a_id"), F.col("shingles").alias("a_sh"))
+    b = sh.select(F.col("id").alias("b_id"), F.col("shingles").alias("b_sh"))
+    joined = cand.join(a, "a_id").join(b, "b_id")
+    inter = F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
+    union = F.size(F.array_union("a_sh", "b_sh")).cast("double")
+    jac = F.round(inter / union, 6)
+    return (
+        joined.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, inverted-index pair join)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs: explode distinct shingles to an inverted
+    index, count shared shingles per pair, |A∪B| = |A|+|B|−|A∩B|.
+
+    The pair-generation join shuffles on shingle — at 100 TB this runs after
+    LSH banding (see minhash_lsh_pairs); stop-shingle removal (drop shingles
+    with df above a cap) bounds the quadratic blowup of hot shingles."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(char_ngrams(text_col, shingle_k))).alias("s"),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("id").alias("a_id"), "s")
+    b = sh.select(F.col("id").alias("b_id"), "s")
+    inter = (
+        a.join(b, ["s"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("c"))
+    )
+    na = sizes.select(F.col("id").alias("a_id"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("id").alias("b_id"), F.col("n").alias("nb"))
+    jac = F.round(
+        F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c")), 6
+    )
+    return (
+        inter.join(na, "a_id")
+        .join(nb, "b_id")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(text: str | Column, *, bits: int = 16) -> Column:
+    """`bits`-wide SimHash over distinct tokens: bit i is set iff the count
+    of token-hashes with bit i set exceeds half the token count."""
+    toks = F.array_distinct(tokens(text))
+    hashes = F.transform(toks, md5_long)
+    n = F.size(toks)
+    def bit_set(i: int):
+        # arity-1 lambda: a 2-arg lambda would make Spark bind the array
+        # index Column to the second parameter
+        return lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1
+
+    out = F.lit(0).cast("bigint")
+    for i in range(bits):
+        ones = F.size(F.filter(hashes, bit_set(i)))
+        out = out + F.when(ones * 2 > n, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0))
+    return out
+
+
+def simhash_dedup_buckets(
+    df: DataFrame, id_col: str, text_col: str, *, bits: int = 16
+) -> DataFrame:
+    """(simhash, sorted member ids) buckets — exact-equal simhash grouping,
+    the hamming-0 tier of simhash dedup (rotations give hamming>0 tiers)."""
+    h = df.select(F.col(id_col).alias("id"), simhash(text_col, bits=bits).alias("simhash"))
+    return (
+        h.groupBy("simhash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.array_join(F.sort_array(F.collect_list(F.col("id").cast("string"))), ",").alias(
+                "member_ids"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup (cosine over an embedding column)
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """(a_id, b_id, cosine) for pairs with cosine ≥ threshold.
+
+    Brute-force all-pairs via broadcast — correct at fixture scale; the LSH
+    bucket variant (similarity.random_hyperplane_buckets) is the planet-scale
+    candidate generator."""
+    from overturemaps_duckdb_spark.operators.similarity import cosine_expr
+
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    a = v.select(F.col("id").alias("a_id"), F.col("v").alias("a_v"))
+    b = v.select(F.col("id").alias("b_id"), F.col("v").alias("b_v"))
+    pairs = a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+    cos = F.round(cosine_expr(F.col("a_v"), F.col("b_v")), 6)
+    return (
+        pairs.withColumn("cosine", cos)
+        .where(F.col("cosine") >= threshold)
+        .select("a_id", "b_id", "cosine")
+    )

@@ -1,0 +1,167 @@
+"""Full-text search: inverted index + BM25 (SURVEY §2.10 T1-T5).
+
+The reference delegates to DuckDB's FTS extension:
+`PRAGMA create_fts_index('t','id','search_name')` builds `fts_main_t` helper
+tables and `match_bm25(id, q)` scores (`/root/reference/src/lib/fts.js:51-91`),
+with an ILIKE fallback when the index is missing (fts.js:93-127).
+
+Spark has no secondary indexes, so the index IS a DataFrame pair — exactly
+how the FTS extension models it internally, but distributed:
+
+- ``postings``: (term, id, tf) — partitioned by term, so a query's term
+  lookup is a broadcast-semi-join against a term-pruned slice.
+- ``docstats``: (id, dl) + scalar (N, avgdl).
+
+At 100 TB the postings table is written out partitioned/bucketed by term;
+scoring a query touches only the matching term partitions (partition
+pruning), then a groupBy(id) sum over candidate docs — no full-corpus scan.
+
+BM25 (Okapi, the same family DuckDB's `match_bm25` implements):
+  score(d, q) = Σ_t idf(t) · tf/(tf + k1·(1 − b + b·dl/avgdl))
+  idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from overturemaps_duckdb_spark.functions.text import tokens
+
+K1 = 1.2
+B = 0.75
+
+
+@dataclass
+class FtsIndex:
+    """T1 — the materialized inverted index (ref fts.js:51-68)."""
+
+    postings: DataFrame  # (term, id, tf)
+    docstats: DataFrame  # (id, dl)
+    n_docs: int
+    avgdl: float
+
+    def persist(self) -> "FtsIndex":
+        self.postings = self.postings.persist()
+        self.docstats = self.docstats.persist()
+        return self
+
+
+def build_fts_index(df: DataFrame, id_col: str, text_col: str) -> FtsIndex:
+    """Tokenize → explode → (term, id, tf) postings + per-doc lengths."""
+    toks = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
+    docstats = toks.select("id", F.size("toks").alias("dl"))
+    postings = (
+        toks.select("id", F.explode("toks").alias("term"))
+        .groupBy("term", "id")
+        .agg(F.count("*").alias("tf"))
+    )
+    # avgdl as exact-int sum / exact-int count (one double division) — the
+    # same value any SQL oracle computes, unlike engine-specific AVG paths.
+    agg = docstats.agg(
+        F.count("*").alias("n"), (F.sum("dl") / F.count("*")).alias("avgdl")
+    ).collect()[0]
+    return FtsIndex(postings, docstats, int(agg["n"]), float(agg["avgdl"]))
+
+
+def tokenize_query(q: str) -> list[str]:
+    """Same normalization as the index (deduplicated query terms)."""
+    import re
+
+    seen: dict[str, None] = {}
+    for tok in re.sub(r"[^a-z0-9]+", " ", q.lower()).split():
+        seen.setdefault(tok, None)
+    return list(seen)
+
+
+def bm25_score(
+    index: FtsIndex, query: str, *, k1: float = K1, b: float = B
+) -> DataFrame:
+    """T2 — (id, _score) for every matching document.
+
+    Matching the reference's conjunctive-ish scoring: any doc containing ≥1
+    query term scores; `_score IS NOT NULL` is the match predicate
+    (fts.js:88, pipeline.js:78).
+    """
+    terms = tokenize_query(query)
+    if not terms:
+        spark = index.postings.sparkSession
+        return spark.createDataFrame([], "id long, _score double")
+    spark = index.postings.sparkSession
+    qterms = spark.createDataFrame([(t,) for t in terms], "term string")
+    # df per query term (tiny — broadcast everywhere)
+    dfreq = (
+        index.postings.join(F.broadcast(qterms), "term")
+        .groupBy("term")
+        .agg(F.countDistinct("id").alias("df"))
+    )
+    n = F.lit(float(index.n_docs))
+    idf = F.log(F.lit(1.0) + (n - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    term_idf = dfreq.select("term", idf.alias("idf"))
+    matches = (
+        index.postings.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(term_idf), "term")
+        .join(index.docstats, "id")
+    )
+    tf = F.col("tf").cast("double")
+    denom = tf + k1 * (1.0 - b + b * F.col("dl") / F.lit(index.avgdl))
+    contrib = F.col("idf") * tf / denom
+    return matches.groupBy("id").agg(F.sum(contrib).alias("_score"))
+
+
+def bm25_topk(
+    index: FtsIndex,
+    df: DataFrame,
+    id_col: str,
+    query: str,
+    limit: int = 10,
+    *,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """T2 full shape: join scores back, `ORDER BY _score DESC LIMIT k`
+    (fts.js:85-91).  Scores are rounded to 6 dp before ranking so the
+    ordering is float-noise-free (ties broken by id)."""
+    scores = bm25_score(index, query, k1=k1, b=b)
+    return (
+        df.join(scores, df[id_col] == scores["id"], "inner")
+        .drop(scores["id"])
+        .withColumn("_score", F.round("_score", 6))
+        .orderBy(F.desc("_score"), F.asc(id_col))
+        .limit(limit)
+    )
+
+
+def ilike_search(
+    df: DataFrame, text_col: str, q: str, limit: int = 10
+) -> DataFrame:
+    """T3 — the graceful-degradation path: `ILIKE '%q%'` ranked by
+    `length(text) ASC` (most-specific first), fts.js:104-108."""
+    escaped = q.replace("'", "''")
+    return (
+        df.where(F.col(text_col).ilike(f"%{escaped}%"))
+        .orderBy(F.length(text_col).asc(), F.col(df.columns[0]).asc())
+        .limit(limit)
+    )
+
+
+def search_all_tables(
+    tables: dict[str, tuple[DataFrame, str, str]], q: str, limit: int = 10
+) -> DataFrame:
+    """T5 — cross-table search fan-out (fts.js:70-127): search every user
+    table, merge per-table top-k with a `_table` tag."""
+    out = None
+    for name, (df, id_col, text_col) in tables.items():
+        idx = build_fts_index(df, id_col, text_col)
+        top = bm25_topk(idx, df, id_col, q, limit=limit).select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(text_col).alias("text"),
+            F.col("_score"),
+            F.lit(name).alias("_table"),
+        )
+        out = top if out is None else out.unionByName(top)
+    if out is None:
+        raise ValueError("no tables to search")
+    return out

@@ -1,0 +1,132 @@
+"""Similarity search over embedding columns (array<float>).
+
+Beyond-reference surface (BASELINE.json north star): brute-force cosine
+top-k as the exact baseline, plus a random-hyperplane LSH bucketing as the
+approximate scale path.  Scoring is pure `F.zip_with`/`F.aggregate` column
+math — JVM-side, codegen'd, no UDF.
+
+Scale notes:
+- brute force is O(Q·N) but embarrassingly parallel: queries broadcast, the
+  corpus never shuffles; per-query top-k via window row_number (or
+  TakeOrderedAndProject for a single query).
+- the LSH variant buckets both sides on a small integer signature: the join
+  becomes an equi-join on bucket id, so candidate generation is
+  shuffle-on-int instead of cross-product.  Hyperplanes use deterministic
+  small-integer weights so results are engine-portable (oracle-checkable).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ as a sequential double fold (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact brute-force cosine top-k per query.
+
+    `queries` (small) is broadcast against the corpus; scores are rounded to
+    6 dp before ranking so ordering is float-noise-free (id tiebreak).
+    Returns (query_id, vec_id, cosine, rank).
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH (deterministic integer planes → oracle-portable)
+# ---------------------------------------------------------------------------
+
+
+def _plane_weight(plane: int, dim: int) -> int:
+    """Deterministic small-integer hyperplane weights in [-3, 3].
+
+    Integer arithmetic only, so Spark and any SQL oracle agree exactly."""
+    return ((dim * 31 + plane * 17 + 7) % 7) - 3
+
+
+def hyperplane_signature(
+    vec: Column, *, n_planes: int = 8, dim: int = 64
+) -> Column:
+    """int bucket id: bit p = [Σᵢ wᵢᵖ·vᵢ ≥ 0] for deterministic planes."""
+    sig = F.lit(0).cast("bigint")
+    for p in range(n_planes):
+        weights = [_plane_weight(p, i) for i in range(dim)]
+        dot = F.lit(0.0)
+        # Σ over non-zero weights only (≈6/7 of dims) — still pure codegen
+        for i, w in enumerate(weights):
+            if w != 0:
+                dot = dot + F.element_at(vec, i + 1).cast("double") * float(w)
+        sig = sig + F.when(dot >= 0.0, F.lit(1 << p).cast("bigint")).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_bucket_neighbors(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    min_cosine: float = 0.8,
+) -> DataFrame:
+    """ANN candidate pairs: same hyperplane bucket → exact cosine verify.
+
+    The equi-join on bucket id replaces the O(N²) cross product; `min_cosine`
+    keeps precision exact (LSH affects recall only)."""
+    sig = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        hyperplane_signature(F.col(vec_col), n_planes=n_planes, dim=dim).alias("bucket"),
+    )
+    a = sig.select(F.col("id").alias("a_id"), F.col("v").alias("a_v"), "bucket")
+    b = sig.select(F.col("id").alias("b_id"), F.col("v").alias("b_v"), "bucket")
+    pairs = a.join(b, ["bucket"]).where(F.col("a_id") < F.col("b_id"))
+    cos = F.round(cosine_expr(F.col("a_v"), F.col("b_v")), 6)
+    return (
+        pairs.withColumn("cosine", cos)
+        .where(F.col("cosine") >= min_cosine)
+        .select("a_id", "b_id", "bucket", "cosine")
+    )

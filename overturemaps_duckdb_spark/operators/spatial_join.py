@@ -1,0 +1,232 @@
+"""Spatial joins — SURVEY §2.4 J1-J7.
+
+The reference's joins are all theta joins: a cheap band/bbox prefilter plus
+an exact geometric predicate, compiled as SQL by
+`/root/reference/src/lib/analysisQueries.js:25-56` (inner/semi/anti) and
+`/root/reference/src/lib/pipeline.js:127-165` (within/exclude/intersect with
+the bidirectional matched-id union).  DuckDB picks the physical algorithm;
+here the *logical* shape is declared so Catalyst/AQE pick it:
+
+- The band condition (`ABS(Δlon)<band AND ABS(Δlat)<band`,
+  analysisQueries.js:29) is kept as a **native column join condition**, never
+  hidden inside the UDF.  With a broadcastable side Spark plans
+  BroadcastNestedLoopJoin with the cheap band residual; at 100 TB the
+  same condition feeds :func:`banded_join`'s grid-cell equi-join, which
+  shuffles both sides on cell id instead of producing a cartesian.
+- The exact `ST_Intersects` / `ST_Distance < d` predicate runs as an
+  Arrow-batched pandas UDF **after** the band join has cut candidates.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from overturemaps_duckdb_spark.functions.geo import (
+    meters_to_degrees,
+    st_distance,
+    st_intersects,
+)
+
+#: 0.2° (~22 km) band prefilter, analysisQueries.js:29 / pipeline.js:131-132
+DEFAULT_BAND_DEG = 0.2
+
+
+def band_condition(
+    a: DataFrame, b: DataFrame, band_deg: float = DEFAULT_BAND_DEG
+) -> Column:
+    """`ABS(a.centroid_lon-b.centroid_lon)<band AND ABS(Δlat)<band` (F6)."""
+    return (
+        F.abs(a["centroid_lon"] - b["centroid_lon"]) < band_deg
+    ) & (F.abs(a["centroid_lat"] - b["centroid_lat"]) < band_deg)
+
+
+def _exact_predicate(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    predicate: str,
+    distance_m: float | None,
+) -> Column:
+    if predicate == "intersects":
+        return st_intersects(a["geometry"], b["geometry"])
+    if predicate == "within_distance":
+        return st_distance(a["geometry"], b["geometry"]) < meters_to_degrees(distance_m)
+    raise ValueError(f"unknown predicate {predicate!r}")
+
+
+def spatial_join(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    how: str = "inner",
+    predicate: str = "intersects",
+    distance_m: float | None = None,
+    band_deg: float = DEFAULT_BAND_DEG,
+    exclude_self: bool = False,
+    broadcast_b: bool = True,
+) -> DataFrame:
+    """J1/J2/J3: inner (`intersect`), left_semi (`within`), left_anti
+    (`exclude`) theta join of two cached theme tables.
+
+    Mirrors analysisQueries.js:25-37: band prefilter + exact predicate [+
+    `base.id != b.id` self-guard, pipeline.js:130].
+
+    Physical shape: only the **native** band condition is the join condition
+    (Spark cannot evaluate Python UDFs inside semi/anti join conditions, and
+    keeping the UDF out of the condition lets Catalyst plan the join from
+    statistics alone).  The exact geometric predicate runs as a post-join
+    filter over the banded candidate set; semi/anti are derived from the
+    matched-id set of the filtered inner join.
+    """
+    cond = band_condition(a, b, band_deg)
+    if exclude_self:
+        cond = cond & (a["id"] != b["id"])
+    rhs = F.broadcast(b) if broadcast_b else b
+    exact = _exact_predicate(a, b, predicate=predicate, distance_m=distance_m)
+    if how == "inner":
+        return a.join(rhs, cond, "inner").where(exact)
+    if how in ("left_semi", "left_anti"):
+        matched = (
+            a.join(rhs, cond, "inner")
+            .where(exact)
+            .select(a["id"].alias("_mid"))
+            .distinct()
+        )
+        return a.join(F.broadcast(matched), a["id"] == matched["_mid"], how)
+    raise ValueError(f"unsupported join type {how!r}")
+
+
+def bidirectional_match_ids(
+    base: DataFrame,
+    other: DataFrame,
+    *,
+    predicate: str = "within_distance",
+    distance_m: float = 250.0,
+    band_deg: float = DEFAULT_BAND_DEG,
+) -> DataFrame:
+    """J4: ids of base rows hitting `other` UNION ids of `other` rows hit by
+    base (pipeline.js:141-157) — two semi-joins + distinct union."""
+    fwd = spatial_join(
+        base, other, how="left_semi", predicate=predicate, distance_m=distance_m,
+        band_deg=band_deg,
+    ).select("id")
+    rev = spatial_join(
+        other, base, how="left_semi", predicate=predicate, distance_m=distance_m,
+        band_deg=band_deg,
+    ).select("id")
+    return fwd.union(rev).distinct()
+
+
+def matched_b_overlay(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    predicate: str = "intersects",
+    distance_m: float | None = None,
+    band_deg: float = DEFAULT_BAND_DEG,
+) -> DataFrame:
+    """J5: `SELECT DISTINCT b.* FROM A JOIN B ON ...` (analysisQueries.js:43-56)."""
+    return (
+        spatial_join(a, b, how="inner", predicate=predicate, distance_m=distance_m,
+                     band_deg=band_deg)
+        .select(*[b[c] for c in b.columns])
+        .dropDuplicates(["id"])
+    )
+
+
+def intersection_fold(
+    points: DataFrame,
+    polygon_tables: dict[str, DataFrame],
+    *,
+    band_deg: float = DEFAULT_BAND_DEG,
+) -> DataFrame:
+    """J6/J7: point-in-polygon pass against every loaded polygon table,
+    folded into one `{point id → sorted label list}` map
+    (intersections.js:74-109).  The reference loops pairwise in app code and
+    folds client-side; here each pair is a join and the fold is a
+    `groupBy(id).agg(collect_set)` inside the engine."""
+    hits = None
+    for label, polys in polygon_tables.items():
+        h = (
+            spatial_join(points, polys, how="left_semi", predicate="intersects",
+                         band_deg=band_deg)
+            .select("id")
+            .withColumn("label", F.lit(label))
+        )
+        hits = h if hits is None else hits.unionByName(h)
+    if hits is None:
+        raise ValueError("no polygon tables supplied")
+    return hits.groupBy("id").agg(
+        F.array_join(F.sort_array(F.collect_set("label")), ",").alias("labels")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scale path: grid-cell banded join (no broadcast side needed)
+# ---------------------------------------------------------------------------
+
+
+def banded_join(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    band_deg: float = DEFAULT_BAND_DEG,
+    how: str = "inner",
+    extra_condition: Column | None = None,
+) -> DataFrame:
+    """Equi-join on spatial grid cells — the 100 TB form of the band join.
+
+    A pure theta band join degenerates to nested-loop when neither side fits
+    in memory.  Discretizing both sides onto a `band_deg`-sized grid and
+    replicating `a` to its 3×3 cell neighborhood turns the band condition
+    into a shuffle **equi-join on cell id** (co-partitioned, AQE-skew-safe),
+    with the exact band residual applied after.  Replication factor is a
+    constant 9; at planetary skew (cities) AQE's skew-join splitting keeps
+    cells balanced.
+    """
+    inv = 1.0 / band_deg
+    ax = F.floor(F.col("centroid_lon") * inv).cast("long")
+    ay = F.floor(F.col("centroid_lat") * inv).cast("long")
+    neighbor = F.explode(
+        F.array(*[F.lit(i) for i in (-1, 0, 1)])
+    )
+    a_cells = (
+        a.withColumn("_cx0", ax)
+        .withColumn("_cy0", ay)
+        .withColumn("_dx", neighbor)
+        .withColumn("_dy", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])))
+        .withColumn("_cx", F.col("_cx0") + F.col("_dx"))
+        .withColumn("_cy", F.col("_cy0") + F.col("_dy"))
+        .drop("_cx0", "_cy0", "_dx", "_dy")
+    )
+    b_cells = b.withColumn(
+        "_bcx", F.floor(F.col("centroid_lon") * inv).cast("long")
+    ).withColumn("_bcy", F.floor(F.col("centroid_lat") * inv).cast("long"))
+    cond = (
+        (a_cells["_cx"] == b_cells["_bcx"])
+        & (a_cells["_cy"] == b_cells["_bcy"])
+        & (F.abs(a_cells["centroid_lon"] - b_cells["centroid_lon"]) < band_deg)
+        & (F.abs(a_cells["centroid_lat"] - b_cells["centroid_lat"]) < band_deg)
+    )
+    if extra_condition is not None:
+        cond = cond & extra_condition
+    if how in ("left_semi", "left_anti"):
+        # `a` is replicated 9× — a direct semi join would emit each matching
+        # row up to 9 times.  Reduce to the matched-id set first, then
+        # semi/anti-join the ORIGINAL (unreplicated) side on id.
+        matched = (
+            a_cells.join(b_cells, cond, "inner")
+            .select(a_cells["id"].alias("_mid"))
+            .distinct()
+        )
+        return a.join(matched, a["id"] == matched["_mid"], how)
+    # inner: b lives only in its home cell, so each qualifying (a, b) pair
+    # matches in exactly one cell — no pair duplication to clean up.
+    return a_cells.join(b_cells, cond, how).drop("_cx", "_cy", "_bcx", "_bcy")
+
+
+def _ceil_div(n: int, d: int) -> int:
+    return int(math.ceil(n / d))

@@ -1,0 +1,104 @@
+"""Operator-inventory query registry.
+
+Every operator the engine implements (SURVEY.md §2 inventory + the
+LLM-pipeline extension surface) registers here as a named query:
+
+- a PySpark callable ``(spark, sf_dir) -> DataFrame``
+- (where SQL-expressible) an equivalent ANSI/DuckDB oracle SQL string run by
+  the driver's correctness harness on the same parquet tables.
+
+Determinism rules (FIXTURES.md "Oracle-comparison rules"):
+- every LIMIT is preceded by a total ORDER BY ending in a unique key;
+- double aggregates over money columns go through the exact cents trick
+  (``CAST(ROUND(x*100) AS BIGINT)``) so partial-agg ordering can't flip bits;
+- timestamps are surfaced as epoch microseconds (session-TZ independent);
+- DuckDB ``SUM(BIGINT)`` returns HUGEINT → oracles cast back to BIGINT.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query; ``oracle`` is DuckDB SQL over the pre-registered views."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+_SHIPPED: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    The caller's SparkSession (e.g. the driver harness's) won't have the repo
+    on the workers' PYTHONPATH, so UDFs defined here would fail to unpickle.
+    ``addPyFile`` of a zip of the package is the cluster-correct fix — it
+    ships the code to every executor, exactly as on a 1000-node deployment.
+    """
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED:
+        return
+    # __file__ is <repo>/overturemaps_duckdb_spark/queries/__init__.py
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    zpath = os.path.join(tempfile.gettempdir(), f"omds_pkg_{os.getpid()}.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            pkg = os.path.join(repo_root, "overturemaps_duckdb_spark")
+            for dirpath, _dirs, files in os.walk(pkg):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(dirpath, fn)
+                        z.write(full, os.path.relpath(full, repo_root))
+    spark.sparkContext.addPyFile(zpath)
+    _SHIPPED.add(app_id)
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table (TESTDATA.md).
+
+    ``events.parquet`` carries TIMESTAMP(NANOS) which Spark only reads as a
+    LONG of epoch-nanos behind the legacy flag — set it defensively (the
+    driver's session may not have it).  LONG nanos are also the most
+    oracle-deterministic representation (no TZ rendering involved).
+    """
+    _ship_package(spark)
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all() -> None:
+    """Import all query modules so their registrations run."""
+    from overturemaps_duckdb_spark.queries import (  # noqa: F401
+        dedup,
+        events,
+        fts,
+        relational,
+        similarity,
+        spatial,
+        textstats,
+    )

@@ -1,0 +1,201 @@
+"""Deduplication inventory (LLM-pipeline extension surface): exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding near-dup.
+
+Every variant is value-checked: the engine-portable md5-prefix hash makes
+even MinHash signatures and SimHash bits bit-identical between Spark and the
+DuckDB oracle."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from overturemaps_duckdb_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_dedup_buckets,
+)
+from overturemaps_duckdb_spark.queries import query, t
+from overturemaps_duckdb_spark.queries._sql import (
+    char_ngrams_sql,
+    md5_long_sql,
+    norm_sql,
+    tokens_sql,
+)
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d1_exact_dedup",
+    oracle=f"""
+    SELECT event_id, props FROM events
+    WHERE event_id IN (
+        SELECT min(event_id) FROM events GROUP BY {norm_sql('props')}
+    )
+    """,
+)
+def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: lowest-id representative per normalized text.  Runs on
+    `events.props` (heavily duplicated payloads); the shuffle key is the
+    60-bit content hash, never the text itself."""
+    ev = t(spark, sf_dir, "events").select("event_id", "props")
+    return exact_dedup(ev, "event_id", "props")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MINHASH_ORACLE = f"""
+WITH docs AS (
+    SELECT doc_id AS id,
+           list_distinct({char_ngrams_sql('text', 5)}) AS shingles
+    FROM documents
+),
+mins AS (
+    SELECT d.id, s.seed,
+           list_min(list_transform(d.shingles,
+               x -> {md5_long_sql("CAST(s.seed AS VARCHAR) || ':' || x")})) AS mv
+    FROM docs d, range(0, 16) s(seed)
+),
+bands AS (
+    SELECT id, seed // 4 AS band,
+           md5(string_agg(CAST(mv AS VARCHAR), ',' ORDER BY seed)) AS bhash
+    FROM mins GROUP BY id, seed // 4
+),
+cand AS (
+    SELECT DISTINCT l.id AS a_id, r.id AS b_id
+    FROM bands l JOIN bands r ON l.band = r.band AND l.bhash = r.bhash AND l.id < r.id
+),
+pairs AS (
+    SELECT c.a_id, c.b_id,
+           ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+               / CAST(len(a.shingles) + len(b.shingles)
+                      - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE), 6)
+               AS jaccard
+    FROM cand c
+    JOIN docs a ON c.a_id = a.id
+    JOIN docs b ON c.b_id = b.id
+)
+SELECT a_id, b_id, jaccard FROM pairs WHERE jaccard >= 0.5
+"""
+
+
+@query("d2_minhash_lsh_pairs", oracle=_MINHASH_ORACLE)
+def d2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16 hashes)+LSH(4 bands) near-dup candidate pairs, verified
+    with exact shingle Jaccard ≥ 0.5.  Signatures are pure array expressions
+    (no explode); only (band, band_hash, id) shuffles."""
+    d = t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", n_hashes=16, bands=4, shingle_k=5, jaccard_threshold=0.5
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIMHASH_ORACLE = f"""
+WITH docs AS (
+    SELECT doc_id AS id,
+           list_transform(list_distinct({tokens_sql('text')}),
+                          x -> {md5_long_sql('x')}) AS hashes
+    FROM documents
+),
+bits AS (
+    SELECT d.id, b.bit,
+           len(list_filter(d.hashes, h -> (h >> CAST(b.bit AS INTEGER)) & 1 = 1)) AS ones,
+           len(d.hashes) AS n
+    FROM docs d, range(0, 16) b(bit)
+),
+sims AS (
+    SELECT id,
+           CAST(SUM(CASE WHEN ones * 2 > n THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER)) ELSE 0 END) AS BIGINT)
+               AS simhash
+    FROM bits GROUP BY id
+)
+SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs,
+       string_agg(CAST(id AS VARCHAR), ',' ORDER BY CAST(id AS VARCHAR)) AS member_ids
+FROM sims GROUP BY simhash
+"""
+
+
+@query("d3_simhash_buckets", oracle=_SIMHASH_ORACLE)
+def d3_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash buckets (hamming-0 tier): one integer per doc, grouped —
+    dedup becomes a plain aggregation on an int key."""
+    d = t(spark, sf_dir, "documents")
+    return simhash_dedup_buckets(d, "doc_id", "text", bits=16)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact)
+# ---------------------------------------------------------------------------
+
+_JACCARD_ORACLE = f"""
+WITH docs AS (
+    SELECT doc_id AS id, list_distinct({char_ngrams_sql('text', 5)}) AS shingles
+    FROM documents WHERE doc_id < 500
+),
+sh AS (SELECT id, unnest(shingles) AS s FROM docs),
+sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY id),
+inter AS (
+    SELECT a.id AS a_id, b.id AS b_id, CAST(count(*) AS BIGINT) AS c
+    FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+    GROUP BY a.id, b.id
+)
+SELECT i.a_id, i.b_id,
+       ROUND(CAST(i.c AS DOUBLE) / (na.n + nb.n - i.c), 6) AS jaccard
+FROM inter i
+JOIN sizes na ON i.a_id = na.id
+JOIN sizes nb ON i.b_id = nb.id
+WHERE ROUND(CAST(i.c AS DOUBLE) / (na.n + nb.n - i.c), 6) >= 0.4
+"""
+
+
+@query("d4_ngram_jaccard_pairs", oracle=_JACCARD_ORACLE)
+def d4_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-gram Jaccard pairs ≥ 0.4 via the inverted-index pair join.
+    Input capped to doc_id < 500 at every SF: the exact pair join is the
+    verification tier — at scale candidates come from LSH banding first."""
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    return ngram_jaccard_pairs(d, "doc_id", "text", shingle_k=5, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+_EMB_DOT = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)))"
+)
+_EMB_NORM_A = (
+    "sqrt(list_sum(list_transform(range(1, 65), "
+    "i -> CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE))))"
+)
+_EMB_NORM_B = (
+    "sqrt(list_sum(list_transform(range(1, 65), "
+    "i -> CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE))))"
+)
+
+_EMB_NEARDUP_ORACLE = f"""
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       ROUND({_EMB_DOT} / ({_EMB_NORM_A} * {_EMB_NORM_B}), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND({_EMB_DOT} / ({_EMB_NORM_A} * {_EMB_NORM_B}), 6) >= 0.8
+"""
+
+
+@query("d5_embedding_neardup", oracle=_EMB_NEARDUP_ORACLE)
+def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.8), brute force at fixture
+    scale; the LSH-bucketed generator is the 100 TB path (n2_lsh_ann)."""
+    e = t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(e, "vec_id", "embedding", threshold=0.8)

@@ -1,0 +1,125 @@
+"""Event-stream inventory (SURVEY §2.9 + extension surface): incremental
+batch semantics, tumbling windows, sessionization on the `events` table.
+
+The fixture's `ts` is parquet TIMESTAMP(NANOS): Spark reads it as a LONG of
+epoch-nanos (legacy flag, set in queries.t), DuckDB truncates to µs — so all
+time math happens on `ts DIV 1000` (epoch-µs, exactly `epoch_us(ts)` in the
+oracle).  Integer bucket arithmetic is TZ-independent by construction.
+
+The true Structured-Streaming forms (watermark + window / session_window)
+live in streaming/windows.py and are exercised by tests — batch and stream
+share these aggregation definitions."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from overturemaps_duckdb_spark.queries import query, t
+
+#: 5-minute tumbling window, in µs
+WINDOW_US = 300_000_000
+#: 30-minute session gap, in µs
+SESSION_GAP_US = 1_800_000_000
+
+
+def cents(col) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("bigint")
+
+
+@query(
+    "e1_tumbling_window",
+    oracle=f"""
+    SELECT (epoch_us(ts) // {WINDOW_US}) * {WINDOW_US} AS window_start_us,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY (epoch_us(ts) // {WINDOW_US}) * {WINDOW_US}, event_type
+    """,
+)
+def e1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-min window aggregation per event type — the batch twin of
+    `groupBy(window('ts','5 minutes'), 'event_type')` (streaming/windows.py).
+    Integer epoch-bucket keys: deterministic, TZ-free, and a cheap
+    high-cardinality shuffle key at scale."""
+    ev = t(spark, sf_dir, "events")
+    bucket = (F.expr("ts DIV 1000").cast("bigint") / F.lit(WINDOW_US)).cast("bigint")
+    window_start = F.expr(f"(ts DIV 1000) DIV {WINDOW_US} * {WINDOW_US}")
+    return (
+        ev.groupBy(window_start.alias("window_start_us"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(cents("value")).alias("value_cents"),
+        )
+    )
+
+
+@query(
+    "e2_sessionize",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY epoch_us(ts), event_id) AS prev_us
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, us,
+               CASE WHEN prev_us IS NULL OR us - prev_us > {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ordered
+    ),
+    sessions AS (
+        SELECT user_id, event_id, us,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(us) AS session_start_us, max(us) AS session_end_us
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def e2_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) via lag + cumulative-sum — the
+    batch twin of `session_window(ts, '30 minutes')`.  Partitioned by
+    user_id: the window state never exceeds one user's history per task."""
+    ev = t(spark, sf_dir, "events").withColumn("us", F.expr("ts DIV 1000"))
+    w_order = Window.partitionBy("user_id").orderBy("us", "event_id")
+    w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.withColumn("prev_us", F.lag("us").over(w_order)).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_us").isNull() | (F.col("us") - F.col("prev_us") > SESSION_GAP_US),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("is_new").over(w_cum))
+    return sessions.groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id")).agg(
+        F.count("*").alias("n_events"),
+        F.min("us").alias("session_start_us"),
+        F.max("us").alias("session_end_us"),
+    )
+
+
+@query(
+    "e3_lag_delta",
+    oracle="""
+    SELECT user_id, event_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                  ORDER BY epoch_us(ts), event_id)
+               AS gap_us
+    FROM events
+    """,
+)
+def e3_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead inter-event gaps per user (window navigation functions)."""
+    ev = t(spark, sf_dir, "events").withColumn("us", F.expr("ts DIV 1000"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    return ev.select(
+        "user_id", "event_id", (F.col("us") - F.lag("us").over(w)).alias("gap_us")
+    )

@@ -1,0 +1,116 @@
+"""Full-text-search inventory (SURVEY §2.10 T1-T5) on the `documents` table.
+
+The BM25 oracle is pure SQL (DuckDB's fts extension is unavailable offline):
+queries/_sql.bm25_sql states the identical Okapi formula the Spark operator
+computes, so scores are value-checked, not just rank-checked."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from overturemaps_duckdb_spark.operators.fts import (
+    bm25_topk,
+    build_fts_index,
+    ilike_search,
+    search_all_tables,
+)
+from overturemaps_duckdb_spark.queries import query, t
+from overturemaps_duckdb_spark.queries._sql import bm25_sql, tokens_sql
+
+#: fixed benchmark query — words present in the fixture vocabulary
+QUERY_TEXT = "table scan merge"
+QUERY_TERMS = ["table", "scan", "merge"]
+
+
+@query(
+    "t1_fts_index_build",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id AS id, {tokens_sql('text')} AS tk FROM documents)
+    SELECT t AS term, id, CAST(count(*) AS BIGINT) AS tf
+    FROM (SELECT id, unnest(tk) AS t FROM toks)
+    GROUP BY t, id
+    """,
+)
+def t1_fts_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 — the materialized inverted index (term, id, tf); the Spark twin of
+    `PRAGMA create_fts_index` (fts.js:51-68)."""
+    d = t(spark, sf_dir, "documents")
+    return build_fts_index(d, "doc_id", "text").postings
+
+
+@query(
+    "t2_bm25_topk",
+    oracle=bm25_sql(table="documents", id_col="doc_id", text_col="text", terms=QUERY_TERMS)
+    + """
+    SELECT d.doc_id, ROUND(s._score, 6) AS _score
+    FROM documents d JOIN scores s ON d.doc_id = s.id
+    ORDER BY ROUND(s._score, 6) DESC, d.doc_id
+    LIMIT 10
+    """,
+)
+def t2_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 — BM25 match+score, `ORDER BY _score DESC LIMIT k` (fts.js:85-91)."""
+    d = t(spark, sf_dir, "documents")
+    idx = build_fts_index(d, "doc_id", "text")
+    return bm25_topk(idx, d, "doc_id", QUERY_TEXT, limit=10).select("doc_id", "_score")
+
+
+@query(
+    "t3_ilike_fallback",
+    oracle="""
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len
+    FROM documents
+    WHERE text ILIKE '%merge%'
+    ORDER BY length(text) ASC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def t3_ilike_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 — graceful degradation: ILIKE substring search ranked by
+    `length(text) ASC` (most specific first), fts.js:104-108."""
+    d = t(spark, sf_dir, "documents")
+    return ilike_search(d, "text", "merge", limit=10).select(
+        "doc_id", F.length("text").cast("bigint").alias("text_len")
+    )
+
+
+@query(
+    "t5_search_fanout",
+    oracle=f"""
+    WITH doc_scores AS (
+        {bm25_sql(table="documents", id_col="doc_id", text_col="text", terms=QUERY_TERMS)}
+        SELECT * FROM scores
+    ),
+    doc_hits AS (
+        SELECT d.doc_id AS id, d.text AS text, ROUND(s._score, 6) AS _score,
+               'documents' AS _table
+        FROM documents d JOIN doc_scores s ON d.doc_id = s.id
+        ORDER BY ROUND(s._score, 6) DESC, d.doc_id LIMIT 10
+    ),
+    part_scores AS (
+        {bm25_sql(table="part", id_col="p_partkey", text_col="p_name", terms=QUERY_TERMS)}
+        SELECT * FROM scores
+    ),
+    part_hits AS (
+        SELECT p.p_partkey AS id, p.p_name AS text, ROUND(s._score, 6) AS _score,
+               'part' AS _table
+        FROM part p JOIN part_scores s ON p.p_partkey = s.id
+        ORDER BY ROUND(s._score, 6) DESC, p.p_partkey LIMIT 10
+    )
+    SELECT * FROM doc_hits UNION ALL SELECT * FROM part_hits
+    """,
+)
+def t5_search_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 — cross-table search fan-out: per-table BM25 top-10, merged with a
+    `_table` tag (fts.js:70-127)."""
+    d = t(spark, sf_dir, "documents")
+    p = t(spark, sf_dir, "part")
+    return search_all_tables(
+        {
+            "documents": (d, "doc_id", "text"),
+            "part": (p, "p_partkey", "p_name"),
+        },
+        QUERY_TEXT,
+        limit=10,
+    )

@@ -1,0 +1,94 @@
+"""Similarity-search inventory (LLM-pipeline extension surface): exact
+brute-force cosine top-k + random-hyperplane LSH ANN over `embeddings`."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from overturemaps_duckdb_spark.operators.similarity import (
+    _plane_weight,
+    cosine_topk,
+    lsh_bucket_neighbors,
+)
+from overturemaps_duckdb_spark.queries import query, t
+
+_DOT = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> CAST(q.embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INTEGER)] AS DOUBLE)))"
+)
+_NORM_Q = (
+    "sqrt(list_sum(list_transform(range(1, 65), "
+    "i -> CAST(q.embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(q.embedding[CAST(i AS INTEGER)] AS DOUBLE))))"
+)
+_NORM_C = (
+    "sqrt(list_sum(list_transform(range(1, 65), "
+    "i -> CAST(c.embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INTEGER)] AS DOUBLE))))"
+)
+
+
+@query(
+    "n1_cosine_topk",
+    oracle=f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               ROUND({_DOT} / ({_NORM_Q} * {_NORM_C}), 6) AS cosine
+        FROM embeddings q JOIN embeddings c ON q.vec_id < 5
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def n1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for 5 query vectors: queries
+    broadcast, corpus never shuffles, per-query heap via window row_number.
+    Scores rounded to 6 dp pre-ranking (float-noise-free ordering)."""
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(e, queries, id_col="vec_id", vec_col="embedding", k=10)
+
+
+def _bucket_sql(alias: str, n_planes: int = 8, dim: int = 64) -> str:
+    """SQL twin of operators.similarity.hyperplane_signature for one row
+    alias — explicit per-plane dot products with the deterministic integer
+    weights (zero-weight dims skipped exactly like the Spark loop)."""
+    bits = []
+    for p in range(n_planes):
+        terms = [
+            f"CAST({alias}.embedding[{i + 1}] AS DOUBLE) * {float(w)}"
+            for i, w in ((i, _plane_weight(p, i)) for i in range(dim))
+            if w != 0
+        ]
+        dot = " + ".join(terms)
+        bits.append(f"(CASE WHEN 0.0 + {dot} >= 0.0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
+@query(
+    "n2_lsh_ann_pairs",
+    oracle=f"""
+    WITH sig AS (
+        SELECT e.vec_id, e.embedding, {_bucket_sql('e')} AS bucket
+        FROM embeddings e
+    )
+    SELECT q.vec_id AS a_id, c.vec_id AS b_id, q.bucket AS bucket,
+           ROUND({_DOT} / ({_NORM_Q} * {_NORM_C}), 6) AS cosine
+    FROM sig q JOIN sig c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
+    WHERE ROUND({_DOT} / ({_NORM_Q} * {_NORM_C}), 6) >= 0.5
+    """,
+)
+def n2_lsh_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: 8-hyperplane LSH bucket equi-join + exact verify at
+    cosine ≥ 0.5 — candidate generation shuffles on an int key instead of the
+    O(N²) cross product."""
+    e = t(spark, sf_dir, "embeddings")
+    return lsh_bucket_neighbors(
+        e, id_col="vec_id", vec_col="embedding", n_planes=8, dim=64, min_cosine=0.5
+    )

@@ -1,0 +1,126 @@
+"""Text-analysis inventory (LLM-pipeline extension surface): token counting,
+quality scoring, language id, fingerprinting — all native column expressions
+(functions/text.py), each value-checked against a DuckDB oracle stating the
+identical formula."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from overturemaps_duckdb_spark.functions.text import (
+    LANG_STOPWORDS,
+    content_fingerprint,
+    lang_id,
+    quality_score,
+    shingle_fingerprint,
+    token_count,
+)
+from overturemaps_duckdb_spark.queries import query, t
+from overturemaps_duckdb_spark.queries._sql import norm_sql, tokens_sql
+
+
+def _in_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+@query(
+    "x1_token_count",
+    oracle=f"""
+    SELECT doc_id, CAST(len({tokens_sql('text')}) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_actual
+    FROM documents
+    """,
+)
+def x1_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace+regex token counting over `documents` (BASELINE north star:
+    token counting for training-data budgeting)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+    )
+
+
+@query(
+    "x2_quality_score",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, text, {tokens_sql('text')} AS tk, length(text) AS n
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id,
+               CASE WHEN n > 0
+                    THEN length(regexp_replace(lower(text), '[^a-z]+', '', 'g')) / n
+                    ELSE 0.0 END AS alpha,
+               CASE WHEN len(tk) > 0
+                    THEN len(list_filter(tk, x -> x IN ({_in_list(LANG_STOPWORDS['en'])}))) / len(tk)
+                    ELSE 0.0 END AS stop_ratio,
+               CASE WHEN n >= 50 AND n <= 20000 THEN 1.0 ELSE 0.0 END AS len_ok,
+               CASE WHEN len(tk) > 0
+                     AND (CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT) * 1.0) / len(tk) >= 3.0
+                     AND (CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT) * 1.0) / len(tk) <= 10.0
+                    THEN 1.0 ELSE 0.0 END AS tok_ok
+        FROM base
+    )
+    SELECT doc_id,
+           ROUND(0.4 * alpha + 0.3 * stop_ratio * 5.0 + 0.15 * len_ok + 0.15 * tok_ok, 6)
+               AS quality
+    FROM feats
+    """,
+)
+def x2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality heuristic (length / alpha-ratio / stopword-density /
+    token-shape) — the classic cheap pre-LLM text filter, pure codegen."""
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score("text").alias("quality"))
+
+
+@query(
+    "x3_lang_id",
+    oracle=f"""
+    WITH hits AS (
+        SELECT doc_id,
+               len(list_filter({tokens_sql('text')}, x -> x IN ({_in_list(LANG_STOPWORDS['en'])}))) AS en,
+               len(list_filter({tokens_sql('text')}, x -> x IN ({_in_list(LANG_STOPWORDS['de'])}))) AS de,
+               len(list_filter({tokens_sql('text')}, x -> x IN ({_in_list(LANG_STOPWORDS['fr'])}))) AS fr
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN en >= de AND en >= fr AND en > 0 THEN 'en'
+                WHEN de >= fr AND de > 0 THEN 'de'
+                WHEN fr > 0 THEN 'fr'
+                ELSE 'und' END AS lang_pred
+    FROM hits
+    """,
+)
+def x3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language id (argmax over per-language hit counts,
+    fixed tie order en>de>fr, 'und' when no evidence)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id("text").alias("lang_pred"))
+
+
+@query(
+    "x4_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct({tokens_sql('text')})), ' ')) AS content_fp,
+           md5(array_to_string(list_sort(list_distinct(
+               list_transform(range(1, greatest(length({norm_sql('text')}) - 2, 1) + 1),
+                              i -> substr({norm_sql('text')}, CAST(i AS INTEGER), 3))
+           )), ' ')) AS shingle_fp
+    FROM documents
+    """,
+)
+def x4_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: order-insensitive token-set fingerprint +
+    3-shingle structural fingerprint (both md5 over sorted distinct sets)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        content_fingerprint("text").alias("content_fp"),
+        shingle_fingerprint("text", 3).alias("shingle_fp"),
+    )

@@ -1,0 +1,167 @@
+"""SparkSession bootstrap + query instrumentation.
+
+Rebuilds the engine-lifecycle surface of the reference
+(``/root/reference/src/lib/duckdb.js:7-49`` — engine init, extension load,
+table lifecycle) and the query instrumentation wrapper
+(``/root/reference/src/lib/queryRunner.js:14-55`` — label + SQL preview +
+wall-clock + ok/err ring buffer) on a SparkSession.
+
+Scale notes: every config below is chosen for a large cluster first and a
+local[32] dev box second.  AQE re-plans shuffles at runtime (coalesces small
+partitions, splits skewed ones, converts sort-merge→broadcast when a side
+turns out small), nested-schema pruning keeps deep Overture-style structs
+from being fully materialized, and Arrow makes driver-side result transfer
+columnar.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Tables the engine maintains for itself; hidden from user-facing listings,
+#: mirroring the reference's system-table protection (duckdb.js:39,
+#: fts.js:119-126).  FTS index tables use the fts_main_ prefix (fts.js:51-68).
+SYSTEM_TABLE_PREFIXES = ("_session", "_load_history", "fts_main_")
+
+
+def _default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "overturemaps_duckdb_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Create (or reuse) the engine SparkSession.
+
+    Mirrors ``initDuckDB`` (duckdb.js:7-28): one long-lived engine handle per
+    process.  Config set here is safe to apply to an existing session's scope
+    where possible; JVM-level settings only apply on first creation.
+    """
+    cpus = cpus or _default_parallelism()
+    shuffle_partitions = shuffle_partitions or max(cpus, 32)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # --- correctness-critical for oracle parity ---
+        .config("spark.sql.session.timeZone", "UTC")
+        # --- runtime re-planning: coalesce small / split skewed shuffle
+        #     partitions, demote sort-merge to broadcast when a side is small.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- shuffle sizing: ~1 partition per core locally; on a real
+        #     cluster AQE coalesces from this starting point.
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # --- scan sizing: default 128MB split keeps 100TB ≈ 800k tasks;
+        #     row-group min/max pruning happens inside each split.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # --- keep deep structs (Overture names/bbox/brand...) pruned to the
+        #     accessed leaves only.
+        .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # --- Arrow for pandas UDFs + toPandas (the geo kernel hot path).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    )
+    return builder.getOrCreate()
+
+
+# ---------------------------------------------------------------------------
+# Query instrumentation (ref queryRunner.js:14-55)
+# ---------------------------------------------------------------------------
+
+#: ring-buffer size, matching the reference's HUD history (queryRunner.js:5)
+HISTORY_CAP = 20
+
+
+@dataclass
+class QueryRecord:
+    label: str
+    preview: str
+    ms: float
+    ok: bool
+    error: str | None = None
+    rows: int | None = None
+
+
+@dataclass
+class QueryRunner:
+    """Wall-clock + status wrapper around query execution.
+
+    The reference wraps every `conn.query` with a label, a 140-char SQL
+    preview, elapsed ms and an ok/err flag kept in a ring buffer of 20
+    (queryRunner.js:14-55).  Here the unit of execution is a DataFrame
+    action or a SQL text.
+    """
+
+    history: list[QueryRecord] = field(default_factory=list)
+
+    def _push(self, rec: QueryRecord) -> QueryRecord:
+        self.history.append(rec)
+        if len(self.history) > HISTORY_CAP:
+            del self.history[: len(self.history) - HISTORY_CAP]
+        return rec
+
+    def run_sql(self, spark: SparkSession, sql: str, label: str = "sql") -> DataFrame:
+        preview = " ".join(sql.split())[:140]  # 140-char preview, queryRunner.js:18
+        t0 = time.monotonic()
+        try:
+            df = spark.sql(sql)
+            self._push(QueryRecord(label, preview, (time.monotonic() - t0) * 1e3, True))
+            return df
+        except Exception as exc:  # noqa: BLE001 — mirror ref's catch-all (queryRunner.js:40-50)
+            self._push(
+                QueryRecord(label, preview, (time.monotonic() - t0) * 1e3, False, str(exc)[:500])
+            )
+            raise
+
+    def run_action(self, fn, label: str = "action", preview: str = ""):
+        t0 = time.monotonic()
+        try:
+            out = fn()
+            rows = len(out) if isinstance(out, list) else None
+            self._push(
+                QueryRecord(label, preview[:140], (time.monotonic() - t0) * 1e3, True, rows=rows)
+            )
+            return out
+        except Exception as exc:  # noqa: BLE001
+            self._push(
+                QueryRecord(label, preview[:140], (time.monotonic() - t0) * 1e3, False, str(exc)[:500])
+            )
+            raise
+
+
+# ---------------------------------------------------------------------------
+# Table lifecycle (ref duckdb.js:41-49, themes.js:284)
+# ---------------------------------------------------------------------------
+
+
+def list_user_tables(spark: SparkSession) -> list[str]:
+    """``SHOW TABLES`` minus system tables (duckdb.js:39, fts.js:119-126)."""
+    return [
+        t.name
+        for t in spark.catalog.listTables()
+        if not t.name.startswith(SYSTEM_TABLE_PREFIXES)
+    ]
+
+
+def drop_table(spark: SparkSession, name: str, *, allow_system: bool = False) -> bool:
+    """``DROP TABLE IF EXISTS`` with system-table protection (duckdb.js:41-49)."""
+    if not allow_system and name.startswith(SYSTEM_TABLE_PREFIXES):
+        raise ValueError(f"refusing to drop system table {name!r}")
+    return spark.catalog.dropTempView(name)
+
+
+def drop_all_user_tables(spark: SparkSession) -> list[str]:
+    """Clear-all used by area reloads (controller.js:119-146 → duckdb.js:41-49)."""
+    dropped = []
+    for name in list_user_tables(spark):
+        if spark.catalog.dropTempView(name):
+            dropped.append(name)
+    return dropped
