@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+    {"metric": "headline_total", "value": <sec>, "unit": "sec",
+     "queries": {"q1_pricing_summary": <sec>, ...}, "sf": 0.1}
+
+Each query is fully executed via the no-op sink (`format("noop")`) so the
+whole plan runs — including pandas-UDF columns that `count()` would prune —
+without driver-side collection skewing the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from overturemaps_duckdb_spark import queries as _q  # noqa: E402
+from overturemaps_duckdb_spark.session import get_spark  # noqa: E402
+
+_q.load_all()
+
+#: Representative slice of the inventory: TPC-H-shaped relational, spatial
+#: band joins + geo kernel, dedup (LSH + exact), FTS/BM25, windows/events,
+#: similarity — the operators whose plans matter at 100 TB.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "j1_spatial_intersect_join",
+    "j2_semi_join_within",
+    "j4_bidirectional_match",
+    "g1_g2_polygon_type_centroid_area",
+    "d1_exact_dedup",
+    "d2_minhash_lsh_pairs",
+    "d3_simhash_buckets",
+    "t2_bm25_topk",
+    "n1_cosine_topk",
+    "e1_tumbling_window",
+    "w1_topk_per_group",
+    "u1_union_all_aligned",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    spark = get_spark("bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup on the smallest fixture set (not timed).
+    _q.QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = _q.QUERIES[name]
+        t0 = time.monotonic()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -79,6 +79,36 @@ def minhash_value(s: Column, seed: int) -> Column:
     return md5_long(F.concat(F.lit(f"{seed}:"), s))
 
 
+#: universal-hash family for MinHash: h_i(x) = (a_i*x + b_i) mod P over
+#: 30-bit base hashes.  P Mersenne 2^31-1; a*x+b < 2^61+2^31 fits int64 in
+#: both engines, so the per-seed hash is ONE multiply-add — the md5 cost is
+#: paid once per shingle, not once per (shingle, seed).
+MINHASH_P = 2147483647
+MINHASH_BASE_BITS = 30
+
+
+def minhash_coeffs(n: int) -> tuple[list[int], list[int]]:
+    """Deterministic (a_i, b_i) pairs — same constants are embedded in the
+    DuckDB oracle SQL, so signatures stay engine-portable."""
+    a_list, b_list, x = [], [], 1234567891
+    for _ in range(n):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a_list.append(1 + x % (MINHASH_P - 1))
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b_list.append(x % MINHASH_P)
+    return a_list, b_list
+
+
+def hashed_shingles(text: str | Column, k: int) -> Column:
+    """array<bigint> of distinct 30-bit shingle hashes — the set MinHash and
+    Jaccard verification both operate on (one md5 per shingle)."""
+    return F.array_distinct(
+        F.transform(
+            char_ngrams(text, k), lambda s: md5_long(s) % F.lit(1 << MINHASH_BASE_BITS)
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # quality scoring / language id (heuristic, SQL-expressible)
 # ---------------------------------------------------------------------------

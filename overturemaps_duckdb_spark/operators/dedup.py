@@ -27,8 +27,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 from overturemaps_duckdb_spark.functions.text import (
+    MINHASH_P,
     char_ngrams,
+    hashed_shingles,
     md5_long,
+    minhash_coeffs,
     normalize,
     tokens,
 )
@@ -58,18 +61,29 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def minhash_signature(
     text: str | Column, *, n_hashes: int = 16, shingle_k: int = 5
 ) -> Column:
-    """array<bigint> MinHash signature: per seed, the min portable hash over
-    the doc's distinct k-shingles — pure array expressions, no explode."""
-    shingles = F.array_distinct(char_ngrams(text, shingle_k))
+    """array<bigint> MinHash signature — per seed, the min universal-hash
+    over the doc's distinct shingle hashes; pure array expressions.
+
+    Cost shape: md5 once per shingle (hashed_shingles), then one
+    multiply-add-mod per (shingle, seed) — 16 seeds cost ~16 int ops per
+    shingle instead of 16 md5-of-string evaluations."""
+    return minhash_signature_from_hashes(
+        hashed_shingles(text, shingle_k), n_hashes=n_hashes
+    )
+
+
+def minhash_signature_from_hashes(hs: Column, *, n_hashes: int = 16) -> Column:
+    a_list, b_list = minhash_coeffs(n_hashes)
+
+    def mix(a: int, b: int):
+        # factory keeps the lambda arity-1 (Spark binds the array index to a
+        # second parameter)
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
+
     return F.array(
         *[
-            F.array_min(
-                F.transform(
-                    shingles,
-                    lambda s, seed=seed: md5_long(F.concat(F.lit(f"{seed}:"), s)),
-                )
-            )
-            for seed in range(n_hashes)
+            F.array_min(F.transform(hs, mix(a_list[i], b_list[i])))
+            for i in range(n_hashes)
         ]
     )
 
@@ -98,9 +112,16 @@ def minhash_lsh_pairs(
     rows = n_hashes // bands
     sig = df.select(
         F.col(id_col).alias("id"),
-        minhash_signature(text_col, n_hashes=n_hashes, shingle_k=shingle_k).alias("sig"),
-        F.array_distinct(char_ngrams(text_col, shingle_k)).alias("shingles"),
+        hashed_shingles(text_col, shingle_k).alias("shingles"),
+    ).select(
+        "id",
+        minhash_signature_from_hashes("shingles", n_hashes=n_hashes).alias("sig"),
+        "shingles",
     )
+    # The signature relation feeds the band self-join (twice) and the
+    # verification join (twice more); persist so shingling+hashing runs once.
+    # At 100 TB this is the materialized "minhash index" written to parquet.
+    sig = sig.persist()
     banded = sig.select(
         "id",
         F.explode(

@@ -51,22 +51,34 @@ def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-_MINHASH_ORACLE = f"""
+def _minhash_oracle(n_hashes: int = 16, bands: int = 4, k: int = 5) -> str:
+    from overturemaps_duckdb_spark.functions.text import (
+        MINHASH_BASE_BITS,
+        MINHASH_P,
+        minhash_coeffs,
+    )
+
+    a_list, b_list = minhash_coeffs(n_hashes)
+    seeds = ", ".join(
+        f"({i}, {a_list[i]}, {b_list[i]})" for i in range(n_hashes)
+    )
+    return f"""
 WITH docs AS (
     SELECT doc_id AS id,
-           list_distinct({char_ngrams_sql('text', 5)}) AS shingles
+           list_distinct(list_transform({char_ngrams_sql('text', k)},
+               x -> {md5_long_sql('x')} % {1 << MINHASH_BASE_BITS})) AS shingles
     FROM documents
 ),
 mins AS (
     SELECT d.id, s.seed,
            list_min(list_transform(d.shingles,
-               x -> {md5_long_sql("CAST(s.seed AS VARCHAR) || ':' || x")})) AS mv
-    FROM docs d, range(0, 16) s(seed)
+               h -> (h * s.a + s.b) % {MINHASH_P})) AS mv
+    FROM docs d, (VALUES {seeds}) s(seed, a, b)
 ),
 bands AS (
-    SELECT id, seed // 4 AS band,
+    SELECT id, seed // {n_hashes // bands} AS band,
            md5(string_agg(CAST(mv AS VARCHAR), ',' ORDER BY seed)) AS bhash
-    FROM mins GROUP BY id, seed // 4
+    FROM mins GROUP BY id, seed // {n_hashes // bands}
 ),
 cand AS (
     SELECT DISTINCT l.id AS a_id, r.id AS b_id
@@ -84,6 +96,9 @@ pairs AS (
 )
 SELECT a_id, b_id, jaccard FROM pairs WHERE jaccard >= 0.5
 """
+
+
+_MINHASH_ORACLE = _minhash_oracle()
 
 
 @query("d2_minhash_lsh_pairs", oracle=_MINHASH_ORACLE)
