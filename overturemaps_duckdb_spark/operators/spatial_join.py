@@ -49,11 +49,15 @@ def _exact_predicate(
     *,
     predicate: str,
     distance_m: float | None,
+    distance_deg: float | None = None,
 ) -> Column:
     if predicate == "intersects":
         return st_intersects(a["geometry"], b["geometry"])
     if predicate == "within_distance":
-        return st_distance(a["geometry"], b["geometry"]) < meters_to_degrees(distance_m)
+        # the pipeline compiler pre-rounds the degree threshold like the
+        # reference's (d/111320).toFixed(6) (pipeline.js:128)
+        deg = distance_deg if distance_deg is not None else meters_to_degrees(distance_m)
+        return st_distance(a["geometry"], b["geometry"]) < deg
     raise ValueError(f"unknown predicate {predicate!r}")
 
 
@@ -64,6 +68,7 @@ def spatial_join(
     how: str = "inner",
     predicate: str = "intersects",
     distance_m: float | None = None,
+    distance_deg: float | None = None,
     band_deg: float = DEFAULT_BAND_DEG,
     exclude_self: bool = False,
     broadcast_b: bool = True,
@@ -85,7 +90,9 @@ def spatial_join(
     if exclude_self:
         cond = cond & (a["id"] != b["id"])
     rhs = F.broadcast(b) if broadcast_b else b
-    exact = _exact_predicate(a, b, predicate=predicate, distance_m=distance_m)
+    exact = _exact_predicate(
+        a, b, predicate=predicate, distance_m=distance_m, distance_deg=distance_deg
+    )
     if how == "inner":
         return a.join(rhs, cond, "inner").where(exact)
     if how in ("left_semi", "left_anti"):
@@ -105,17 +112,19 @@ def bidirectional_match_ids(
     *,
     predicate: str = "within_distance",
     distance_m: float = 250.0,
+    distance_deg: float | None = None,
     band_deg: float = DEFAULT_BAND_DEG,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """J4: ids of base rows hitting `other` UNION ids of `other` rows hit by
     base (pipeline.js:141-157) — two semi-joins + distinct union."""
     fwd = spatial_join(
         base, other, how="left_semi", predicate=predicate, distance_m=distance_m,
-        band_deg=band_deg,
+        distance_deg=distance_deg, band_deg=band_deg, exclude_self=exclude_self,
     ).select("id")
     rev = spatial_join(
         other, base, how="left_semi", predicate=predicate, distance_m=distance_m,
-        band_deg=band_deg,
+        distance_deg=distance_deg, band_deg=band_deg, exclude_self=exclude_self,
     ).select("id")
     return fwd.union(rev).distinct()
 

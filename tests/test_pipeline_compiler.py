@@ -1,0 +1,121 @@
+"""Compiler structure tests mirroring the reference's
+`src/lib/__tests__/pipeline.test.js` shape assertions (the value-level
+behavior is oracle-checked by the pl* queries)."""
+
+from __future__ import annotations
+
+import pytest
+
+from overturemaps_duckdb_spark.plans.pipeline import (
+    Catalog,
+    Node,
+    compile_pipeline,
+    distance_degrees,
+)
+from overturemaps_duckdb_spark.queries.pipeline import (
+    FIELDS,
+    SRC_C,
+    SRC_S,
+    catalog_cs,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_empty_pipeline_returns_none(spark):
+    cat = Catalog(tables={}, fields={})
+    assert compile_pipeline(cat, []) is None  # pipeline.js:20
+
+
+def test_no_sources_returns_none(spark):
+    cat = catalog_cs(spark, SF_SMOKE)
+    only_filter = [
+        Node(id="x", type="combine", op="within", table="theme_supplier",
+             key="places/supplier")
+    ]
+    assert compile_pipeline(cat, only_filter) is None  # pipeline.js:33
+
+
+def test_union_node_counts_as_source(spark):
+    cat = catalog_cs(spark, SF_SMOKE)
+    df = compile_pipeline(cat, [SRC_C, SRC_S], limit=10)
+    srcs = {r["_source"] for r in df.select("_source").distinct().collect()}
+    assert srcs == {"places/customer", "places/supplier"}
+
+
+def test_balanced_limit_split(spark):
+    # ceil(limit/nSources) per branch (pipeline.js:51-53): plan must contain
+    # per-branch limits of 5, not a single global-10 sample of one table.
+    cat = catalog_cs(spark, SF_SMOKE)
+    df = compile_pipeline(cat, [SRC_C, SRC_S], limit=10)
+    rows = df.collect()
+    by_src: dict[str, int] = {}
+    for r in rows:
+        by_src[r["_source"]] = by_src.get(r["_source"], 0) + 1
+    assert by_src == {"places/customer": 5, "places/supplier": 5}
+
+
+def test_no_per_source_limit_under_spatial(spark):
+    # pipeline.test.js:54-78 — the correctness invariant: spatial pipelines
+    # see ALL rows.  With a tiny limit, a (wrong) per-source pre-limit would
+    # sample ids c0..c4, none of which need be near a supplier; the filter
+    # must still surface matched rows from the FULL table.
+    cat = catalog_cs(spark, SF_SMOKE)
+    nodes = [
+        SRC_C,
+        Node(id="w", type="combine", op="within", table="theme_supplier",
+             key="places/supplier", distance=6957.5),
+    ]
+    df = compile_pipeline(cat, nodes, limit=5)
+    assert df.count() == 5  # enough matches exist at sf0.001 to fill 5
+
+
+def test_exclude_table_not_auto_included(spark):
+    cat = catalog_cs(spark, SF_SMOKE)
+    nodes = [
+        SRC_C,
+        Node(id="e", type="combine", op="exclude", table="theme_supplier",
+             key="places/supplier", distance=6957.5),
+    ]
+    df = compile_pipeline(cat, nodes, limit=10000)
+    srcs = {r["_source"] for r in df.select("_source").distinct().collect()}
+    assert srcs == {"places/customer"}  # pipeline.js:39-40
+
+
+def test_within_table_auto_included(spark):
+    cat = catalog_cs(spark, SF_SMOKE)
+    nodes = [
+        SRC_C,
+        Node(id="w", type="combine", op="within", table="theme_supplier",
+             key="places/supplier", distance=6957.5),
+    ]
+    df = compile_pipeline(cat, nodes, limit=10000)
+    srcs = {r["_source"] for r in df.select("_source").distinct().collect()}
+    assert "places/supplier" in srcs  # pipeline.js:37-44
+
+
+def test_null_f_padding(spark):
+    # supplier has 1 field, customer 2 → supplier rows carry _f1 = NULL
+    # (pipeline.test.js:221-226)
+    cat = catalog_cs(spark, SF_SMOKE)
+    df = compile_pipeline(cat, [SRC_C, SRC_S], limit=10)
+    sup = [r for r in df.collect() if r["_source"] == "places/supplier"]
+    assert sup and all(r["_f1"] is None for r in sup)
+
+
+def test_distance_conversion_tofixed6():
+    # 250 m default → 0.002246 (pipeline.test.js asserts 0.004492 for 500 m)
+    assert distance_degrees(None) == 0.002246
+    assert distance_degrees(500) == 0.004492
+    assert distance_degrees(6957.5) == 0.0625
+
+
+def test_score_column_only_when_searching(spark):
+    cat = catalog_cs(spark, SF_SMOKE)
+    plain = compile_pipeline(cat, [SRC_C], limit=5)
+    searched = compile_pipeline(cat, [SRC_C], search="x", limit=5)
+    assert "_score" not in plain.columns
+    assert "_score" in searched.columns  # pipeline.test.js:140-153
+
+
+def test_fields_registry_consistent():
+    assert set(FIELDS) >= {"places/customer", "places/supplier"}
