@@ -107,6 +107,71 @@ def e2_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "i1_stream_tumbling_window",
+    oracle=f"""
+    SELECT (epoch_us(ts) // {WINDOW_US}) * {WINDOW_US} AS window_start_us,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY (epoch_us(ts) // {WINDOW_US}) * {WINDOW_US}, event_type
+    """,
+)
+def i1_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming, oracle-checked: readStream file source →
+    watermark → tumbling window agg → availableNow → memory sink.  The
+    stream/batch equivalence contract (same oracle as e1) is the whole
+    point — the streaming plan must agree with plain SQL row-for-row."""
+    from overturemaps_duckdb_spark.streaming.windows import (
+        events_stream,
+        run_to_batch,
+        tumbling_counts,
+    )
+
+    stream = tumbling_counts(events_stream(spark, sf_dir))
+    return run_to_batch(stream, "i1_tumbling", output_mode="complete")
+
+
+@query(
+    "i2_stream_session_window",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY epoch_us(ts), event_id) AS prev_us
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, us,
+               CASE WHEN prev_us IS NULL OR us - prev_us >= {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ordered
+    ),
+    sessions AS (
+        SELECT user_id, us,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM flagged
+    )
+    SELECT user_id, min(us) AS session_start_us,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def i2_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`session_window` streaming sessionization (30-min gap), availableNow +
+    append mode with a watermark-flush sentinel batch (session windows only
+    support append; the sentinel pushes the watermark past every real
+    session's end so all of them emit).  Note the `>=` boundary:
+    session_window's window end is exclusive, so a gap of exactly 30min
+    starts a new session — the lag-based oracle states the same boundary."""
+    from overturemaps_duckdb_spark.streaming.windows import session_counts_to_batch
+
+    return session_counts_to_batch(spark, sf_dir)
+
+
+@query(
     "e3_lag_delta",
     oracle="""
     SELECT user_id, event_id,

@@ -1,0 +1,120 @@
+"""Multimodal-column inventory (LLM-pipeline extension surface).
+
+Assets are synthesized from `documents.text` (payload = 5-byte header +
+utf8 body; fixture text is pure ASCII, verified, so byte arithmetic is
+SQL-statable).  The mapInPandas kernels do the real Arrow-batched work; the
+oracles state the same byte math over the text column."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from overturemaps_duckdb_spark.operators.multimodal import (
+    attach_payload,
+    decode_assets,
+    extract_byte_features,
+    resize_images,
+    sample_frames,
+)
+from overturemaps_duckdb_spark.queries import query, t
+
+#: payload bytes before the body: b"OMM0" + modality initial
+_HDR = 5
+
+_BYTESUM = (
+    "list_sum(list_transform(range(1, length(text) + 1), "
+    "i -> ascii(substr(text, CAST(i AS INTEGER), 1))))"
+)
+
+
+def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return attach_payload(d, "doc_id", "text", modality="image")
+
+
+@query(
+    "m1_asset_metadata",
+    oracle=f"""
+    SELECT doc_id AS asset_id, 'image' AS modality,
+           CAST(length(text) + {_HDR} AS BIGINT) AS byte_len,
+           md5(text) AS body_md5
+    FROM documents
+    """,
+)
+def m1_asset_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native-expression metadata over binary payloads (no Python): length
+    and body md5 — binary columns are first-class to the JVM expressions."""
+    a = _assets(spark, sf_dir)
+    return a.select(
+        "asset_id",
+        "modality",
+        F.length("payload").cast("bigint").alias("byte_len"),
+        F.md5(F.expr(f"substring(payload, {_HDR + 1}, length(payload))")).alias(
+            "body_md5"
+        ),
+    )
+
+
+@query(
+    "m2_asset_decode",
+    oracle=f"""
+    SELECT doc_id AS asset_id, 'image' AS modality,
+           CAST(length(text) + {_HDR} AS BIGINT) AS byte_len,
+           CAST(64 + length(text) % 256 AS INTEGER) AS width,
+           CAST(64 + (length(text) * 3) % 256 AS INTEGER) AS height,
+           CAST(1 + length(text) % 24 AS INTEGER) AS n_frames
+    FROM documents
+    """,
+)
+def m2_asset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode kernel (deterministic fake header parse; the real
+    codec path is the documented STUB)."""
+    return decode_assets(_assets(spark, sf_dir))
+
+
+@query(
+    "m3_asset_byte_features",
+    oracle=f"""
+    SELECT doc_id AS asset_id,
+           CAST(length(text) AS BIGINT) AS byte_len,
+           CAST({_BYTESUM} AS BIGINT) AS byte_sum,
+           ROUND(CAST({_BYTESUM} AS DOUBLE) / length(text), 6) AS byte_mean,
+           ascii(substr(text, 1, 1)) AS first_byte,
+           ascii(substr(text, length(text), 1)) AS last_byte
+    FROM documents
+    """,
+)
+def m3_asset_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction kernel: per-asset byte statistics (the embedding/
+    spectrogram dataflow shape, minus the codec)."""
+    f = extract_byte_features(_assets(spark, sf_dir))
+    return f.withColumn("byte_mean", F.round("byte_mean", 6))
+
+
+@query(
+    "m4_frame_sample",
+    oracle="""
+    SELECT doc_id AS asset_id, CAST(unnest(range(0, 1 + length(text) % 24, 10)) AS INTEGER) AS frame_idx
+    FROM documents
+    """,
+)
+def m4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling kernel: row-per-kept-frame expansion via mapInPandas
+    (every 10th frame of the fake-decoded frame count)."""
+    return sample_frames(_assets(spark, sf_dir), every_n=10)
+
+
+@query(
+    "m5_resize_stub",
+    oracle=f"""
+    SELECT doc_id AS asset_id,
+           CAST({_HDR} + length('64x64:') + least(length(text), 64) AS BIGINT) AS out_bytes
+    FROM documents
+    """,
+)
+def m5_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize kernel plumbing (payload→payload map, schema-preserving); the
+    fake path re-headers and truncates, the real path is the marked STUB."""
+    r = resize_images(_assets(spark, sf_dir), 64, 64)
+    return r.select("asset_id", F.length("payload").cast("bigint").alias("out_bytes"))

@@ -1,0 +1,178 @@
+"""Structured-Streaming event ops: micro-batched source, watermarked
+tumbling windows, session windows.
+
+The reference has no streaming surface — its closest mechanism is
+micro-batched ingest with a shrinking row budget
+(`/root/reference/src/lib/themes.js:287,300-347`, SURVEY §2.9 I1).  Here
+that becomes the real thing: `readStream` file source with
+``maxFilesPerTrigger`` (the same files-per-batch knob, themes.js:287 uses 3),
+event-time watermarks for late data, and windowed/sessionized stateful aggs.
+
+Scale notes:
+- The file source scales to object-store listings; watermark + window state
+  lives in the state store, partitioned by grouping key — the shuffle is on
+  (window, event_type) / (user_id), same keys as the batch twins in
+  queries/events.py.
+- `availableNow` gives batch-bounded execution of the same plan — used by
+  tests and the oracle harness to prove stream/batch equivalence (the twins
+  must agree row-for-row).
+- Event time is `timestamp_micros(ts DIV 1000)`: the fixture's nano
+  timestamps truncated to µs, identical to the batch/oracle convention.
+
+Boundary semantics: `session_window` starts a NEW session when the gap is
+``>= gap`` (window end is exclusive); the lag-based batch formulation must
+use ``>=`` to match — see queries/events i2 oracle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from overturemaps_duckdb_spark.queries.events import WINDOW_US, cents
+
+#: files per micro-batch, mirroring the reference's ingest batch size
+#: (themes.js:287)
+DEFAULT_FILES_PER_TRIGGER = 3
+
+
+def events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_files_per_trigger: int | None = DEFAULT_FILES_PER_TRIGGER,
+) -> DataFrame:
+    """Streaming view of the events table (file source, schema-pinned)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file source wants a directory; glob-filter down to the events file
+    reader = (
+        spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(sf_dir)
+
+
+def with_event_time(stream: DataFrame) -> DataFrame:
+    return stream.withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts DIV 1000").cast("bigint"))
+    )
+
+
+def tumbling_counts(
+    stream: DataFrame, *, watermark: str = "30 minutes", window: str = "5 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event type — the streaming twin
+    of queries/events.e1 (same grouping keys, same cents-exact sum)."""
+    return (
+        with_event_time(stream)
+        .withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window), "event_type")
+        .agg(F.count("*").alias("n"), F.sum(cents("value")).alias("value_cents"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+            "value_cents",
+        )
+    )
+
+
+def session_counts(stream: DataFrame, *, gap: str = "30 minutes") -> DataFrame:
+    """session_window per user — the streaming twin of queries/events.e2.
+
+    Output is (user_id, session bounds in µs, n_events); state is one open
+    session per (user, window) in the state store."""
+    return (
+        with_event_time(stream)
+        .withWatermark("event_time", gap)
+        .groupBy(F.session_window("event_time", gap), "user_id")
+        .agg(F.count("*").alias("n_events"), F.min("event_time").alias("_start"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
+
+
+def session_counts_to_batch(
+    spark: SparkSession, sf_dir: str, *, gap: str = "30 minutes", gap_us: int = 1_800_000_000
+) -> DataFrame:
+    """Run the session_window aggregation to completion in APPEND mode.
+
+    Session windows support only append output, and append emits a session
+    only once the watermark passes its end — so a bounded replay would leave
+    every tail session stuck in the state store.  The standard fix is a
+    **flush sentinel**: stage the data plus one far-future marker event as a
+    second micro-batch; its event time pushes the watermark past every real
+    session, append emits them all, and the sentinel's own session is
+    filtered out of the result.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = f"{sf_dir}/events.parquet"
+    batch = spark.read.parquet(src)
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+
+    stage = tempfile.mkdtemp(prefix="omds_stream_")
+    shutil.copy(src, os.path.join(stage, "events.parquet"))
+    os.utime(os.path.join(stage, "events.parquet"), (1_000_000, 1_000_000))
+    flush_ts = max_ts + 365 * 86_400 * 10**9
+    sentinel_cols = []
+    for fld in batch.schema.fields:
+        if fld.name == "ts":
+            v = F.lit(flush_ts)
+        elif fld.name == "event_type":
+            v = F.lit("__flush__")
+        elif fld.name == "user_id":
+            v = F.lit(-1)
+        else:
+            v = F.lit(0)
+        sentinel_cols.append(v.cast(fld.dataType).alias(fld.name))
+    sentinel = spark.range(1).select(*sentinel_cols)
+    sentinel.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(stage, "sentinel")
+    )
+    # the sentinel must land in a LATER micro-batch: the file source orders
+    # by modification time, and the staged copy is pinned to the epoch
+    for fn in os.listdir(os.path.join(stage, "sentinel")):
+        if fn.endswith(".parquet"):
+            shutil.move(
+                os.path.join(stage, "sentinel", fn),
+                os.path.join(stage, "zz_sentinel.parquet"),
+            )
+    shutil.rmtree(os.path.join(stage, "sentinel"))
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    out = session_counts(stream, gap=gap)
+    result = run_to_batch(out, "i2_sessions", output_mode="append")
+    return result.where(F.col("user_id") >= 0)
+
+
+def run_to_batch(
+    sdf: DataFrame, name: str, *, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion (availableNow) into a
+    memory sink; return the result as a batch DataFrame.
+
+    This is the stream/batch-equivalence bridge: the driver's oracle harness
+    compares the returned table against plain SQL."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
