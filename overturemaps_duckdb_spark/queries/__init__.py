@@ -97,6 +97,7 @@ def load_all() -> None:
         dedup,
         events,
         fts,
+        lifecycle,
         multimodal,
         pipeline,
         relational,

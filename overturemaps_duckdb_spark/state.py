@@ -1,0 +1,221 @@
+"""Session persistence, snapviews, load history, URL state codec.
+
+Rebuilds the reference's lifecycle layer (SURVEY §1.1-5/6, §2.12):
+
+- :class:`SessionState` — the `_session` KV table with INSERT OR REPLACE /
+  DELETE semantics and corruption-tolerant hydration
+  (`/root/reference/src/lib/sessionState.js:33-135`).
+- :class:`SnapviewStore` — named materialized loads persisted as parquet
+  checkpoints + JSON metadata (`snapviewDb.js:68-92`, `themes.js:195-242`:
+  `COPY t TO parquet` → buffer cache → re-import), history-capped at 50
+  (`store.js:62`).
+- :func:`append_load_history` — the `_load_history` append-only telemetry
+  log with a current-timestamp column (`themes.js:417-440`).
+- :func:`encode_url_state` / :func:`decode_url_state` — deflate-raw +
+  base64url query-state codec (`urlState.js:15-67,83-114`).
+
+All state lives under a root directory (parquet + json files) — the Spark
+twin of IndexedDB.  On a cluster the same code targets an object-store
+prefix; nothing here assumes a local FS beyond the path strings.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import shutil
+import time
+import zlib
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+#: snapview history cap (store.js:62,167)
+SNAPVIEW_CAP = 50
+
+
+# ---------------------------------------------------------------------------
+# URL state codec (Y4 — urlState.js:15-67)
+# ---------------------------------------------------------------------------
+
+
+def encode_url_state(state: dict) -> str:
+    """deflate-raw + base64url (no padding), exactly urlState.js:15-38."""
+    raw = json.dumps(state, separators=(",", ":"), sort_keys=True).encode()
+    comp = zlib.compressobj(9, zlib.DEFLATED, -15)  # raw deflate
+    packed = comp.compress(raw) + comp.flush()
+    return base64.urlsafe_b64encode(packed).rstrip(b"=").decode()
+
+
+def decode_url_state(token: str) -> dict | None:
+    """Tolerant decode (urlState.js:83-114 returns null on any failure)."""
+    try:
+        pad = "=" * (-len(token) % 4)
+        packed = base64.urlsafe_b64decode(token + pad)
+        raw = zlib.decompress(packed, -15)
+        out = json.loads(raw)
+        return out if isinstance(out, dict) else None
+    except Exception:
+        return None
+
+
+# ---------------------------------------------------------------------------
+# session KV (Y1/Y2 — sessionState.js:33-135)
+# ---------------------------------------------------------------------------
+
+
+class SessionState:
+    """`_session` KV store: JSON values, upsert semantics, parquet-backed.
+
+    The reference keeps a DuckDB table and hydrates tolerantly — unknown
+    keys ignored, corrupt JSON skipped (sessionState.js:77-122).  Same here;
+    the parquet file is the engine-side artifact a cluster restart reads."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.path = os.path.join(root, "_session")
+        self._kv: dict[str, str] = {}
+        self._hydrate()
+
+    def _hydrate(self) -> None:
+        if not os.path.isdir(self.path):
+            return
+        for row in self.spark.read.parquet(self.path).collect():
+            self._kv[row["key"]] = row["value"]
+
+    def get(self, key: str, default=None):
+        raw = self._kv.get(key)
+        if raw is None:
+            return default
+        try:
+            return json.loads(raw)
+        except Exception:  # corrupt value → tolerated (sessionState.js:96-101)
+            return default
+
+    def set(self, key: str, value) -> None:
+        """INSERT OR REPLACE (sessionState.js:59-68)."""
+        self._kv[key] = json.dumps(value, sort_keys=True)
+        self._flush()
+
+    def delete(self, key: str) -> None:
+        self._kv.pop(key, None)
+        self._flush()
+
+    def clear(self) -> None:
+        """DELETE FROM _session (sessionState.js:128-135)."""
+        self._kv.clear()
+        self._flush()
+
+    def _flush(self) -> None:
+        rows = [(k, v) for k, v in sorted(self._kv.items())]
+        df = self.spark.createDataFrame(rows or [("", "")], "key string, value string")
+        if not rows:
+            df = df.where(F.lit(False))
+        df.coalesce(1).write.mode("overwrite").parquet(self.path)
+
+
+# ---------------------------------------------------------------------------
+# snapviews (S7/S8 — themes.js:195-242, snapviewDb.js)
+# ---------------------------------------------------------------------------
+
+
+class SnapviewStore:
+    """Named parquet checkpoints + metadata, the engine-side snapview cache.
+
+    save = `COPY "t" TO 't.parquet'` + metadata record (themes.js:195-202,
+    snapviewDb.js:68-92); load = re-import (themes.js:237-263); history
+    capped at SNAPVIEW_CAP with oldest-first eviction (store.js:62)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = os.path.join(root, "snapviews")
+        os.makedirs(self.root, exist_ok=True)
+
+    def _meta_path(self, sv_id: str) -> str:
+        return os.path.join(self.root, f"{sv_id}.json")
+
+    def _data_path(self, sv_id: str) -> str:
+        return os.path.join(self.root, sv_id)
+
+    def save(self, sv_id: str, df: DataFrame, meta: dict | None = None) -> dict:
+        df.write.mode("overwrite").parquet(self._data_path(sv_id))
+        record = {
+            "id": sv_id,
+            "created_at": time.time(),
+            "row_count": self.spark.read.parquet(self._data_path(sv_id)).count(),
+            **(meta or {}),
+        }
+        with open(self._meta_path(sv_id), "w") as f:
+            json.dump(record, f)
+        self._evict()
+        return record
+
+    def load(self, sv_id: str) -> DataFrame | None:
+        if not os.path.isdir(self._data_path(sv_id)):
+            return None
+        return self.spark.read.parquet(self._data_path(sv_id))
+
+    def list(self) -> list[dict]:
+        out = []
+        for fn in sorted(os.listdir(self.root)):
+            if fn.endswith(".json"):
+                try:
+                    with open(os.path.join(self.root, fn)) as f:
+                        out.append(json.load(f))
+                except Exception:
+                    continue
+        return sorted(out, key=lambda r: r.get("created_at", 0))
+
+    def delete(self, sv_id: str) -> bool:
+        existed = os.path.isdir(self._data_path(sv_id))
+        shutil.rmtree(self._data_path(sv_id), ignore_errors=True)
+        try:
+            os.remove(self._meta_path(sv_id))
+        except FileNotFoundError:
+            pass
+        return existed
+
+    def _evict(self) -> None:
+        views = self.list()
+        while len(views) > SNAPVIEW_CAP:
+            self.delete(views.pop(0)["id"])
+
+
+# ---------------------------------------------------------------------------
+# load history (I3 — themes.js:417-440)
+# ---------------------------------------------------------------------------
+
+_HISTORY_SCHEMA = (
+    "key string, release string, bbox string, lim bigint, cached boolean, "
+    "row_count bigint, file_count bigint, load_time_ms double"
+)
+
+
+def append_load_history(
+    spark: SparkSession,
+    root: str,
+    *,
+    key: str,
+    release: str = "",
+    bbox: str = "",
+    lim: int = 0,
+    cached: bool = False,
+    row_count: int = 0,
+    file_count: int = 0,
+    load_time_ms: float = 0.0,
+) -> None:
+    """Append one `_load_history` row with `current_timestamp()`
+    (themes.js:419-436) — append-mode parquet, the classic telemetry log."""
+    row = [(key, release, bbox, lim, cached, row_count, file_count, load_time_ms)]
+    df = spark.createDataFrame(row, _HISTORY_SCHEMA).withColumn(
+        "ts", F.current_timestamp()
+    )
+    df.coalesce(1).write.mode("append").parquet(os.path.join(root, "_load_history"))
+
+
+def read_load_history(spark: SparkSession, root: str) -> DataFrame | None:
+    path = os.path.join(root, "_load_history")
+    if not os.path.isdir(path):
+        return None
+    return spark.read.parquet(path)
