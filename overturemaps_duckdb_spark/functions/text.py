@@ -99,12 +99,47 @@ def minhash_coeffs(n: int) -> tuple[list[int], list[int]]:
     return a_list, b_list
 
 
+#: polynomial rolling-hash base for shingle hashing (engine-portable integer
+#: arithmetic: hash_i = Σ_j code_{i+j}·B^(k-1-j) mod 2^30, missing codes → 0)
+SHINGLE_B = 257
+
+
+def char_codes(text: str | Column) -> Column:
+    """array<int> of character codes of the normalized text.
+
+    HOF-performance-critical shape: `split` evaluates the normalization
+    regexp ONCE per row; the transform lambda only calls `ascii` on the
+    bound element.  (Referencing the normalization expression *inside* a
+    lambda re-evaluates it per element — a silent O(len²) trap.)"""
+    return F.transform(
+        F.split(normalize(text), ""), lambda ch: F.coalesce(F.ascii(ch), F.lit(0))
+    )
+
+
 def hashed_shingles(text: str | Column, k: int) -> Column:
-    """array<bigint> of distinct 30-bit shingle hashes — the set MinHash and
-    Jaccard verification both operate on (one md5 per shingle)."""
+    """array<bigint> of distinct 30-bit k-shingle hashes.
+
+    Pure-arithmetic rolling polynomial over char codes — no md5, no string
+    allocation per shingle.  Sliding windows come from `zip_with` against
+    shifted slices: every array argument is evaluated once per row and the
+    lambdas are integer ops, so the whole thing stays O(len·k) cheap ops.
+    The identical formula is SQL-statable for the DuckDB oracle
+    (queries/_sql.poly_shingles_sql)."""
+    norm = normalize(text)
+    codes = char_codes(text)
+    h = F.transform(codes, lambda c: c.cast("bigint"))
+    for j in range(1, k):
+        shifted = F.slice(codes, j + 1, F.greatest(F.size(codes) - j, F.lit(0)))
+        # zip_with pads the shorter side with NULL → missing codes count as 0
+        h = F.zip_with(
+            h,
+            shifted,
+            lambda a, b: a * F.lit(SHINGLE_B) + F.coalesce(b, F.lit(0)),
+        )
+    count = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
     return F.array_distinct(
         F.transform(
-            char_ngrams(text, k), lambda s: md5_long(s) % F.lit(1 << MINHASH_BASE_BITS)
+            F.slice(h, 1, count), lambda v: v % F.lit(1 << MINHASH_BASE_BITS)
         )
     )
 

@@ -97,6 +97,7 @@ def load_all() -> None:
         dedup,
         events,
         fts,
+        ingest,
         lifecycle,
         multimodal,
         pipeline,

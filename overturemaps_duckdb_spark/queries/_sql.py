@@ -34,6 +34,34 @@ def char_ngrams_sql(col: str, n: int) -> str:
     )
 
 
+def char_codes_sql(col: str) -> str:
+    """array of char codes of the normalized text (missing/empty → 0) —
+    twin of functions.text.char_codes."""
+    norm = norm_sql(col)
+    return (
+        f"list_transform(range(1, length({norm}) + 1), "
+        f"i -> coalesce(ascii(substr({norm}, CAST(i AS INTEGER), 1)), 0))"
+    )
+
+
+def poly_shingles_from_codes_sql(
+    codes_col: str, len_col: str, k: int, *, base: int = 257, mod: int = 1 << 30
+) -> str:
+    """Distinct 30-bit polynomial k-shingle hashes over a BOUND codes-array
+    column (bind via a CTE — inlining the codes expression would re-evaluate
+    it per element).  Twin of functions.text.hashed_shingles:
+    hash_i = Σ_j code_{i+j}·base^(k-1-j) mod 2^30, i in 1..max(len-k+1, 1)."""
+    terms = " + ".join(
+        f"coalesce({codes_col}[CAST(i + {j} AS INTEGER)], 0) * {base ** (k - 1 - j)}"
+        for j in range(k)
+    )
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest({len_col} - {k - 1}, 1) + 1), "
+        f"i -> ({terms}) % {mod}))"
+    )
+
+
 def bm25_sql(
     *,
     table: str,

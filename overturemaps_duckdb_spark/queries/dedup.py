@@ -52,10 +52,11 @@ def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _minhash_oracle(n_hashes: int = 16, bands: int = 4, k: int = 5) -> str:
-    from overturemaps_duckdb_spark.functions.text import (
-        MINHASH_BASE_BITS,
-        MINHASH_P,
-        minhash_coeffs,
+    from overturemaps_duckdb_spark.functions.text import MINHASH_P, minhash_coeffs
+    from overturemaps_duckdb_spark.queries._sql import (
+        char_codes_sql,
+        norm_sql,
+        poly_shingles_from_codes_sql,
     )
 
     a_list, b_list = minhash_coeffs(n_hashes)
@@ -63,11 +64,13 @@ def _minhash_oracle(n_hashes: int = 16, bands: int = 4, k: int = 5) -> str:
         f"({i}, {a_list[i]}, {b_list[i]})" for i in range(n_hashes)
     )
     return f"""
-WITH docs AS (
-    SELECT doc_id AS id,
-           list_distinct(list_transform({char_ngrams_sql('text', k)},
-               x -> {md5_long_sql('x')} % {1 << MINHASH_BASE_BITS})) AS shingles
-    FROM documents
+WITH codes AS (
+    SELECT doc_id AS id, {char_codes_sql('text')} AS c,
+           length({norm_sql('text')}) AS len FROM documents
+),
+docs AS (
+    SELECT id, {poly_shingles_from_codes_sql('c', 'len', k)} AS shingles
+    FROM codes
 ),
 mins AS (
     SELECT d.id, s.seed,

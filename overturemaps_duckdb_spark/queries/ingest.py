@@ -1,0 +1,200 @@
+"""Ingest & catalog inventory (SURVEY §2.1 S2/S9/S10, §2.2 T4, §2.7 O7,
+§3 EP1): schema probe, table lifecycle, search-name composition through the
+real ingest projection, z-order render sort, and the full loadTheme path."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from overturemaps_duckdb_spark.queries import query, t
+from overturemaps_duckdb_spark.queries.spatial import _C_LAT, _C_LON
+from overturemaps_duckdb_spark.session import drop_table, list_user_tables
+from overturemaps_duckdb_spark.sources.ingest import (
+    ThemeFieldSpec,
+    cache_select,
+    load_theme,
+)
+
+
+@query(
+    "s2_schema_probe",
+    oracle="""
+    SELECT column_name, ordinal_position
+    FROM (DESCRIBE SELECT * FROM customer) d
+    POSITIONAL JOIN (SELECT unnest(range(1, 6)) AS ordinal_position) r
+    """,
+)
+def s2_schema_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 — `DESCRIBE SELECT * LIMIT 0` schema probe (themes.js:294-297):
+    Spark reads the parquet footer only; no data pages touched."""
+    schema = spark.read.parquet(f"{sf_dir}/customer.parquet").schema
+    rows = [(f.name, i + 1) for i, f in enumerate(schema.fields)]
+    return spark.createDataFrame(rows, "column_name string, ordinal_position bigint")
+
+
+@query(
+    "s9_s10_table_lifecycle",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('t_customer', TRUE),
+        ('t_orders', FALSE)
+    ) AS t(table_name, still_registered)
+    """,
+)
+def s9_s10_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/S10 — SHOW TABLES / DROP TABLE with system-table protection
+    (duckdb.js:39-49): register two views + a protected system view, drop
+    one, verify listings never expose system tables."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("t_customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("t_orders")
+    t(spark, sf_dir, "region").createOrReplaceTempView("_session_shadow")
+    try:
+        drop_table(spark, "_session_shadow")
+        raise AssertionError("system table drop must be refused")
+    except ValueError:
+        pass
+    drop_table(spark, "t_orders")
+    listed = set(list_user_tables(spark))
+    assert "_session_shadow" not in listed
+    rows = [("t_customer", "t_customer" in listed), ("t_orders", "t_orders" in listed)]
+    spark.catalog.dropTempView("_session_shadow")
+    spark.catalog.dropTempView("t_customer")
+    return spark.createDataFrame(rows, "table_name string, still_registered boolean")
+
+
+@query(
+    "t4_search_name_composition",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR) AS id,
+           c_name AS display_name,
+           concat_ws(' ', c_name, c_mktsegment, CAST(c_nationkey AS VARCHAR))
+               AS search_name,
+           c_mktsegment AS _f0,
+           CAST(c_nationkey AS VARCHAR) AS _f1,
+           CAST(ROUND(c_acctbal, 2) AS VARCHAR) AS _f2
+    FROM customer
+    """,
+)
+def t4_search_name_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 — search_name composition through the REAL ingest projection
+    (cache_select): searchable fields concatenated, numeric/noise labels
+    (here `confidence`) excluded from search, missing columns NULL-padded
+    (query.js:10-45, 50-59)."""
+    c = t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "id")
+    return cache_select(
+        c,
+        name_exprs=["missing_name_col", "c_name"],  # fallback chain
+        fields=[
+            ThemeFieldSpec("segment", "c_mktsegment"),
+            ThemeFieldSpec("nation", "c_nationkey"),
+            # label in EXCLUDE_LABELS → projected but NOT searchable
+            ThemeFieldSpec("confidence", "ROUND(c_acctbal, 2)"),
+        ],
+    )
+
+
+@query(
+    "o7_zorder_by_area",
+    oracle=f"""
+    WITH boxes AS (
+        SELECT s_suppkey AS id,
+               0.0625 * (s_suppkey % 5 + 1) * (s_suppkey % 5 + 1) AS area
+        FROM supplier
+    )
+    SELECT id, ROUND(area, 6) AS area FROM boxes
+    ORDER BY area DESC, id LIMIT 50
+    """,
+)
+def o7_zorder_by_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7 — render z-order: polygons sorted by area, largest pushed back
+    (render.js:27-40), through the real WKB area kernel on variable-size
+    boxes (half-size (k%5+1)/8 → area (2·half)², exact binary fractions)."""
+    from overturemaps_duckdb_spark.functions.geo import st_area, st_box
+
+    s = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"),
+        F.expr(_C_LON.replace("c_custkey", "s_suppkey")).alias("lon"),
+        F.expr(_C_LAT.replace("c_custkey", "s_suppkey")).alias("lat"),
+        ((F.col("s_suppkey") % 5 + 1) / F.lit(8.0)).alias("half"),
+    )
+    boxes = s.withColumn(
+        "geometry",
+        st_box(
+            F.col("lon") - F.col("half"),
+            F.col("lat") - F.col("half"),
+            F.col("lon") + F.col("half"),
+            F.col("lat") + F.col("half"),
+        ),
+    )
+    return (
+        boxes.select("id", F.round(st_area("geometry"), 6).alias("area"))
+        .orderBy(F.desc("area"), F.asc("id"))
+        .limit(50)
+    )
+
+
+@query(
+    "ep1_load_theme",
+    oracle=f"""
+    WITH pts AS (
+        SELECT CAST(c_custkey AS VARCHAR) AS id,
+               c_name AS display_name,
+               concat_ws(' ', c_name, c_mktsegment) AS search_name,
+               c_mktsegment AS _f0,
+               {_C_LON} AS centroid_lon, {_C_LAT} AS centroid_lat
+        FROM customer
+    )
+    SELECT id, display_name, search_name, _f0, centroid_lon, centroid_lat
+    FROM pts
+    WHERE centroid_lon >= -150 AND centroid_lon <= -50
+      AND centroid_lat >= -60 AND centroid_lat <= 60
+    """,
+)
+def ep1_load_theme(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP1 end-to-end (themes.js:204-410): stage lon-banded files → manifest
+    bbox pruning → batched budgeted ingest through the cache_select
+    projection → temp-view registration.  Budget set above the match count,
+    so the result is exactly the bbox-filtered projection (the budgeted
+    truncation tier is covered by s5/s6)."""
+    import os
+
+    pts = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("id"),
+        "c_name",
+        "c_mktsegment",
+        F.expr(_C_LON).alias("centroid_lon"),
+        F.expr(_C_LAT).alias("centroid_lat"),
+    )
+    root = tempfile.mkdtemp(prefix="omds_ep1_")
+    files = []
+    for i, (lo, hi) in enumerate([(-181, -100), (-100, -30), (-30, 181)]):
+        part = pts.where((F.col("centroid_lon") >= lo) & (F.col("centroid_lon") < hi))
+        p = os.path.join(root, f"band_{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(p)
+        files.extend(
+            os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")
+        )
+
+    def projection(raw: DataFrame) -> DataFrame:
+        proj = cache_select(
+            raw,
+            name_exprs=["c_name"],
+            fields=[ThemeFieldSpec("segment", "c_mktsegment")],
+        )
+        return proj.join(
+            raw.select("id", "centroid_lon", "centroid_lat"), "id"
+        )
+
+    res = load_theme(
+        spark,
+        table="theme_ep1",
+        files=files,
+        bbox=(-150.0, -60.0, -50.0, 60.0),
+        projection=projection,
+        limit=10**6,
+        batch_size=2,
+    )
+    return res.df

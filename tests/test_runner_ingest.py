@@ -1,0 +1,132 @@
+"""Reactive-runner (EP2 loop) and ingest-orchestration (EP1) tests,
+mirroring pipelineRunner.js behavior: debounce coalescing, FTS-degrade
+retry, budgeted batched ingest."""
+
+from __future__ import annotations
+
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from overturemaps_duckdb_spark.plans.pipeline import Node
+from overturemaps_duckdb_spark.plans.runner import PipelineRunner
+from overturemaps_duckdb_spark.queries.pipeline import SRC_C, SRC_S, catalog_cs
+from tests.conftest import SF_SMOKE
+
+
+def test_debounce_coalesces_updates(spark):
+    cat = catalog_cs(spark, SF_SMOKE)
+    results = []
+    r = PipelineRunner(cat, debounce_s=0.15, on_result=results.append)
+    # a storm of updates within the debounce window → exactly ONE run
+    r.update(nodes=[SRC_C])
+    r.update(limit=7)
+    r.update(nodes=[SRC_C, SRC_S])
+    time.sleep(0.4)
+    r.flush()
+    assert r.run_count == 1
+    assert len(results) == 1 and results[0].count == 7
+
+
+def test_runner_publishes_outcome(spark):
+    cat = catalog_cs(spark, SF_SMOKE)
+    r = PipelineRunner(cat, debounce_s=0.01)
+    r.nodes = [SRC_C]
+    r.limit = 5
+    out = r.run_now()
+    assert out.count == 5 and out.duration_ms > 0 and not out.degraded
+
+
+def test_fts_degrade_retry(spark):
+    """Broken FTS → clear capability cache → ILIKE recompile
+    (pipelineRunner.js:91-104)."""
+    from overturemaps_duckdb_spark.operators.fts import FtsIndex
+
+    cat = catalog_cs(spark, SF_SMOKE)
+    # poison the FTS capability for theme_customer: postings with a column
+    # schema the scorer can't use → runtime/type failure at execution
+    broken = FtsIndex(
+        postings=spark.createDataFrame([], "term string, wrong string"),
+        docstats=spark.createDataFrame([], "id string, dl long"),
+        n_docs=1,
+        avgdl=1.0,
+    )
+    cat.fts["theme_customer"] = broken
+    r = PipelineRunner(cat, debounce_s=0.01)
+    r.nodes = [SRC_C]
+    r.search = "machinery"
+    r.limit = 10
+    out = r.run_now()
+    assert out.degraded
+    assert not cat.fts  # capability cache cleared (fts.js:93-96)
+    assert out.count == 10  # ILIKE fallback produced results
+
+
+def test_sourceless_pipeline_runs_nothing(spark):
+    cat = catalog_cs(spark, SF_SMOKE)
+    r = PipelineRunner(cat, debounce_s=0.01)
+    r.nodes = [
+        Node(id="x", type="combine", op="within", table="theme_supplier",
+             key="places/supplier")
+    ]
+    assert r.run_now() is None
+
+
+def test_load_theme_budget_and_pruning(spark, tmp_path):
+    """EP1: budget stops reading batches once satisfied; pruning skips
+    out-of-bbox files entirely (themes.js:300-330, worker/index.js:174)."""
+    import os
+
+    from overturemaps_duckdb_spark.queries.spatial import customer_points
+    from overturemaps_duckdb_spark.sources.ingest import load_theme
+
+    pts = customer_points(spark, SF_SMOKE).select(
+        F.col("id").cast("string").alias("id"), "centroid_lon", "centroid_lat"
+    )
+    files = []
+    for i, (lo, hi) in enumerate([(-181, -120), (-120, -60), (-60, 0), (0, 181)]):
+        part = pts.where((F.col("centroid_lon") >= lo) & (F.col("centroid_lon") < hi))
+        p = str(tmp_path / f"band_{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(p)
+        files.extend(os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet"))
+
+    res = load_theme(
+        spark,
+        table="theme_budget_test",
+        files=files,
+        bbox=(-130.0, -90.0, -60.0, 90.0),  # overlaps bands 0..2 only
+        projection=lambda raw: raw,
+        limit=20,
+        batch_size=1,
+    )
+    assert res.files_scanned < len(files)  # pruning really skipped files
+    assert res.rows == 20  # budget respected
+    assert res.batches <= res.files_scanned
+    assert spark.table("theme_budget_test").count() == 20
+
+
+def test_load_theme_snapview_cache_roundtrip(spark, tmp_path):
+    import os
+    import tempfile
+
+    from overturemaps_duckdb_spark.queries.spatial import customer_points
+    from overturemaps_duckdb_spark.sources.ingest import load_theme
+    from overturemaps_duckdb_spark.state import SnapviewStore
+
+    pts = customer_points(spark, SF_SMOKE).select(
+        F.col("id").cast("string").alias("id"), "centroid_lon", "centroid_lat"
+    )
+    p = str(tmp_path / "all")
+    pts.coalesce(1).write.mode("overwrite").parquet(p)
+    files = [os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")]
+    store = SnapviewStore(spark, tempfile.mkdtemp(prefix="omds_ep1cache_"))
+
+    kwargs = dict(
+        table="theme_cache_test", files=files, bbox=(-180.0, -90.0, 0.0, 90.0),
+        projection=lambda raw: raw, limit=10**6, store=store,
+    )
+    first = load_theme(spark, **kwargs)
+    second = load_theme(spark, **kwargs)
+    assert not first.cached and second.cached
+    assert first.rows == second.rows
