@@ -1,0 +1,207 @@
+"""EP3 — the raw-SQL front door with a DuckDB-dialect compat shim.
+
+The reference exposes free-form SQL consoles straight into DuckDB
+(`/root/reference/src/react/SqlQueryPanel.jsx:103-124`,
+`AnalysisPanel.jsx:135-179`, editable compiled SQL `SqlPanel.jsx:16-26`).
+Our front door is `spark.sql`; this shim translates the DuckDB dialect
+constructs that appear in the reference's generated/suggested SQL so those
+exact texts run unchanged:
+
+| DuckDB                          | Spark                                  |
+|---------------------------------|----------------------------------------|
+| `arr[1]` (1-based index)        | `element_at(arr, 1)` (also 1-based)    |
+| `x // y` integer division       | `x DIV y`                              |
+| `epoch_us(ts)`                  | `unix_micros(ts)`                      |
+| `string_split`, `list_*` fns    | `split`, `transform/filter/array_*`    |
+| `read_parquet(['f1','f2'])`     | temp view over `spark.read.parquet`    |
+| `PRAGMA create_fts_index(t,…)`  | FTS index build → `fts_main_*` views   |
+| `COPY t TO 'p' (FORMAT PARQUET)`| `spark.table(t).write.parquet(p)`      |
+| `CREATE TABLE t AS SELECT …`    | DataFrame + `createOrReplaceTempView`  |
+
+String literals are protected during rewriting (single-quote aware), so a
+search for `'list_min'` inside data is never rewritten.  `ILIKE` is native
+Spark SQL (≥3.3) and passes through untouched.  Anything genuinely
+DuckDB-internal (e.g. `match_bm25`) raises with a pointer to the native
+operator, mirroring the reference's error-driven degrade contract.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: simple function-name substitutions (applied outside string literals)
+_FN_MAP = {
+    "string_split": "split",
+    "list_transform": "transform",
+    "list_filter": "filter",
+    "list_min": "array_min",
+    "list_max": "array_max",
+    "list_distinct": "array_distinct",
+    "list_intersect": "array_intersect",
+    "list_contains": "array_contains",
+    "list_sort": "array_sort",
+    "epoch_us": "unix_micros",
+    "strlen": "length",
+}
+
+_RP_COUNTER = [0]
+
+
+def _split_literals(sql: str) -> list[tuple[bool, str]]:
+    """[(is_literal, chunk)] — '' escaping handled ('it''s')."""
+    out: list[tuple[bool, str]] = []
+    i, n = 0, len(sql)
+    buf = []
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            out.append((False, "".join(buf)))
+            buf = []
+            j = i + 1
+            lit = ["'"]
+            while j < n:
+                if sql[j] == "'" and j + 1 < n and sql[j + 1] == "'":
+                    lit.append("''")
+                    j += 2
+                    continue
+                lit.append(sql[j])
+                if sql[j] == "'":
+                    break
+                j += 1
+            out.append((True, "".join(lit)))
+            i = j + 1
+        else:
+            buf.append(c)
+            i += 1
+    out.append((False, "".join(buf)))
+    return out
+
+
+def _rewrite_subscripts(sql: str) -> str:
+    """1-based bracket indexing → element_at: handles both `ident[1]` and
+    `fn(args)[1]` (Spark's native `arr[1]` subscript is 0-BASED — silently
+    wrong by one, the P3 trap SURVEY §7 risk 4 warns about).  Runs on
+    literal-masked text so paren matching is exact."""
+    while True:
+        m = re.search(r"\[(\d+)\]", sql)
+        if m is None:
+            return sql
+        idx = m.group(1)
+        j = m.start() - 1
+        if j >= 0 and sql[j] == ")":
+            depth = 0
+            k = j
+            while k >= 0:
+                if sql[k] == ")":
+                    depth += 1
+                elif sql[k] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k -= 1
+            i2 = k - 1
+            while i2 >= 0 and (sql[i2].isalnum() or sql[i2] in "_."):
+                i2 -= 1
+            expr = sql[i2 + 1 : j + 1]
+            sql = sql[: i2 + 1] + f"element_at({expr}, {idx})" + sql[m.end() :]
+        elif j >= 0 and (sql[j].isalnum() or sql[j] in "_."):
+            i2 = j
+            while i2 >= 0 and (sql[i2].isalnum() or sql[i2] in "_."):
+                i2 -= 1
+            expr = sql[i2 + 1 : j + 1]
+            sql = sql[: i2 + 1] + f"element_at({expr}, {idx})" + sql[m.end() :]
+        else:
+            # not a subscript form we rewrite (e.g. array literal) — mask the
+            # brackets so the scan can proceed, restore at the end
+            sql = sql[: m.start()] + "\x01" + m.group(1) + "\x02" + sql[m.end() :]
+    return sql
+
+
+def translate(sql: str) -> str:
+    """Dialect-translate one SQL text (no statement-level intercepts)."""
+    # mask string literals with placeholders so rewriting never touches data
+    parts = _split_literals(sql)
+    literals: list[str] = []
+    masked = []
+    for is_lit, chunk in parts:
+        if is_lit:
+            literals.append(chunk)
+            masked.append(f"\x00L{len(literals) - 1}\x00")
+        else:
+            masked.append(chunk)
+    text = "".join(masked)
+
+    if re.search(r"\bmatch_bm25\b", text, flags=re.IGNORECASE):
+        raise NotImplementedError(
+            "match_bm25 is a DuckDB-FTS function; use "
+            "operators.fts.bm25_topk / the pipeline compiler's FTS mode "
+            "(the reference degrades to ILIKE on this same error)"
+        )
+    text = _rewrite_subscripts(text)
+    text = text.replace("\x01", "[").replace("\x02", "]")
+    text = re.sub(r"//", " DIV ", text)
+    for src, dst in _FN_MAP.items():
+        text = re.sub(rf"\b{src}\s*\(", f"{dst}(", text, flags=re.IGNORECASE)
+
+    for i, lit in enumerate(literals):
+        text = text.replace(f"\x00L{i}\x00", lit)
+    return text
+
+
+def _intercept(spark: SparkSession, sql: str) -> DataFrame | None:
+    """Statement-level forms that map to engine calls, not SQL."""
+    s = sql.strip().rstrip(";")
+
+    m = re.match(
+        r"(?is)^PRAGMA\s+create_fts_index\s*\(\s*'([^']+)'\s*,\s*'([^']+)'\s*,"
+        r"\s*'([^']+)'.*\)$",
+        s,
+    )
+    if m:
+        from overturemaps_duckdb_spark.operators.fts import build_fts_index
+
+        table, id_col, text_col = m.groups()
+        idx = build_fts_index(spark.table(table), id_col, text_col)
+        idx.postings.createOrReplaceTempView(f"fts_main_{table}_postings")
+        idx.docstats.createOrReplaceTempView(f"fts_main_{table}_docstats")
+        return idx.postings.limit(0)
+
+    m = re.match(r"(?is)^COPY\s+\"?(\w+)\"?\s+TO\s+'([^']+)'.*$", s)
+    if m:
+        table, path = m.groups()
+        spark.table(table).write.mode("overwrite").parquet(path)
+        return spark.table(table).limit(0)
+
+    m = re.match(r"(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+\"?(\w+)\"?\s+AS\s+(.*)$", s)
+    if m:
+        table, select = m.groups()
+        df = duck_sql(spark, select)
+        df.createOrReplaceTempView(table)
+        return df.limit(0)
+
+    return None
+
+
+def _materialize_read_parquet(spark: SparkSession, sql: str) -> str:
+    """`read_parquet([...])` / `read_parquet('f')` → registered temp view."""
+
+    def repl(m: re.Match) -> str:
+        files = re.findall(r"'([^']+)'", m.group(1))
+        _RP_COUNTER[0] += 1
+        name = f"__read_parquet_{_RP_COUNTER[0]}"
+        spark.read.parquet(*files).createOrReplaceTempView(name)
+        return name
+
+    return re.sub(r"(?is)read_parquet\s*\(\s*(\[[^\]]*\]|'[^']*')\s*"
+                  r"(?:,[^)]*)?\)", repl, sql)
+
+
+def duck_sql(spark: SparkSession, sql: str) -> DataFrame:
+    """Run a DuckDB-dialect SQL text on Spark (the EP3 console entry)."""
+    intercepted = _intercept(spark, sql)
+    if intercepted is not None:
+        return intercepted
+    sql = _materialize_read_parquet(spark, sql)
+    return spark.sql(translate(sql))

@@ -104,5 +104,6 @@ def load_all() -> None:
         relational,
         similarity,
         spatial,
+        sqlfront,
         textstats,
     )

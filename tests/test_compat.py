@@ -1,0 +1,73 @@
+"""Compat-shim unit tests (EP3): translation rules, literal protection,
+statement intercepts, the match_bm25 degrade error."""
+
+from __future__ import annotations
+
+import pytest
+
+from overturemaps_duckdb_spark.compat import duck_sql, translate
+from overturemaps_duckdb_spark.queries import t
+from tests.conftest import SF_SMOKE
+
+
+def test_bracket_index_translation():
+    assert translate("SELECT a.b[1] FROM t") == "SELECT element_at(a.b, 1) FROM t"
+    assert (
+        translate("SELECT websites[1], addresses[2] FROM t")
+        == "SELECT element_at(websites, 1), element_at(addresses, 2) FROM t"
+    )
+
+
+def test_intdiv_and_fn_renames():
+    assert translate("SELECT x // 10, epoch_us(ts) FROM t") == (
+        "SELECT x  DIV  10, unix_micros(ts) FROM t"
+    )
+    assert "array_min(transform(split(" in translate(
+        "SELECT list_min(list_transform(string_split(s, ' '), x -> length(x)))"
+    )
+
+
+def test_string_literals_protected():
+    sql = "SELECT 'list_min(a)[1] // x' AS s, name[1] FROM t WHERE c = 'it''s'"
+    out = translate(sql)
+    assert "'list_min(a)[1] // x'" in out  # literal untouched
+    assert "element_at(name, 1)" in out
+    assert "'it''s'" in out
+
+
+def test_match_bm25_raises_degrade_hint():
+    with pytest.raises(NotImplementedError, match="ILIKE"):
+        translate("SELECT * FROM t WHERE fts_main_t.match_bm25(id, 'q') IS NOT NULL")
+
+
+def test_pragma_fts_intercept(spark):
+    t(spark, SF_SMOKE, "documents").createOrReplaceTempView("docs_c")
+    duck_sql(spark, "PRAGMA create_fts_index('docs_c', 'doc_id', 'text')")
+    postings = spark.table("fts_main_docs_c_postings")
+    assert postings.columns == ["term", "id", "tf"]
+    assert postings.count() > 0
+    # the registered index is queryable through plain SQL (T2's data side)
+    top = spark.sql(
+        "SELECT id, tf FROM fts_main_docs_c_postings WHERE term = 'merge' "
+        "ORDER BY tf DESC, id LIMIT 5"
+    )
+    assert top.count() <= 5
+
+
+def test_read_parquet_list_form(spark):
+    df = duck_sql(
+        spark,
+        f"SELECT count(*) AS c FROM read_parquet(['{SF_SMOKE}/region.parquet', "
+        f"'{SF_SMOKE}/region.parquet'])",
+    )
+    # two copies of the same file → double count
+    single = spark.read.parquet(f"{SF_SMOKE}/region.parquet").count()
+    assert df.collect()[0]["c"] == 2 * single
+
+
+def test_ilike_passthrough(spark):
+    t(spark, SF_SMOKE, "customer").createOrReplaceTempView("cust_c")
+    df = duck_sql(
+        spark, "SELECT count(*) AS c FROM cust_c WHERE c_mktsegment ILIKE '%machi%'"
+    )
+    assert df.collect()[0]["c"] > 0
