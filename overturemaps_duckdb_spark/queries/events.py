@@ -172,6 +172,34 @@ def i2_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "i3_stateful_running_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS events_seen,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY user_id
+    """,
+)
+def i3_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    (events, cents) state, update output mode, availableNow.  Single-batch
+    here so the final state equals the batch aggregate (the oracle); the
+    multi-batch state-carry path is pytest-verified
+    (tests/test_streaming_stateful.py)."""
+    from overturemaps_duckdb_spark.streaming.stateful import user_running_totals
+    from overturemaps_duckdb_spark.streaming.windows import (
+        events_stream,
+        run_to_batch,
+    )
+
+    stream = events_stream(spark, sf_dir, max_files_per_trigger=None)
+    out = run_to_batch(
+        user_running_totals(stream), "i3_totals", output_mode="update"
+    )
+    return out.select("user_id", "events_seen", "value_cents")
+
+
+@query(
     "e3_lag_delta",
     oracle="""
     SELECT user_id, event_id,

@@ -1,0 +1,65 @@
+"""Multi-batch state-carry test for the applyInPandasWithState operator:
+split the events table into two files → two micro-batches; per-user state
+must accumulate ACROSS batches and the final update must equal the batch
+aggregate."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+from pyspark.sql.window import Window
+
+from overturemaps_duckdb_spark.queries.events import cents
+from overturemaps_duckdb_spark.streaming.stateful import user_running_totals
+from overturemaps_duckdb_spark.streaming.windows import run_to_batch
+from tests.conftest import SF_SMOKE
+
+
+def test_state_carries_across_batches(spark, tmp_path):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+
+    stage = str(tmp_path / "stream")
+    os.makedirs(stage)
+    first = ev.where(F.col("event_id") % 2 == 0)
+    second = ev.where(F.col("event_id") % 2 == 1)
+    for sub, name, mtime in [(first, "a.parquet", 1_000_000), (second, "b.parquet", None)]:
+        d = str(tmp_path / "tmpw")
+        sub.coalesce(1).write.mode("overwrite").parquet(d)
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        dst = os.path.join(stage, name)
+        shutil.move(os.path.join(d, part), dst)
+        if mtime is not None:
+            os.utime(dst, (mtime, mtime))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    out = run_to_batch(
+        user_running_totals(stream), "test_state_carry", output_mode="update"
+    )
+    # two batches → up to two updates per user; the LAST (max update_count)
+    # carries the accumulated state
+    final = (
+        out.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.desc("update_count"))
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("user_id", "events_seen", "value_cents", "update_count")
+    )
+    expected = ev.groupBy("user_id").agg(
+        F.count("*").alias("events_seen"),
+        F.sum(cents("value")).alias("value_cents"),
+    )
+    f_rows = {r["user_id"]: (r["events_seen"], r["value_cents"]) for r in final.collect()}
+    e_rows = {r["user_id"]: (r["events_seen"], r["value_cents"]) for r in expected.collect()}
+    assert f_rows == e_rows
+    # at least one user must have been updated in BOTH batches (state carry)
+    assert any(r["update_count"] == 2 for r in final.collect())
