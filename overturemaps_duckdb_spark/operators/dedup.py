@@ -44,12 +44,18 @@ from overturemaps_duckdb_spark.functions.text import (
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Keep the lowest-id representative per exact (normalized) text.
 
-    groupBy on the 60-bit content hash; the full text never shuffles."""
+    ONE shuffle: window rank over the 60-bit content hash (the earlier
+    groupBy(min) + semi-join form re-shuffled the full table on a second
+    key).  Rows hash-partition once, sort by id within the hash, keep
+    rank 1."""
+    from pyspark.sql.window import Window
+
     keyed = df.withColumn("_h", md5_long(normalize(text_col)))
-    keep = keyed.groupBy("_h").agg(F.min(id_col).alias(id_col))
+    w = Window.partitionBy("_h").orderBy(F.col(id_col).asc())
     return (
-        keyed.join(keep, [ "_h", id_col], "left_semi")
-        .drop("_h")
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_h", "_rn")
     )
 
 

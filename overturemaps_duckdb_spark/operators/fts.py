@@ -36,17 +36,28 @@ B = 0.75
 
 @dataclass
 class FtsIndex:
-    """T1 — the materialized inverted index (ref fts.js:51-68)."""
+    """T1 — the materialized inverted index (ref fts.js:51-68).
+
+    `stats` is a one-row (n, avgdl) DataFrame kept LAZY: scoring cross-joins
+    it (broadcast) instead of collecting to the driver, so building an index
+    costs zero Spark jobs until a query actually runs."""
 
     postings: DataFrame  # (term, id, tf)
     docstats: DataFrame  # (id, dl)
-    n_docs: int
-    avgdl: float
+    stats: DataFrame  # single row: (n, avgdl)
 
     def persist(self) -> "FtsIndex":
         self.postings = self.postings.persist()
         self.docstats = self.docstats.persist()
         return self
+
+    @property
+    def n_docs(self) -> int:
+        return int(self.stats.collect()[0]["n"])
+
+    @property
+    def avgdl(self) -> float:
+        return float(self.stats.collect()[0]["avgdl"])
 
 
 def build_fts_index(df: DataFrame, id_col: str, text_col: str) -> FtsIndex:
@@ -60,10 +71,10 @@ def build_fts_index(df: DataFrame, id_col: str, text_col: str) -> FtsIndex:
     )
     # avgdl as exact-int sum / exact-int count (one double division) — the
     # same value any SQL oracle computes, unlike engine-specific AVG paths.
-    agg = docstats.agg(
+    stats = docstats.agg(
         F.count("*").alias("n"), (F.sum("dl") / F.count("*")).alias("avgdl")
-    ).collect()[0]
-    return FtsIndex(postings, docstats, int(agg["n"]), float(agg["avgdl"]))
+    )
+    return FtsIndex(postings, docstats, stats)
 
 
 def tokenize_query(q: str) -> list[str]:
@@ -97,16 +108,21 @@ def bm25_score(
         .groupBy("term")
         .agg(F.countDistinct("id").alias("df"))
     )
-    n = F.lit(float(index.n_docs))
+    # corpus stats arrive via a broadcast cross-join — no driver collect,
+    # the whole score is ONE lazy plan
+    n = F.col("n").cast("double")
     idf = F.log(F.lit(1.0) + (n - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    term_idf = dfreq.select("term", idf.alias("idf"))
+    term_idf = dfreq.crossJoin(F.broadcast(index.stats)).select(
+        "term", idf.alias("idf")
+    )
     matches = (
         index.postings.join(F.broadcast(qterms), "term")
         .join(F.broadcast(term_idf), "term")
         .join(index.docstats, "id")
+        .crossJoin(F.broadcast(index.stats))
     )
     tf = F.col("tf").cast("double")
-    denom = tf + k1 * (1.0 - b + b * F.col("dl") / F.lit(index.avgdl))
+    denom = tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
     contrib = F.col("idf") * tf / denom
     return matches.groupBy("id").agg(F.sum(contrib).alias("_score"))
 

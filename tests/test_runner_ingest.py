@@ -49,8 +49,7 @@ def test_fts_degrade_retry(spark):
     broken = FtsIndex(
         postings=spark.createDataFrame([], "term string, wrong string"),
         docstats=spark.createDataFrame([], "id string, dl long"),
-        n_docs=1,
-        avgdl=1.0,
+        stats=spark.createDataFrame([(1, 1.0)], "n long, avgdl double"),
     )
     cat.fts["theme_customer"] = broken
     r = PipelineRunner(cat, debounce_s=0.01)
