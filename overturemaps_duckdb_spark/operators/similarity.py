@@ -103,6 +103,89 @@ def hyperplane_signature(
     return sig
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + probed search
+# ---------------------------------------------------------------------------
+
+
+def ivf_build(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    seed: int = 42,
+):
+    """Train the coarse quantizer and assign every vector to its list.
+
+    Returns (assigned DataFrame with `_list`, centroids ndarray).  The
+    centroid table is tiny (n_lists × dim) and lives driver-side — the
+    classic IVF split: centroids broadcast, inverted lists distributed.
+    At 100 TB the assigned table is written partitioned BY `_list`, so a
+    probe touches only n_probe/n_lists of the data (partition pruning)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    import numpy as np
+
+    ml_df = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_lists, seed=seed, maxIter=20).fit(ml_df)
+    assigned = model.transform(ml_df).select(
+        "id", "v", F.col("prediction").alias("_list")
+    )
+    centroids = np.array(
+        [c.toArray() if hasattr(c, "toArray") else np.asarray(c)
+         for c in model.clusterCenters()]
+    )
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids,
+    queries: DataFrame,
+    *,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+    k: int = 10,
+) -> DataFrame:
+    """Probed ANN search: per query, scan only the `n_probe` inverted lists
+    whose centroids are nearest — candidate generation is an equi-join on
+    `_list`, never a cross product.
+
+    Query→probe-list assignment happens driver-side against the tiny
+    centroid table (queries are small by definition); everything after is
+    engine-side.  Returns (query_id, vec_id, cosine, rank)."""
+    import numpy as np
+
+    q_rows = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).collect()
+    probes = []
+    for r in q_rows:
+        qv = np.asarray(r["q_vec"], dtype="float64")
+        d = ((centroids - qv) ** 2).sum(axis=1)
+        for lst in np.argsort(d)[:n_probe]:
+            probes.append((r["query_id"], list(map(float, r["q_vec"])), int(lst)))
+    spark = assigned.sparkSession
+    probe_df = spark.createDataFrame(
+        probes, "query_id long, q_vec array<double>, _list int"
+    )
+    cand = assigned.join(F.broadcast(probe_df), "_list")
+    scored = cand.select(
+        "query_id",
+        F.col("id").alias("vec_id"),
+        F.round(cosine_expr(F.col("q_vec"), F.col("v")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def lsh_bucket_neighbors(
     corpus: DataFrame,
     *,

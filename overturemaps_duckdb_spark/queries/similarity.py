@@ -9,6 +9,8 @@ from pyspark.sql import DataFrame, SparkSession
 from overturemaps_duckdb_spark.operators.similarity import (
     _plane_weight,
     cosine_topk,
+    ivf_build,
+    ivf_topk,
     lsh_bucket_neighbors,
 )
 from overturemaps_duckdb_spark.queries import query, t
@@ -92,3 +94,21 @@ def n2_lsh_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_neighbors(
         e, id_col="vec_id", vec_col="embedding", n_planes=8, dim=64, min_cosine=0.5
     )
+
+
+@query("n3_ivf_ann_topk")  # rows-only: k-means training is iterative, not SQL
+def n3_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer (seeded, 16 lists), probe the 4
+    nearest lists per query, exact cosine within candidates.  The inverted
+    lists are the partition key at 100 TB — a probe scans n_probe/n_lists
+    of the corpus.  Recall vs brute force is pytest-asserted
+    (tests/test_similarity_ivf.py); no SQL oracle by design (driver records
+    the rows-only check)."""
+    e = t(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_build(
+        e, id_col="vec_id", vec_col="embedding", n_lists=16, seed=42
+    )
+    queries = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(assigned, centroids, queries, n_probe=4, k=10)
