@@ -240,9 +240,15 @@ def _polygon_centroid(rings) -> tuple[tuple[float, float], float]:
 
 
 def _ring_area(ring) -> float:
+    # shoelace about the first vertex: small rings far from the origin would
+    # otherwise lose all precision to x·y cancellation (a 0.004° box at
+    # lon 180 has |x·y| ≈ 3e4 against a true area of ~1e-5)
+    if len(ring) < 2:
+        return 0.0
+    x0, y0 = ring[0]
     s = 0.0
     for (x1, y1), (x2, y2) in zip(ring, ring[1:]):
-        s += x1 * y2 - x2 * y1
+        s += (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
     return s / 2.0
 
 
@@ -250,12 +256,15 @@ def _ring_centroid(ring, area: float) -> tuple[float, float]:
     if area == 0.0:
         n = max(len(ring) - 1, 1)
         return (sum(p[0] for p in ring[:n]) / n, sum(p[1] for p in ring[:n]) / n)
+    # local-origin shoelace centroid (translate → accumulate → translate back)
+    x0, y0 = ring[0]
     cx = cy = 0.0
     for (x1, y1), (x2, y2) in zip(ring, ring[1:]):
-        cross = x1 * y2 - x2 * y1
-        cx += (x1 + x2) * cross
-        cy += (y1 + y2) * cross
-    return (cx / (6.0 * area), cy / (6.0 * area))
+        u1, v1, u2, v2 = x1 - x0, y1 - y0, x2 - x0, y2 - y0
+        cross = u1 * v2 - u2 * v1
+        cx += (u1 + u2) * cross
+        cy += (v1 + v2) * cross
+    return (x0 + cx / (6.0 * area), y0 + cy / (6.0 * area))
 
 
 def area(g: Geometry) -> float:
