@@ -1,0 +1,98 @@
+"""End-to-end Engine facade test: register themes → load area → pipeline →
+FTS search → raw SQL → session persistence — the controller.js flow on
+Spark, driven through the one public object."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+
+from overturemaps_duckdb_spark.engine import Engine, ThemeSpec
+from overturemaps_duckdb_spark.plans.pipeline import Node
+from overturemaps_duckdb_spark.sources.ingest import ThemeFieldSpec
+from tests.conftest import SF_SMOKE
+
+
+def _stage_theme_files(spark, tmp, name, df):
+    p = os.path.join(tmp, name)
+    df.coalesce(2).write.mode("overwrite").parquet(p)
+    return [os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")]
+
+
+def test_engine_end_to_end(spark, tmp_path):
+    from overturemaps_duckdb_spark.queries.spatial import _C_LAT, _C_LON
+
+    raw = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").select(
+        F.col("c_custkey").cast("string").alias("id"),
+        F.col("c_name").alias("display_name"),
+        "c_mktsegment",
+        F.expr(_C_LON).alias("centroid_lon"),
+        F.expr(_C_LAT).alias("centroid_lat"),
+    )
+    files = _stage_theme_files(spark, str(tmp_path), "places", raw)
+
+    eng = Engine(spark, root=tempfile.mkdtemp(prefix="omds_engine_"))
+
+    def projection(batch):
+        from overturemaps_duckdb_spark.functions.geo import (
+            st_geometrytype,
+            st_point,
+        )
+
+        proj = batch.select(
+            "id",
+            F.coalesce(F.col("display_name"), F.lit("")).alias("display_name"),
+            F.concat_ws(" ", "display_name", "c_mktsegment").alias("search_name"),
+            "centroid_lon",
+            "centroid_lat",
+            F.col("c_mktsegment").alias("_f0"),
+        ).withColumn("geometry", st_point("centroid_lon", "centroid_lat"))
+        return proj.withColumn("geom_type", st_geometrytype("geometry"))
+
+    eng.register_theme(
+        "places/customer",
+        ThemeSpec(
+            table="places_customer",
+            files=files,
+            fields=[ThemeFieldSpec("segment", "c_mktsegment")],
+            projection=projection,
+            build_fts=True,
+        ),
+    )
+
+    # EP1: area load (bbox covers the fixture's lon range)
+    results = eng.load_area(["places/customer"], bbox=(-180.0, -90.0, 0.0, 90.0))
+    res = results["places/customer"]
+    assert res.rows > 0 and not res.cached
+    assert "places_customer" in eng.tables()
+
+    # EP2: pipeline over the loaded table, FTS search mode
+    eng.pipeline.nodes = [
+        Node(id="n1", type="source", table="places_customer", key="places/customer")
+    ]
+    eng.pipeline.search = "machinery"
+    eng.pipeline.limit = 12
+    out = eng.pipeline.run_now()
+    assert out.count == 12 and not out.degraded
+    assert all(r["_score"] is not None for r in out.rows)  # FTS scored
+
+    # EP3: raw DuckDB-dialect SQL against the loaded table
+    df = eng.sql(
+        "SELECT string_split(search_name, ' ')[1] AS w, count(*) AS c "
+        "FROM places_customer GROUP BY w ORDER BY c DESC, w LIMIT 3"
+    )
+    assert df.count() == 3
+    assert eng.instrumentation.history[-1].ok
+
+    # session persistence round-trip
+    eng.save_session()
+    eng2 = Engine(spark, root=eng.root)
+    restored = eng2.restore_session()
+    assert restored["loaded"] == ["places/customer"]
+    assert restored["pipeline"]["search"] == "machinery"
+
+    # second load_area hits the snapview cache
+    again = eng.load_area(["places/customer"], bbox=(-180.0, -90.0, 0.0, 90.0))
+    assert again["places/customer"].cached
