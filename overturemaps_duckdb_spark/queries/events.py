@@ -200,6 +200,47 @@ def i3_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "e4_grouped_quantiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def e4_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom grouped-map kernel via applyInPandas (the remaining UDF API
+    class beside scalar pandas UDFs, mapInPandas and
+    applyInPandasWithState): per-event-type exact quantiles.  pandas'
+    linear-interpolation quantile is definitionally identical to DuckDB's
+    `quantile_cont` on DOUBLE (verified) — value-level parity, not just
+    shape.  At scale each group's rows land on one task (shuffle on the
+    group key); for heavy groups the approximate `percentile_approx` is the
+    built-in alternative."""
+    import pandas as pd
+
+    ev = t(spark, sf_dir, "events").select("event_type", "value")
+
+    def quantiles(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].astype(float)
+        return pd.DataFrame(
+            [
+                {
+                    "event_type": pdf["event_type"].iloc[0],
+                    "p50": round(float(v.quantile(0.5)), 6),
+                    "p90": round(float(v.quantile(0.9)), 6),
+                    "n": len(pdf),
+                }
+            ]
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        quantiles, schema="event_type string, p50 double, p90 double, n bigint"
+    )
+
+
+@query(
     "e3_lag_delta",
     oracle="""
     SELECT user_id, event_id,
