@@ -43,6 +43,11 @@ HEADLINE = [
     "e1_tumbling_window",
     "w1_topk_per_group",
     "u1_union_all_aligned",
+    "pl4_within_filter",
+    "pl6_search_fts",
+    "i1_stream_tumbling_window",
+    "m3_asset_byte_features",
+    "e4_grouped_quantiles",
 ]
 
 

@@ -115,14 +115,19 @@ def bidirectional_match_ids(
     distance_deg: float | None = None,
     band_deg: float = DEFAULT_BAND_DEG,
     exclude_self: bool = False,
+    impl: str = "broadcast",
 ) -> DataFrame:
     """J4: ids of base rows hitting `other` UNION ids of `other` rows hit by
-    base (pipeline.js:141-157) — two semi-joins + distinct union."""
-    fwd = spatial_join(
+    base (pipeline.js:141-157) — two semi-joins + distinct union.
+
+    `impl`: 'broadcast' (small other side, BroadcastNestedLoop with the band
+    residual) or 'grid' (both sides large → grid-cell equi-join)."""
+    join_fn = spatial_join if impl == "broadcast" else spatial_join_grid
+    fwd = join_fn(
         base, other, how="left_semi", predicate=predicate, distance_m=distance_m,
         distance_deg=distance_deg, band_deg=band_deg, exclude_self=exclude_self,
     ).select("id")
-    rev = spatial_join(
+    rev = join_fn(
         other, base, how="left_semi", predicate=predicate, distance_m=distance_m,
         distance_deg=distance_deg, band_deg=band_deg, exclude_self=exclude_self,
     ).select("id")
@@ -239,3 +244,37 @@ def banded_join(
 
 def _ceil_div(n: int, d: int) -> int:
     return int(math.ceil(n / d))
+
+
+def spatial_join_grid(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    how: str = "inner",
+    predicate: str = "intersects",
+    distance_m: float | None = None,
+    distance_deg: float | None = None,
+    band_deg: float = DEFAULT_BAND_DEG,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """The no-broadcast form of :func:`spatial_join`: grid-cell equi-join
+    for candidates (both sides shuffle on cell id; AQE handles skew), exact
+    geometric predicate as a post-join filter, semi/anti from matched ids.
+
+    Same semantics as `spatial_join` — compile_pipeline picks this
+    implementation when neither side is broadcastable (spatial_impl='grid').
+    """
+    extra = None
+    if exclude_self:
+        extra = a["id"] != b["id"]
+    cand = banded_join(a, b, band_deg=band_deg, how="inner", extra_condition=extra)
+    exact = _exact_predicate(
+        a, b, predicate=predicate, distance_m=distance_m, distance_deg=distance_deg
+    )
+    matched_pairs = cand.where(exact)
+    if how == "inner":
+        return matched_pairs
+    if how in ("left_semi", "left_anti"):
+        matched = matched_pairs.select(a["id"].alias("_mid")).distinct()
+        return a.join(matched, a["id"] == matched["_mid"], how)
+    raise ValueError(f"unsupported join type {how!r}")

@@ -108,11 +108,19 @@ def compile_pipeline(
     bbox: tuple[float, float, float, float] | None = None,
     band_deg: float = DEFAULT_BAND_DEG,
     deterministic: bool = True,
+    spatial_impl: str = "broadcast",
 ) -> DataFrame | None:
     """Compile a pipeline into a DataFrame (compilePipeline, pipeline.js:19).
 
     Returns ``None`` for an empty/sourceless pipeline (the reference returns
     an empty SQL string, pipeline.js:20,33).
+
+    ``spatial_impl``: 'broadcast' fits the reference's own scale contract
+    (theme tables capped at 33k rows, themes.js:97) — the filter table
+    broadcasts and the band condition is a cheap residual.  'grid' is the
+    100 TB form: both sides discretize onto band-sized grid cells and the
+    candidates come from a co-partitioned equi-join (no broadcast, AQE skew
+    handling).  Identical results (test_pipeline_compiler asserts it).
     """
     if not nodes:
         return None
@@ -201,6 +209,7 @@ def compile_pipeline(
                     distance_deg=distance_degrees(sf.distance),
                     band_deg=band_deg,
                     exclude_self=True,  # base.id != b.id (pipeline.js:130)
+                    impl=spatial_impl,
                 )
             )
 
@@ -220,9 +229,12 @@ def compile_pipeline(
         base = base.join(F.broadcast(m), base["id"] == m["_mid"], "left_semi")
     # -- `NOT EXISTS` exclude filters are per-row predicates: applying them
     #    to the narrowed base is equivalent and cheaper (pipeline.js:159-165)
+    from overturemaps_duckdb_spark.operators.spatial_join import spatial_join_grid
+
+    anti_join = spatial_join if spatial_impl == "broadcast" else spatial_join_grid
     for sf in spatial_filters:
         if sf.op == "exclude":
-            base = spatial_join(
+            base = anti_join(
                 base,
                 _clone(catalog.tables[sf.table]),
                 how="left_anti",

@@ -119,3 +119,21 @@ def test_score_column_only_when_searching(spark):
 
 def test_fields_registry_consistent():
     assert set(FIELDS) >= {"places/customer", "places/supplier"}
+
+
+def test_grid_impl_matches_broadcast_impl(spark):
+    """The 100 TB spatial implementation (grid-cell equi-join, no broadcast)
+    must produce byte-identical results to the broadcast form for both
+    within and exclude filters."""
+    cat = catalog_cs(spark, SF_SMOKE)
+    for op in ("within", "exclude"):
+        nodes = [
+            SRC_C,
+            Node(id="f", type="combine", op=op, table="theme_supplier",
+                 key="places/supplier", distance=6957.5),
+        ]
+        a = compile_pipeline(cat, nodes, limit=10000, spatial_impl="broadcast")
+        b = compile_pipeline(cat, nodes, limit=10000, spatial_impl="grid")
+        ra = sorted(r["id"] for r in a.select("id").collect())
+        rb = sorted(r["id"] for r in b.select("id").collect())
+        assert ra == rb and len(ra) > 0, op
