@@ -57,11 +57,16 @@ FIELDS = {
 def _themed(df: DataFrame) -> DataFrame:
     """Attach geometry-derived columns through the WKB kernel (so the
     compiler path exercises the real ingest projection, query.js:39-42)."""
+    from overturemaps_duckdb_spark.queries.spatial import _spread
+
+    df = _spread(df)
     out = df.withColumn("geometry", st_point("lon", "lat")).withColumn(
         "geom_type", st_geometrytype("geometry")
     )
     cen = st_centroid_lonlat("geometry")
-    return (
+    from overturemaps_duckdb_spark.queries.spatial import _theme_cache
+
+    return _theme_cache(
         out.withColumn("_c", cen)
         .withColumns(
             {"centroid_lon": F.col("_c.lon"), "centroid_lat": F.col("_c.lat")}

@@ -51,38 +51,59 @@ CUSTOMER_POINTS_SQL = f"SELECT c_custkey AS id, {_C_LON} AS lon, {_C_LAT} AS lat
 SUPPLIER_POINTS_SQL = f"SELECT s_suppkey AS id, {_S_LON} AS lon, {_S_LAT} AS lat FROM supplier"
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Partitioning knob for the theme builders.
+
+    Measured at sf0.1 (local[32]): repartitioning the 1-2-partition fixture
+    scans to full parallelism made every consumer SLOWER (j1 1.5→2.6 s, pl4
+    3→5 s) — the extra exchange outweighs parallelizing ~16k rows of WKB
+    UDF work, whose apparent serial cost was really one-time Python-worker
+    startup.  Identity here; at real scale the scan width comes from the
+    file layout (sources/layout.py), not a repartition."""
+    return df
+
+
+def _theme_cache(df: DataFrame) -> DataFrame:
+    """Hook for theme-table materialization.  Measured at sf0.1: persist()
+    makes the pl* compiled plans SLOWER (cache write + fixed cached
+    partitioning beats the ~16k-row recompute), so this is identity at
+    fixture scale; Engine.load_area caches for real (df.cache in
+    sources/ingest.load_theme) where tables are reused across queries."""
+    return df
+
+
 def customer_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theme-cached-shaped point table: id, lon, lat, geometry(WKB),
     centroid_lon/lat (the ingest projection of query.js:35-44, with the
     centroid coming from the kernel so the UDF path is what gets verified)."""
-    c = t(spark, sf_dir, "customer")
+    c = _spread(t(spark, sf_dir, "customer"))
     pts = c.select(
         F.col("c_custkey").alias("id"),
         F.expr(_C_LON).alias("lon"),
         F.expr(_C_LAT).alias("lat"),
     ).withColumn("geometry", st_point("lon", "lat"))
     cen = st_centroid_lonlat("geometry")
-    return pts.withColumn("_c", cen).withColumns(
+    return _theme_cache(pts.withColumn("_c", cen).withColumns(
         {"centroid_lon": F.col("_c.lon"), "centroid_lat": F.col("_c.lat")}
-    ).drop("_c")
+    ).drop("_c"))
 
 
 def supplier_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = t(spark, sf_dir, "supplier")
+    s = _spread(t(spark, sf_dir, "supplier"))
     pts = s.select(
         F.col("s_suppkey").alias("id"),
         F.expr(_S_LON).alias("lon"),
         F.expr(_S_LAT).alias("lat"),
     ).withColumn("geometry", st_point("lon", "lat"))
     cen = st_centroid_lonlat("geometry")
-    return pts.withColumn("_c", cen).withColumns(
+    return _theme_cache(pts.withColumn("_c", cen).withColumns(
         {"centroid_lon": F.col("_c.lon"), "centroid_lat": F.col("_c.lat")}
-    ).drop("_c")
+    ).drop("_c"))
 
 
 def supplier_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """±0.125° rectangular footprints (polygon WKB) around supplier points."""
-    s = t(spark, sf_dir, "supplier")
+    s = _spread(t(spark, sf_dir, "supplier"))
     base = s.select(
         F.col("s_suppkey").alias("id"),
         F.expr(_S_LON).alias("lon"),
@@ -98,9 +119,9 @@ def supplier_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     cen = st_centroid_lonlat("geometry")
-    return box.withColumn("_c", cen).withColumns(
+    return _theme_cache(box.withColumn("_c", cen).withColumns(
         {"centroid_lon": F.col("_c.lon"), "centroid_lat": F.col("_c.lat")}
-    ).drop("_c")
+    ).drop("_c"))
 
 
 # ---------------------------------------------------------------------------
