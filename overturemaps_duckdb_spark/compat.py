@@ -145,14 +145,54 @@ def translate(sql: str) -> str:
     for src, dst in _FN_MAP.items():
         text = re.sub(rf"\b{src}\s*\(", f"{dst}(", text, flags=re.IGNORECASE)
 
+    # DuckDB's regexp_replace global flag: Spark replaces globally by
+    # default and takes a position (int) as arg 4 — strip a trailing 'g'
+    def _strip_g(m: re.Match) -> str:
+        return m.group(1) + ")" if literals[int(m.group(2))] == "'g'" else m.group(0)
+
+    text = re.sub(
+        r"(?is)(regexp_replace\s*\((?:[^()]|\([^()]*\))*?),\s*\x00L(\d+)\x00\s*\)",
+        _strip_g,
+        text,
+    )
+
     for i, lit in enumerate(literals):
         text = text.replace(f"\x00L{i}\x00", lit)
     return text
 
 
-def _intercept(spark: SparkSession, sql: str) -> DataFrame | None:
+def _intercept(
+    spark: SparkSession, sql: str, session_state=None
+) -> DataFrame | None:
     """Statement-level forms that map to engine calls, not SQL."""
     s = sql.strip().rstrip(";")
+
+    m = re.match(
+        r"(?is)^INSERT\s+OR\s+REPLACE\s+INTO\s+_session\s*"
+        r"(?:\(\s*key\s*,\s*value\s*\)\s*)?VALUES\s*\(\s*'([^']*)'\s*,\s*'((?:[^']|'')*)'\s*\)$",
+        s,
+    )
+    if m:
+        # Y1 — the _session KV upsert (sessionState.js:59-68) routes to
+        # SessionState; raw (unparsed-JSON) values round-trip as strings
+        if session_state is None:
+            raise NotImplementedError(
+                "INSERT OR REPLACE INTO _session needs a SessionState "
+                "(use Engine.sql, which wires its session store)"
+            )
+        key, value = m.group(1), m.group(2).replace("''", "'")
+        session_state._kv[key] = value
+        session_state._flush()
+        return spark.createDataFrame([(key, value)], "key string, value string")
+
+    m = re.match(r"(?is)^DELETE\s+FROM\s+_session$", s)
+    if m:
+        if session_state is None:
+            raise NotImplementedError(
+                "DELETE FROM _session needs a SessionState (use Engine.sql)"
+            )
+        session_state.clear()
+        return spark.createDataFrame([], "key string, value string")
 
     m = re.match(
         r"(?is)^PRAGMA\s+create_fts_index\s*\(\s*'([^']+)'\s*,\s*'([^']+)'\s*,"
@@ -198,9 +238,12 @@ def _materialize_read_parquet(spark: SparkSession, sql: str) -> str:
                   r"(?:,[^)]*)?\)", repl, sql)
 
 
-def duck_sql(spark: SparkSession, sql: str) -> DataFrame:
-    """Run a DuckDB-dialect SQL text on Spark (the EP3 console entry)."""
-    intercepted = _intercept(spark, sql)
+def duck_sql(spark: SparkSession, sql: str, session_state=None) -> DataFrame:
+    """Run a DuckDB-dialect SQL text on Spark (the EP3 console entry).
+
+    `session_state`: optional SessionState for the `_session` KV statements
+    (Engine.sql wires its own)."""
+    intercepted = _intercept(spark, sql, session_state)
     if intercepted is not None:
         return intercepted
     sql = _materialize_read_parquet(spark, sql)

@@ -122,7 +122,7 @@ class Engine:
         preview = " ".join(text.split())[:140]
         t0 = time.monotonic()
         try:
-            df = duck_sql(self.spark, text)
+            df = duck_sql(self.spark, text, session_state=self.session_state)
         except Exception as exc:  # noqa: BLE001 — mirror queryRunner.js:40-50
             self.instrumentation._push(
                 QueryRecord(label, preview, (time.monotonic() - t0) * 1e3, False,

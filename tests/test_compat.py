@@ -65,6 +65,30 @@ def test_read_parquet_list_form(spark):
     assert df.collect()[0]["c"] == 2 * single
 
 
+def test_regexp_replace_g_flag_stripped():
+    out = translate("SELECT regexp_replace(lower(x), '[^a-z]+', ' ', 'g') FROM t")
+    assert out == "SELECT regexp_replace(lower(x), '[^a-z]+', ' ') FROM t"
+    # a non-'g' 4th arg is untouched
+    out2 = translate("SELECT regexp_replace(x, 'a', 'b', 'i') FROM t")
+    assert "'i'" in out2
+
+
+def test_session_kv_sql_intercepts(spark):
+    import tempfile
+
+    from overturemaps_duckdb_spark.state import SessionState
+
+    root = tempfile.mkdtemp(prefix="omds_compat_kv_")
+    ss = SessionState(spark, root)
+    duck_sql(spark, "INSERT OR REPLACE INTO _session VALUES ('lim', '3000')", ss)
+    duck_sql(spark, "INSERT OR REPLACE INTO _session VALUES ('lim', '100')", ss)
+    assert SessionState(spark, root)._kv["lim"] == "100"
+    duck_sql(spark, "DELETE FROM _session", ss)
+    assert SessionState(spark, root)._kv == {}
+    with pytest.raises(NotImplementedError, match="SessionState"):
+        duck_sql(spark, "INSERT OR REPLACE INTO _session VALUES ('a', 'b')")
+
+
 def test_ilike_passthrough(spark):
     t(spark, SF_SMOKE, "customer").createOrReplaceTempView("cust_c")
     df = duck_sql(
