@@ -159,6 +159,26 @@ def session_counts_to_batch(
     return result.where(F.col("user_id") >= 0)
 
 
+def stream_to_parquet(
+    sdf: DataFrame, path: str, checkpoint: str
+) -> None:
+    """I3's streaming twin: append-mode parquet file sink with a checkpoint.
+
+    The checkpoint gives exactly-once file-sink semantics — re-running with
+    the same checkpoint after the source is exhausted appends NOTHING (the
+    batch ids are committed), which is the property that makes incremental
+    ingest restartable at 100 TB (tested in test_streaming_stateful)."""
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_to_batch(
     sdf: DataFrame, name: str, *, output_mode: str = "complete"
 ) -> DataFrame:

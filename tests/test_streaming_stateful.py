@@ -17,6 +17,30 @@ from overturemaps_duckdb_spark.streaming.windows import run_to_batch
 from tests.conftest import SF_SMOKE
 
 
+def test_stream_to_parquet_exactly_once(spark, tmp_path):
+    """I3 streaming twin: availableNow parquet sink appends all rows once;
+    re-running against the SAME checkpoint appends nothing (restartable
+    incremental ingest)."""
+    from overturemaps_duckdb_spark.streaming.windows import (
+        events_stream,
+        stream_to_parquet,
+    )
+
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    n_src = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+
+    stream = events_stream(spark, SF_SMOKE, max_files_per_trigger=1)
+    stream_to_parquet(stream, out, ckpt)
+    assert spark.read.parquet(out).count() == n_src
+
+    # same checkpoint, source unchanged → exactly-once: nothing new
+    stream2 = events_stream(spark, SF_SMOKE, max_files_per_trigger=1)
+    stream_to_parquet(stream2, out, ckpt)
+    assert spark.read.parquet(out).count() == n_src
+
+
 def test_state_carries_across_batches(spark, tmp_path):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
