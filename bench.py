@@ -62,10 +62,13 @@ def main() -> None:
     spark = get_spark("bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warmup on the smallest fixture set (not timed).
-    _q.QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001").write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # Warmup on the smallest fixture set (not timed): q1 exercises
+    # JVM/codegen, g1 additionally spins up the Python-worker pool so the
+    # first UDF-bearing headline query isn't charged ~1.5 s of startup.
+    for warm in ("q1_pricing_summary", "g1_g2_point_type_centroid"):
+        _q.QUERIES[warm](spark, "/root/testdata/sf0.001").write.format(
+            "noop"
+        ).mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name in HEADLINE:
