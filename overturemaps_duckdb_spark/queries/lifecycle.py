@@ -57,6 +57,35 @@ def s3_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s13_grid_partitioned_scan",
+    oracle=f"""
+    WITH pts AS (SELECT c_custkey AS id, {_C_LON} AS lon, {_C_LAT} AS lat FROM customer)
+    SELECT id, lon AS centroid_lon, lat AS centroid_lat
+    FROM pts
+    WHERE lon >= -95 AND lon <= -65 AND lat >= -50 AND lat <= 50
+    """,
+)
+def s13_grid_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-partitioned layout end-to-end (sources/layout.py): write
+    cx=/cy= directory partitions, bbox-read with plan-time partition
+    pruning, result must equal the plain filter — layout is an
+    optimization, never a filter."""
+    from overturemaps_duckdb_spark.sources.layout import (
+        read_grid_bbox,
+        write_grid_partitioned,
+    )
+
+    pts = customer_points(spark, sf_dir).select(
+        "id", "centroid_lon", "centroid_lat"
+    )
+    path = tempfile.mkdtemp(prefix="omds_s13_") + "/grid"
+    write_grid_partitioned(pts, path, cell_deg=30.0)
+    return read_grid_bbox(
+        spark, path, (-95.0, -50.0, -65.0, 50.0), cell_deg=30.0
+    ).select("id", "centroid_lon", "centroid_lat")
+
+
+@query(
     "s7_s8_snapview_roundtrip",
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey % 7 = 0

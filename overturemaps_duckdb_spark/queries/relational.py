@@ -572,6 +572,41 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 10000) AS BIGINT))
+                AS BIGINT) AS revenue_tenthousandths,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2024-01-01'
+      AND l_shipdate < TIMESTAMP '2025-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.09
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan→filter→scalar-agg — every predicate reaches
+    the parquet scan (PushedFilters) and the aggregate is a two-phase
+    partial/final with no grouping shuffle at all."""
+    li = t(spark, sf_dir, "lineitem")
+    rev = F.round(F.col("l_extendedprice") * F.col("l_discount") * 10000).cast(
+        "bigint"
+    )
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("2024-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("2025-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount").between(0.02, 0.09))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(rev).alias("revenue_tenthousandths"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.5 aggregations
 # ---------------------------------------------------------------------------

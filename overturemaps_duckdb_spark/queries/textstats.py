@@ -124,3 +124,46 @@ def x4_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         content_fingerprint("text").alias("content_fp"),
         shingle_fingerprint("text", 3).alias("shingle_fp"),
     )
+
+
+#: the classic training-data scrub patterns (applied in one pass each)
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_URL_RE = "https?://[^\\s]+"
+_DIGITS_RE = "[0-9]{6,}"
+
+
+@query(
+    "x5_redaction",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(
+               text,
+               '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_URL_RE}', '<URL>', 'g'),
+               '{_DIGITS_RE}', '<NUM>', 'g') AS redacted,
+           CAST(length(regexp_replace(text, '{_EMAIL_RE}', '', 'g'))
+                <> length(text) AS BOOLEAN) AS had_email
+    FROM documents
+    """,
+)
+def x5_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing for training data: email/URL/long-number spans
+    replaced with typed placeholders — pure `regexp_replace` chain, one scan,
+    fully codegen'd (Spark replaces globally by default; the oracle needs
+    DuckDB's explicit 'g' flag)."""
+    d = t(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+            _URL_RE,
+            "<URL>",
+        ),
+        _DIGITS_RE,
+        "<NUM>",
+    )
+    had_email = F.length(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "")
+    ) != F.length("text")
+    return d.select(
+        "doc_id", redacted.alias("redacted"), had_email.alias("had_email")
+    )
