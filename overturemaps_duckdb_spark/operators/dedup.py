@@ -116,28 +116,52 @@ def minhash_lsh_pairs(
     Returns (a_id, b_id, jaccard) with a_id < b_id.
     """
     rows = n_hashes // bands
-    # The shingle relation feeds signature building, the band self-join and
-    # the verification join; persist so shingling runs once.  At 100 TB this
-    # is the materialized "minhash index" written to parquet.
-    hs = df.select(
-        F.col(id_col).alias("id"),
-        hashed_shingles(text_col, shingle_k).alias("shingles"),
-    ).persist()
-    # Signatures via explode + 16 codegen'd min-aggregates: the per-seed
-    # mixes run inside whole-stage codegen with map-side partial mins, vs.
-    # 16 interpreted array-transform passes (≈2× faster end-to-end here).
+    # Shingle hashing in FULL whole-stage codegen: explode positions and
+    # compute the rolling polynomial from 5 ascii(substring(...)) calls per
+    # row — zero higher-order-function interpretation anywhere.  The norm
+    # column is computed once per doc and only referenced per exploded row;
+    # ascii(substring(past-end)) = 0 supplies the zero padding.  min() over
+    # duplicate shingle hashes equals min over the distinct set, so no
+    # per-doc dedup is needed before the signature aggregates.
+    from overturemaps_duckdb_spark.functions.text import (
+        MINHASH_BASE_BITS,
+        SHINGLE_B,
+        normalize,
+    )
+
+    # one tiny shuffle of the doc rows so the exploded hash computation and
+    # its persist run on all cores (single-file sources arrive 1-partition)
+    spread = df.sparkSession.sparkContext.defaultParallelism
+    norm_df = df.repartition(spread).select(
+        F.col(id_col).alias("id"), normalize(text_col).alias("_n")
+    )
+    count = F.greatest(F.length("_n") - F.lit(shingle_k - 1), F.lit(1))
+    poly = " + ".join(
+        f"ascii(substring(_n, _i + {j}, 1)) * {SHINGLE_B ** (shingle_k - 1 - j)}L"
+        for j in range(shingle_k)
+    )
+    ex = norm_df.select(
+        "id", F.explode(F.sequence(F.lit(1), count)).alias("_i"), "_n"
+    ).select("id", F.expr(f"({poly}) % {1 << MINHASH_BASE_BITS}L").alias("h"))
+    # ONE aggregation produces the shingle set AND all 16 signature mins:
+    # a doc's exploded rows are co-located in their input partition, so the
+    # map-side partial agg condenses 1.5M hash rows to ~1 row per doc before
+    # the shuffle.  The persisted result (one row per doc) is the "minhash
+    # index" — at 100 TB it is written to parquet instead.
     a_list, b_list = minhash_coeffs(n_hashes)
-    mins = (
-        hs.select("id", F.explode("shingles").alias("h"))
-        .groupBy("id")
+    index = (
+        ex.groupBy("id")
         .agg(
+            F.collect_set("h").alias("shingles"),
             *[
                 F.min((F.col("h") * a_list[i] + b_list[i]) % MINHASH_P).alias(f"_m{i}")
                 for i in range(n_hashes)
-            ]
+            ],
         )
+        .persist()
     )
-    sig = mins.select(
+    hs = index.select("id", "shingles")
+    sig = index.select(
         "id", F.array(*[F.col(f"_m{i}") for i in range(n_hashes)]).alias("sig")
     )
     banded = sig.select(
