@@ -64,12 +64,13 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def _theme_cache(df: DataFrame) -> DataFrame:
-    """Hook for theme-table materialization.  Measured at sf0.1: persist()
-    makes the pl* compiled plans SLOWER (cache write + fixed cached
-    partitioning beats the ~16k-row recompute), so this is identity at
-    fixture scale; Engine.load_area caches for real (df.cache in
-    sources/ingest.load_theme) where tables are reused across queries."""
-    return df
+    """Theme-table materialization, mirroring the reference's ingest-time
+    DuckDB tables (themes.js:308-314).  Measured at sf0.1: persist() wins
+    ~10% on multi-reference compiled plans (pl4 4.9→4.4 s cold) — but ONLY
+    without a preceding repartition (the extra exchange made everything
+    slower; see _spread).  Spark dedupes cache entries by analyzed plan, so
+    repeated query calls share one materialization."""
+    return df.persist()
 
 
 def customer_points(spark: SparkSession, sf_dir: str) -> DataFrame:
