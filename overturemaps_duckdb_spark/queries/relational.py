@@ -573,6 +573,45 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q18_large_orders",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) > 21000
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(SUM(CAST(ROUND(l.l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS total_qty_cents
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY o.o_orderkey, o.o_custkey
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: group-HAVING subquery → semi join → re-aggregate.
+    The HAVING aggregate and the final aggregate share the l_orderkey
+    shuffle key, so AQE plans the semi join without a second fact shuffle."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    qty = cents("l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("_tq"))
+        .where(F.col("_tq") > 21000)
+        # fresh exprId: big shares lineage with the fact side of the join
+        .select(F.col("l_orderkey").alias("_bok"))
+    )
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .join(big, o["o_orderkey"] == big["_bok"], "left_semi")
+        .groupBy(o["o_orderkey"], o["o_custkey"])
+        .agg(F.sum(qty).alias("total_qty_cents"))
+    )
+
+
+@query(
     "q6_forecast_revenue",
     oracle="""
     SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 10000) AS BIGINT))
