@@ -241,6 +241,29 @@ def e4_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "i4_stream_stream_join",
+    oracle="""
+    SELECT a.event_id AS a_id, b.event_id AS b_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND epoch_us(b.ts) > epoch_us(a.ts)
+     AND epoch_us(b.ts) <= epoch_us(a.ts) + 300000000
+    """,
+)
+def i4_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval self-join (follow-up events within 5 min per
+    user), both sides watermarked, availableNow append — inner interval
+    joins emit on arrival, so the bounded replay equals the batch SQL."""
+    from overturemaps_duckdb_spark.streaming.windows import (
+        followup_events_join,
+        run_to_batch,
+    )
+
+    joined = followup_events_join(spark, sf_dir)
+    return run_to_batch(joined, "i4_followups", output_mode="append")
+
+
+@query(
     "e3_lag_delta",
     oracle="""
     SELECT user_id, event_id,

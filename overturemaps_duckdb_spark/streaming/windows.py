@@ -159,6 +159,50 @@ def session_counts_to_batch(
     return result.where(F.col("user_id") >= 0)
 
 
+def followup_events_join(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    within: str = "5 minutes",
+    within_us: int = 300_000_000,
+) -> DataFrame:
+    """Stream-stream time-interval self-join: for every event, the same
+    user's follow-up events within `within`.
+
+    Both sides are independent watermarked streams; the time-range join
+    condition bounds the state each side must keep (Spark evicts rows whose
+    join window has passed the other side's watermark).  Inner join emits
+    matches as they arrive, so a bounded availableNow replay yields the
+    complete batch answer — the i4 oracle states it in plain SQL."""
+    a = with_event_time(
+        events_stream(spark, sf_dir, max_files_per_trigger=None)
+    ).withWatermark("event_time", within)
+    b = with_event_time(
+        events_stream(spark, sf_dir, max_files_per_trigger=None)
+    ).withWatermark("event_time", within)
+    a = a.select(
+        F.col("event_id").alias("a_id"),
+        F.col("user_id").alias("a_user"),
+        F.col("event_time").alias("a_time"),
+    )
+    b = b.select(
+        F.col("event_id").alias("b_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("event_time").alias("b_time"),
+    )
+    joined = a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_time") > F.col("a_time"))
+        & (
+            F.col("b_time")
+            <= F.col("a_time") + F.expr(f"INTERVAL {within}")
+        ),
+        "inner",
+    )
+    return joined.select("a_id", "b_id")
+
+
 def stream_to_parquet(
     sdf: DataFrame, path: str, checkpoint: str
 ) -> None:
