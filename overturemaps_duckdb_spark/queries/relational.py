@@ -783,6 +783,31 @@ def a8_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "a9_cube",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, '(all)') AS status,
+           COALESCE(o_orderpriority, '(all)') AS priority,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def a9_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions — all four grouping sets in one pass
+    (Expand + single shuffle, not four scans)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "n",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.6 window functions (extension surface — none in the reference)
 # ---------------------------------------------------------------------------
