@@ -106,6 +106,50 @@ def m4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m6_audio_modality",
+    oracle=f"""
+    SELECT event_id AS asset_id, 'audio' AS modality,
+           CAST(length(props) + {_HDR} AS BIGINT) AS byte_len,
+           CAST(8000 + (length(props) % 3) * 8000 AS INTEGER) AS sample_rate,
+           ROUND(CAST(length(props) AS DOUBLE)
+                 / (8000 + (length(props) % 3) * 8000), 6) AS duration_s
+    FROM events WHERE event_id % 50 = 0
+    """,
+)
+def m6_audio_modality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality through the same asset plumbing: payloads from event
+    props, deterministic fake header → sample-rate/duration metadata (the
+    real librosa/ffprobe path is the documented STUB).  Shows the schema is
+    modality-generic — only the decode kernel differs."""
+    import pandas as pd
+
+    from overturemaps_duckdb_spark.operators.multimodal import attach_payload
+
+    ev = t(spark, sf_dir, "events").where(F.col("event_id") % 50 == 0)
+    assets = attach_payload(ev, "event_id", "props", modality="audio")
+
+    def decode(batches):
+        for pdf in batches:
+            body = pdf["payload"].map(lambda p: len(p) - _HDR)
+            rate = (8000 + (body % 3) * 8000).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "byte_len": pdf["payload"].map(len).astype("int64"),
+                    "sample_rate": rate,
+                    "duration_s": (body / rate).round(6),
+                }
+            )
+
+    return assets.mapInPandas(
+        decode,
+        schema="asset_id long, modality string, byte_len long, "
+        "sample_rate int, duration_s double",
+    )
+
+
+@query(
     "m5_resize_stub",
     oracle=f"""
     SELECT doc_id AS asset_id,

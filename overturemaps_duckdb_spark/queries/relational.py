@@ -784,6 +784,44 @@ def a8_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS revenue_cents,
+           n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue_cents DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer — the returnflag
+    filter is pushed into the lineitem scan, dims broadcast, top-20 via
+    TakeOrderedAndProject (never a full sort)."""
+    c = t(spark, sf_dir, "customer").alias("c")
+    o = t(spark, sf_dir, "orders").alias("o")
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R").alias("l")
+    n = t(spark, sf_dir, "nation").alias("n")
+    rev = cents(F.col("l.l_extendedprice") * (1 - F.col("l.l_discount")))
+    return (
+        li.join(o, F.col("l.l_orderkey") == F.col("o.o_orderkey"))
+        .join(F.broadcast(c), F.col("c.c_custkey") == F.col("o.o_custkey"))
+        .join(F.broadcast(n), F.col("c.c_nationkey") == F.col("n.n_nationkey"))
+        .groupBy("c.c_custkey", "c.c_name", "n.n_name")
+        .agg(F.sum(rev).alias("revenue_cents"))
+        .select("c_custkey", "c_name", "revenue_cents", "n_name")
+        .orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
     "a9_cube",
     oracle="""
     SELECT COALESCE(o_orderstatus, '(all)') AS status,
