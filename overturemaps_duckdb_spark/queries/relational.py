@@ -822,6 +822,35 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q12_shipmode_priority",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_quantity >= 30
+    GROUP BY l.l_linestatus
+    """,
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional CASE aggregation after a fact join —
+    both counts come out of one pass (no per-branch scans)."""
+    o = t(spark, sf_dir, "orders").alias("o")
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 30).alias("l")
+    high = F.col("o.o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("o.o_orderkey") == F.col("l.l_orderkey"))
+        .groupBy("l.l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
     "a9_cube",
     oracle="""
     SELECT COALESCE(o_orderstatus, '(all)') AS status,
