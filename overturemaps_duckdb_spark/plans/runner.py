@@ -53,6 +53,10 @@ class PipelineRunner:
     search: str = ""
     limit: int = 3000
     bbox: tuple | None = None
+    #: user-edited SQL replacing the compiled plan when set
+    #: (store.js:27, pipelineRunner.js:73) — executed via the EP3 shim
+    sql_override: str | None = None
+    spark: object = None  # SparkSession, required only for sql_override
 
     _timer: threading.Timer | None = field(default=None, repr=False)
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
@@ -83,6 +87,20 @@ class PipelineRunner:
             time.sleep(0.01)
 
     def _compile(self, use_fts: bool) -> DataFrame | None:
+        if self.sql_override:
+            # the edited SQL replaces the compiled text entirely
+            # (pipelineRunner.js:73); loaded theme tables are temp views
+            from overturemaps_duckdb_spark.compat import duck_sql
+
+            spark = self.spark
+            if spark is None:
+                any_df = next(iter(self.catalog.tables.values()), None)
+                if any_df is None:
+                    return None
+                spark = any_df.sparkSession
+            for name, df in self.catalog.tables.items():
+                df.createOrReplaceTempView(name)
+            return duck_sql(spark, self.sql_override)
         cat = self.catalog
         if not use_fts and cat.fts:
             cat = Catalog(tables=cat.tables, fields=cat.fields, fts={})

@@ -62,6 +62,24 @@ def test_fts_degrade_retry(spark):
     assert out.count == 10  # ILIKE fallback produced results
 
 
+def test_sql_override_replaces_compiled_plan(spark):
+    """User-edited SQL replaces the compiled pipeline entirely
+    (store.js:27, pipelineRunner.js:73) — DuckDB dialect accepted."""
+    cat = catalog_cs(spark, SF_SMOKE)
+    r = PipelineRunner(cat, debounce_s=0.01)
+    r.nodes = [SRC_C, SRC_S]
+    r.limit = 5
+    r.sql_override = (
+        "SELECT id, string_split(search_name, ' ')[1] AS w "
+        "FROM theme_customer ORDER BY id LIMIT 3"
+    )
+    out = r.run_now()
+    assert out.count == 3  # the override's LIMIT, not the pipeline's
+    assert set(out.rows[0].asDict()) == {"id", "w"}
+    r.sql_override = None
+    assert r.run_now().count == 5  # compiled path restored
+
+
 def test_sourceless_pipeline_runs_nothing(spark):
     cat = catalog_cs(spark, SF_SMOKE)
     r = PipelineRunner(cat, debounce_s=0.01)
