@@ -142,15 +142,29 @@ def load_theme(
     t0 = time.monotonic()
     xmin, ymin, xmax, ymax = bbox
 
-    # 1. snapview cache restore (themes.js:237-263)
+    # 1. snapview cache restore, including superset-bbox reuse: a cached
+    #    load whose bbox CONTAINS the request serves it with a filter
+    #    (bboxContains, themes.js:212 / map.js:35-38)
     if store is not None:
         cached = store.load(table)
         if cached is not None:
-            cached.createOrReplaceTempView(table)
-            return LoadResult(
-                table, cached.count(), 0, 0, 0, True,
-                (time.monotonic() - t0) * 1e3, cached,
+            meta = next((m for m in store.list() if m["id"] == table), {})
+            cached_bbox = meta.get("bbox")
+            contains = (
+                cached_bbox is not None
+                and cached_bbox[0] <= xmin and cached_bbox[1] <= ymin
+                and cached_bbox[2] >= xmax and cached_bbox[3] >= ymax
             )
+            if contains:
+                clipped = cached.where(
+                    (F.col(lon_col) >= xmin) & (F.col(lon_col) <= xmax)
+                    & (F.col(lat_col) >= ymin) & (F.col(lat_col) <= ymax)
+                )
+                clipped.createOrReplaceTempView(table)
+                return LoadResult(
+                    table, clipped.count(), 0, 0, 0, True,
+                    (time.monotonic() - t0) * 1e3, clipped,
+                )
 
     # 2. file-level pruning (themes.js:267-275 / worker/index.js:174-179)
     manifest = build_manifest(files)

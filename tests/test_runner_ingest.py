@@ -147,3 +147,21 @@ def test_load_theme_snapview_cache_roundtrip(spark, tmp_path):
     second = load_theme(spark, **kwargs)
     assert not first.cached and second.cached
     assert first.rows == second.rows
+
+    # superset-bbox reuse (bboxContains, themes.js:212): a smaller request
+    # is served from the cache, clipped — row count equals a direct load
+    sub = dict(kwargs, bbox=(-120.0, -45.0, -40.0, 45.0))
+    clipped = load_theme(spark, **sub)
+    assert clipped.cached
+    direct = load_theme(
+        spark, table="theme_cache_direct", files=files,
+        bbox=(-120.0, -45.0, -40.0, 45.0), projection=lambda raw: raw,
+        limit=10**6,
+    )
+    assert clipped.rows == direct.rows > 0
+
+    # a NON-contained request must fall back to the load path
+    wider = load_theme(
+        spark, **dict(kwargs, table="theme_cache_test", bbox=(-181.0, -91.0, 10.0, 91.0))
+    )
+    assert not wider.cached
