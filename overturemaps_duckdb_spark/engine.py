@@ -134,6 +134,50 @@ class Engine:
         )
         return df
 
+    # -- memoized intersection pass (intersections.js:22-44) --------------
+
+    def intersections(
+        self,
+        points_table: str,
+        polygon_tables: list[str],
+        bbox: tuple[float, float, float, float],
+    ):
+        """Point-in-polygon fold over the loaded tables, memoized by
+        (tables, rounded bbox) signature exactly like the reference
+        (intersections.js:22-44: recompute only when the signature moves)."""
+        from overturemaps_duckdb_spark.operators.spatial_join import (
+            intersection_fold,
+        )
+
+        sig = (
+            points_table,
+            tuple(sorted(polygon_tables)),
+            tuple(round(v, 3) for v in bbox),  # rounded-bbox key (ref :28)
+        )
+        if not hasattr(self, "_pip_memo"):
+            self._pip_memo = {}
+        if sig in self._pip_memo:
+            return self._pip_memo[sig]
+        import pyspark.sql.functions as F
+
+        xmin, ymin, xmax, ymax = bbox
+        clip = (
+            (F.col("centroid_lon") >= xmin) & (F.col("centroid_lon") <= xmax)
+            & (F.col("centroid_lat") >= ymin) & (F.col("centroid_lat") <= ymax)
+        )
+        def _clone(df):
+            # fresh exprIds so a table can be both point and polygon side
+            return df.select([F.col(c).alias(c) for c in df.columns])
+
+        pts = self.catalog.tables[points_table].where(clip)
+        polys = {
+            name: _clone(self.catalog.tables[name]).where(clip)
+            for name in polygon_tables
+        }
+        result = intersection_fold(pts, polys).collect()
+        self._pip_memo[sig] = result
+        return result
+
     # -- session persistence (controller.js:395-426) ----------------------
 
     def save_session(self) -> None:

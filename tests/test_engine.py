@@ -96,3 +96,13 @@ def test_engine_end_to_end(spark, tmp_path):
     # second load_area hits the snapview cache
     again = eng.load_area(["places/customer"], bbox=(-180.0, -90.0, 0.0, 90.0))
     assert again["places/customer"].cached
+
+    # memoized intersection pass: same signature → no recomputation
+    # (points against their own theme's boxes is degenerate but exercises
+    # the signature memo; intersections.js:22-44)
+    bbox = (-180.0, -90.0, 0.0, 90.0)
+    r1 = eng.intersections("places_customer", ["places_customer"], bbox)
+    assert ("places_customer", ("places_customer",),
+            tuple(round(v, 3) for v in bbox)) in eng._pip_memo
+    r2 = eng.intersections("places_customer", ["places_customer"], bbox)
+    assert r1 is r2  # memo hit returns the same object
