@@ -78,6 +78,45 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def main(argv: list[str] | None = None) -> int:
+    """CLI: run named queries (or all) against their oracles.
+
+        python -m tests.oracle_harness -q d2_minhash_lsh_pairs pl4_within_filter
+        python -m tests.oracle_harness --sf /root/testdata/sf0.001
+    """
+    import argparse
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-q", "--queries", nargs="*", default=None)
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--cpus", type=int, default=8)
+    args = ap.parse_args(argv)
+
+    from overturemaps_duckdb_spark import queries as q
+    from overturemaps_duckdb_spark.session import get_spark
+
+    q.load_all()
+    names = args.queries or sorted(q.ORACLES)
+    spark = get_spark("oracle-harness", cpus=args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb_connection(args.sf)
+    failed = 0
+    for name in names:
+        oracle = q.ORACLES.get(name)
+        df = q.QUERIES[name](spark, args.sf)
+        if oracle is None:
+            print(f"[rows] {name}: {df.count()} rows (no oracle by design)")
+            continue
+        res = compare(name, df, con, oracle)
+        print(res)
+        failed += 0 if res.ok else 1
+    spark.stop()
+    return 1 if failed else 0
+
+
 def compare(name: str, spark_df, con, oracle: str, max_mismatch_examples: int = 3) -> CompareResult:
     s_cols = list(spark_df.columns)
     s_rows = [tuple(r) for r in spark_df.collect()]
@@ -109,3 +148,7 @@ def compare(name: str, spark_df, con, oracle: str, max_mismatch_examples: int = 
         if only_d:
             res.reasons.append(f"only-in-duck  e.g. {only_d[0]!r}")
     return res
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
