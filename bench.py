@@ -63,9 +63,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warmup on the smallest fixture set (not timed): q1 exercises
-    # JVM/codegen, g1 additionally spins up the Python-worker pool so the
-    # first UDF-bearing headline query isn't charged ~1.5 s of startup.
-    for warm in ("q1_pricing_summary", "g1_g2_point_type_centroid"):
+    # JVM/codegen, g1 spins up the Python-worker pool, i1 initializes the
+    # streaming machinery (query manager + state store provider) — each is
+    # one-time session cost that would otherwise be charged to the first
+    # headline query of its kind (~1.5-1.7 s each, measured).
+    for warm in (
+        "q1_pricing_summary",
+        "g1_g2_point_type_centroid",
+        "i1_stream_tumbling_window",
+    ):
         _q.QUERIES[warm](spark, "/root/testdata/sf0.001").write.format(
             "noop"
         ).mode("overwrite").save()
