@@ -126,6 +126,37 @@ def x4_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: GPT-2-style pre-tokenizer approximation: contraction suffixes, word /
+#: number / punctuation runs with optional leading space, whitespace runs —
+#: the "BPE-ish regex" tier of token counting for training budgets
+_BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+@query(
+    "x6_bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+               '{_BPE_PATTERN.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens,
+           CAST(CAST(ceil(length(text) / 4.0) AS BIGINT) AS BIGINT)
+               AS n_est_tokens
+    FROM documents
+    """,
+)
+def x6_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword counting (GPT-2 pre-tokenizer regex, identical RE in
+    both engines) plus the chars/4 budget estimate — the two cheap tiers of
+    token accounting before a real tokenizer runs."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all("text", F.lit(_BPE_PATTERN), F.lit(0))
+        ).cast("bigint").alias("n_bpe_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("n_est_tokens"),
+    )
+
+
 #: the classic training-data scrub patterns (applied in one pass each)
 _EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 _URL_RE = "https?://[^\\s]+"
