@@ -1,0 +1,77 @@
+"""Simulate the round driver: vanilla SparkSession + __spark_entry__ contract.
+
+Deliberately does NOT use the repo's session helper or test fixtures —
+the driver builds its own session with its own confs.
+"""
+import sys, time, random
+
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[8]")
+    .appName("driver-sim")
+    .config("spark.sql.shuffle.partitions", "32")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+import __spark_entry__ as E
+
+# 1. smoke: entry() at sf0.001
+t0 = time.time()
+df = E.entry(spark)
+rows = df.collect()
+print(f"entry(): {len(rows)} rows, schema={[f.name for f in df.schema.fields]}, {time.time()-t0:.1f}s")
+assert len(rows) >= 0
+
+qs = E.queries()
+os_ = E.oracle_sql()
+print(f"queries()={len(qs)} oracle_sql()={len(os_)} no-oracle={sorted(set(qs)-set(os_))}")
+
+# 2. run a random sample of 8 queries vs DuckDB oracle at sf0.01, like the driver
+import duckdb, math
+
+SF = "/root/testdata/sf0.01"
+con = duckdb.connect()
+for name in "region nation customer supplier part orders lineitem events documents embeddings".split():
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{SF}/{name}.parquet')")
+
+def norm(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else round(v, 9)
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    from decimal import Decimal
+    if isinstance(v, Decimal):
+        return round(float(v), 9)
+    return v
+
+random.seed(7)
+sample = random.sample(sorted(os_), 8)
+fails = []
+for name in sample:
+    sdf = qs[name](spark, SF)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    cur = con.execute(os_[name])
+    dcols = [c[0] for c in cur.description]
+    drows = cur.fetchall()
+    if sorted(scols) != sorted(dcols):
+        fails.append((name, "cols", scols, dcols)); continue
+    order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+    order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    sn = sorted([tuple(str(norm(r[i])) for i in order_s) for r in srows])
+    dn = sorted([tuple(str(norm(r[i])) for i in order_d) for r in drows])
+    ok = sn == dn
+    print(f"  {name}: spark={len(srows)} duck={len(drows)} {'MATCH' if ok else 'MISMATCH'}")
+    if not ok:
+        fails.append((name, "values"))
+
+print("FAILS:", fails if fails else "none")
+spark.stop()
+sys.exit(1 if fails else 0)
