@@ -46,6 +46,42 @@ _FN_MAP = {
     "strlen": "length",
 }
 
+#: argument-splicing rewrites (balanced-paren extraction, not plain rename).
+#: list_sum/list_avg have no Spark builtin; `aggregate` with a NULL init +
+#: coalesce step reproduces DuckDB exactly: NULL for NULL/empty lists, the
+#: sum otherwise (verified against duckdb; numeric result is DOUBLE, where
+#: DuckDB keeps the element type — documented dialect difference).
+_CALL_MAP = {
+    "list_sum": lambda a: (
+        f"aggregate({a}, CAST(NULL AS DOUBLE), (s, x) -> coalesce(s, 0d) + x)"
+    ),
+    "list_avg": lambda a: (
+        f"(aggregate({a}, CAST(NULL AS DOUBLE), (s, x) -> coalesce(s, 0d) + x)"
+        f" / nullif(size({a}), 0))"
+    ),
+}
+
+
+def _rewrite_calls(text: str) -> str:
+    """Apply _CALL_MAP with balanced-paren argument extraction (args may
+    contain nested calls; text is literal-masked so parens are exact)."""
+    for name, build in _CALL_MAP.items():
+        pat = re.compile(rf"\b{name}\s*\(", re.IGNORECASE)
+        while True:
+            m = pat.search(text)
+            if m is None:
+                break
+            depth, i = 1, m.end()
+            while i < len(text) and depth:
+                if text[i] == "(":
+                    depth += 1
+                elif text[i] == ")":
+                    depth -= 1
+                i += 1
+            inner = text[m.end() : i - 1].strip()
+            text = text[: m.start()] + build(inner) + text[i:]
+    return text
+
 _RP_COUNTER = [0]
 
 
@@ -80,10 +116,20 @@ def _split_literals(sql: str) -> list[tuple[bool, str]]:
 
 
 def _rewrite_subscripts(sql: str) -> str:
-    """1-based bracket indexing → element_at: handles both `ident[1]` and
+    """1-based bracket indexing → try_element_at: handles both `ident[1]` and
     `fn(args)[1]` (Spark's native `arr[1]` subscript is 0-BASED — silently
-    wrong by one, the P3 trap SURVEY §7 risk 4 warns about).  Runs on
-    literal-masked text so paren matching is exact."""
+    wrong by one, the P3 trap SURVEY §7 risk 4 warns about).  try_element_at
+    (not element_at) because DuckDB's out-of-range subscript yields NULL,
+    never an error; `[0]` — which DuckDB also answers with NULL but Spark
+    rejects as INVALID_INDEX_OF_ZERO even in the try_ form — becomes a NULL
+    literal outright.  Runs on literal-masked text so paren matching is
+    exact."""
+
+    def _sub(expr: str, idx: str) -> str:
+        if idx == "0":
+            return "NULL"
+        return f"try_element_at({expr}, {idx})"
+
     while True:
         m = re.search(r"\[(\d+)\]", sql)
         if m is None:
@@ -105,13 +151,13 @@ def _rewrite_subscripts(sql: str) -> str:
             while i2 >= 0 and (sql[i2].isalnum() or sql[i2] in "_."):
                 i2 -= 1
             expr = sql[i2 + 1 : j + 1]
-            sql = sql[: i2 + 1] + f"element_at({expr}, {idx})" + sql[m.end() :]
+            sql = sql[: i2 + 1] + _sub(expr, idx) + sql[m.end() :]
         elif j >= 0 and (sql[j].isalnum() or sql[j] in "_."):
             i2 = j
             while i2 >= 0 and (sql[i2].isalnum() or sql[i2] in "_."):
                 i2 -= 1
             expr = sql[i2 + 1 : j + 1]
-            sql = sql[: i2 + 1] + f"element_at({expr}, {idx})" + sql[m.end() :]
+            sql = sql[: i2 + 1] + _sub(expr, idx) + sql[m.end() :]
         else:
             # not a subscript form we rewrite (e.g. array literal) — mask the
             # brackets so the scan can proceed, restore at the end
@@ -144,6 +190,12 @@ def translate(sql: str) -> str:
     text = re.sub(r"//", " DIV ", text)
     for src, dst in _FN_MAP.items():
         text = re.sub(rf"\b{src}\s*\(", f"{dst}(", text, flags=re.IGNORECASE)
+    text = _rewrite_calls(text)
+    # DuckDB `len()` is polymorphic (strings AND lists); Spark splits it into
+    # length()/size().  A lazily-registered 1-row-at-a-time UDF (duck_sql
+    # registers it) keeps the console polymorphic — compat slow path only;
+    # the DataFrame API uses F.length/F.size natively.
+    text = re.sub(r"\blen\s*\(", "duck_len(", text, flags=re.IGNORECASE)
 
     # DuckDB's regexp_replace global flag: Spark replaces globally by
     # default and takes a position (int) as arg 4 — strip a trailing 'g'
@@ -161,6 +213,24 @@ def translate(sql: str) -> str:
     return text
 
 
+#: per-SparkSession fallback SessionState for console `_session` statements
+#: issued outside an Engine (reference: every console shares the app's
+#: session table, sessionState.js:59-68 — raising here broke that contract)
+_DEFAULT_STATE: dict[int, object] = {}
+
+
+def _default_session_state(spark: SparkSession):
+    import tempfile
+
+    from overturemaps_duckdb_spark.state import SessionState
+
+    ss = _DEFAULT_STATE.get(id(spark))
+    if ss is None:
+        ss = SessionState(spark, tempfile.mkdtemp(prefix="omd_session_"))
+        _DEFAULT_STATE[id(spark)] = ss
+    return ss
+
+
 def _intercept(
     spark: SparkSession, sql: str, session_state=None
 ) -> DataFrame | None:
@@ -176,10 +246,7 @@ def _intercept(
         # Y1 — the _session KV upsert (sessionState.js:59-68) routes to
         # SessionState; raw (unparsed-JSON) values round-trip as strings
         if session_state is None:
-            raise NotImplementedError(
-                "INSERT OR REPLACE INTO _session needs a SessionState "
-                "(use Engine.sql, which wires its session store)"
-            )
+            session_state = _default_session_state(spark)
         key, value = m.group(1), m.group(2).replace("''", "'")
         session_state._kv[key] = value
         session_state._flush()
@@ -188,9 +255,7 @@ def _intercept(
     m = re.match(r"(?is)^DELETE\s+FROM\s+_session$", s)
     if m:
         if session_state is None:
-            raise NotImplementedError(
-                "DELETE FROM _session needs a SessionState (use Engine.sql)"
-            )
+            session_state = _default_session_state(spark)
         session_state.clear()
         return spark.createDataFrame([], "key string, value string")
 
@@ -238,13 +303,29 @@ def _materialize_read_parquet(spark: SparkSession, sql: str) -> str:
                   r"(?:,[^)]*)?\)", repl, sql)
 
 
+#: SparkSessions that already registered the polymorphic duck_len UDF
+_LEN_REGISTERED: set[int] = set()
+
+
+def _ensure_len_udf(spark: SparkSession) -> None:
+    if id(spark) not in _LEN_REGISTERED:
+        spark.udf.register(
+            "duck_len", lambda x: None if x is None else len(x), "bigint"
+        )
+        _LEN_REGISTERED.add(id(spark))
+
+
 def duck_sql(spark: SparkSession, sql: str, session_state=None) -> DataFrame:
     """Run a DuckDB-dialect SQL text on Spark (the EP3 console entry).
 
     `session_state`: optional SessionState for the `_session` KV statements
-    (Engine.sql wires its own)."""
+    (Engine.sql wires its own; bare console calls share a per-session
+    default store)."""
     intercepted = _intercept(spark, sql, session_state)
     if intercepted is not None:
         return intercepted
     sql = _materialize_read_parquet(spark, sql)
-    return spark.sql(translate(sql))
+    translated = translate(sql)
+    if "duck_len(" in translated:
+        _ensure_len_udf(spark)
+    return spark.sql(translated)

@@ -72,13 +72,14 @@ class _Reader:
         # mask off Z/M/SRID flags (EWKB / ISO): keep the base type
         has_srid = bool(type_code & 0x20000000)
         base = type_code & 0xFF
-        dims = 2
-        if type_code & 0x80000000 or 1000 <= (type_code & 0x1FFFFFFF) < 2000:
-            dims = 3  # Z
-        if type_code & 0x40000000 or 2000 <= (type_code & 0x1FFFFFFF) < 3000:
-            dims = 3  # M (treated as one extra ordinate)
-        if 3000 <= (type_code & 0x1FFFFFFF) < 4000:
-            dims = 4  # ZM
+        # EWKB flags are additive (Z|M ⇒ ZM, 4 ordinates); ISO encodes the
+        # dimensionality in the thousands digit instead
+        dims = 2 + bool(type_code & 0x80000000) + bool(type_code & 0x40000000)
+        iso = type_code & 0x1FFFFFFF
+        if 1000 <= iso < 3000:
+            dims = 3  # ISO Z (1000s) or M (2000s) — one extra ordinate
+        elif 3000 <= iso < 4000:
+            dims = 4  # ISO ZM
         if base > 7:
             base = (type_code & 0x1FFFFFFF) % 1000
         if has_srid:

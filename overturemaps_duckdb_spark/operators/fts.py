@@ -23,6 +23,7 @@ BM25 (Okapi, the same family DuckDB's `match_bm25` implements):
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 import pyspark.sql.functions as F
@@ -32,6 +33,13 @@ from overturemaps_duckdb_spark.functions.text import tokens
 
 K1 = 1.2
 B = 0.75
+
+
+class FtsScoringError(RuntimeError):
+    """BM25 scoring failed against a registered index — the typed marker the
+    pipeline runner's degrade path matches on (the reference's equivalent is
+    sniffing 'match_bm25' in the error text, pipelineRunner.js:93-96; a
+    typed error can't false-positive on unrelated failures)."""
 
 
 @dataclass
@@ -154,8 +162,13 @@ def ilike_search(
     df: DataFrame, text_col: str, q: str, limit: int = 10
 ) -> DataFrame:
     """T3 — the graceful-degradation path: `ILIKE '%q%'` ranked by
-    `length(text) ASC` (most-specific first), fts.js:104-108."""
-    escaped = q.replace("'", "''")
+    `length(text) ASC` (most-specific first), fts.js:104-108.
+
+    The query is a *value*, not spliced SQL — so quotes pass through
+    unescaped (doubling them would make O'Brien match nothing), while the
+    LIKE metacharacters %/_/\\ are backslash-escaped so user input matches
+    literally."""
+    escaped = re.sub(r"([%_\\])", r"\\\1", q)
     return (
         df.where(F.col(text_col).ilike(f"%{escaped}%"))
         .orderBy(F.length(text_col).asc(), F.col(df.columns[0]).asc())

@@ -41,7 +41,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from overturemaps_duckdb_spark.functions.geo import st_asgeojson
-from overturemaps_duckdb_spark.operators.fts import FtsIndex, bm25_score
+from overturemaps_duckdb_spark.operators.fts import (
+    FtsIndex,
+    FtsScoringError,
+    bm25_score,
+)
 from overturemaps_duckdb_spark.operators.spatial_join import (
     DEFAULT_BAND_DEG,
     bidirectional_match_ids,
@@ -169,8 +173,21 @@ def compile_pipeline(
             if idx is not None:
                 # FTS mode: `match_bm25(id, q) IS NOT NULL` as the predicate,
                 # the score as `_score` (pipeline.js:77-92).  The inner join
-                # against the score relation is both at once.
-                scores = bm25_score(idx, search).withColumnRenamed("id", "_sid")
+                # against the score relation is both at once.  A failure here
+                # is marked as FTS-originated so the runner's degrade path
+                # can tell it from unrelated errors (the reference's
+                # equivalent marker is 'match_bm25' in the error text,
+                # pipelineRunner.js:93-96).
+                try:
+                    scores = bm25_score(idx, search).withColumnRenamed(
+                        "id", "_sid"
+                    )
+                except Exception as exc:
+                    raise FtsScoringError(
+                        f"match_bm25 scoring failed for {n.table!r}: {exc}"
+                    ) from exc
+                # the join touches the SOURCE relation too — errors there are
+                # not FTS failures and must stay unwrapped
                 out = out.join(scores, out["id"] == F.col("_sid"), "inner")
                 # rounded at the boundary so score-ordered output is
                 # float-noise-free (divergence from the reference's raw

@@ -28,8 +28,14 @@ DEBOUNCE_S = 0.3
 
 def looks_like_fts_failure(exc: Exception) -> bool:
     """The reference sniffs 'match_bm25' in the error text
-    (pipelineRunner.js:93-96); our equivalent markers are the FTS relation
-    names/ops in Spark analysis errors."""
+    (pipelineRunner.js:93-96).  Compile-time FTS failures arrive as the
+    typed FtsScoringError (pipeline.py wraps the scoring branch); the text
+    sniff remains for execution-time failures surfacing lazily from inside
+    the scoring plan."""
+    from overturemaps_duckdb_spark.operators.fts import FtsScoringError
+
+    if isinstance(exc, FtsScoringError):
+        return True
     msg = str(exc).lower()
     return any(k in msg for k in ("match_bm25", "fts", "postings", "_score"))
 
@@ -114,8 +120,11 @@ class PipelineRunner:
 
         Unlike DuckDB (string SQL fails only at execution), Spark raises FTS
         problems at DataFrame-construction time too — so compile and execute
-        sit inside one try.  A failure only degrades when FTS was actually
-        in play (searching + indexes registered); anything else re-raises."""
+        sit inside one try.  A failure only degrades when FTS was actually in
+        play (searching + indexes registered) AND the error looks like an FTS
+        failure — the reference degrades only when the error text names
+        match_bm25 (pipelineRunner.js:93-96); a transient non-FTS failure
+        (OOM, missing file) must surface, not silently change ranking."""
         t0 = time.monotonic()
         degraded = False
         self.run_count += 1
@@ -126,7 +135,7 @@ class PipelineRunner:
                 return None
             rows = df.collect()
         except Exception as exc:  # noqa: BLE001 — mirror ref catch-all
-            if not (fts_in_play or self.is_fts_failure(exc)):
+            if not (fts_in_play and self.is_fts_failure(exc)):
                 raise
             # clear FTS capability + recompile with ILIKE (fts.js:93-96)
             self.catalog.fts.clear()

@@ -11,11 +11,23 @@ from tests.conftest import SF_SMOKE
 
 
 def test_bracket_index_translation():
-    assert translate("SELECT a.b[1] FROM t") == "SELECT element_at(a.b, 1) FROM t"
     assert (
-        translate("SELECT websites[1], addresses[2] FROM t")
-        == "SELECT element_at(websites, 1), element_at(addresses, 2) FROM t"
+        translate("SELECT a.b[1] FROM t")
+        == "SELECT try_element_at(a.b, 1) FROM t"
     )
+    assert translate("SELECT websites[1], addresses[2] FROM t") == (
+        "SELECT try_element_at(websites, 1), try_element_at(addresses, 2) FROM t"
+    )
+    # DuckDB answers [0] and out-of-range subscripts with NULL, never an
+    # error; Spark rejects index 0 even in try_element_at → NULL literal
+    assert translate("SELECT a[0] FROM t") == "SELECT NULL FROM t"
+
+
+def test_subscript_null_semantics(spark):
+    row = duck_sql(
+        spark, "SELECT (array(1, 2))[0] AS z, (array(1, 2))[9] AS oob"
+    ).collect()[0]
+    assert row["z"] is None and row["oob"] is None
 
 
 def test_intdiv_and_fn_renames():
@@ -31,7 +43,7 @@ def test_string_literals_protected():
     sql = "SELECT 'list_min(a)[1] // x' AS s, name[1] FROM t WHERE c = 'it''s'"
     out = translate(sql)
     assert "'list_min(a)[1] // x'" in out  # literal untouched
-    assert "element_at(name, 1)" in out
+    assert "try_element_at(name, 1)" in out
     assert "'it''s'" in out
 
 
@@ -85,8 +97,35 @@ def test_session_kv_sql_intercepts(spark):
     assert SessionState(spark, root)._kv["lim"] == "100"
     duck_sql(spark, "DELETE FROM _session", ss)
     assert SessionState(spark, root)._kv == {}
-    with pytest.raises(NotImplementedError, match="SessionState"):
-        duck_sql(spark, "INSERT OR REPLACE INTO _session VALUES ('a', 'b')")
+    # no explicit SessionState → a per-SparkSession default store takes the
+    # write (reference consoles share the app session table); it persists
+    # across calls and is cleared by DELETE
+    duck_sql(spark, "INSERT OR REPLACE INTO _session VALUES ('a', 'b')")
+    from overturemaps_duckdb_spark.compat import _default_session_state
+
+    assert _default_session_state(spark)._kv["a"] == "b"
+    duck_sql(spark, "DELETE FROM _session")
+    assert _default_session_state(spark)._kv == {}
+
+
+def test_list_aggregates_and_len(spark):
+    row = duck_sql(
+        spark,
+        "SELECT list_sum(array(1.5, 2.5)) AS s, list_sum(array()) AS se, "
+        "list_avg(array(1.0, 2.0)) AS av, list_avg(array()) AS ave, "
+        "len('abc') AS ls, len(array(1, 2, 3)) AS la",
+    ).collect()[0]
+    # DuckDB-verified semantics: NULL for empty lists, values otherwise;
+    # len() polymorphic over strings and lists
+    assert row["s"] == 4.0 and row["se"] is None
+    assert row["av"] == 1.5 and row["ave"] is None
+    assert row["ls"] == 3 and row["la"] == 3
+
+
+def test_list_sum_nested_args():
+    out = translate("SELECT list_sum(list_transform(v, x -> x + 1)) FROM t")
+    assert out.count("aggregate(") == 1
+    assert "transform(v, x -> x + 1)" in out
 
 
 def test_ilike_passthrough(spark):

@@ -62,6 +62,30 @@ def test_fts_degrade_retry(spark):
     assert out.count == 10  # ILIKE fallback produced results
 
 
+def test_non_fts_failure_surfaces(spark):
+    """A failure that is NOT FTS-shaped must raise, not silently degrade to
+    ILIKE — the reference degrades only when the error names match_bm25
+    (pipelineRunner.js:93-96); a transient unrelated failure that cleared
+    the FTS cache would permanently change ranking with no surfaced error."""
+    from overturemaps_duckdb_spark.operators.fts import FtsIndex, build_fts_index
+
+    cat = catalog_cs(spark, SF_SMOKE)
+    df = cat.tables["theme_customer"]
+    cat.fts["theme_customer"] = build_fts_index(df, "id", "search_name")
+    # break the SOURCE table (simulates a missing file / schema drift), with
+    # a healthy FTS index registered and a search active
+    cat.tables["theme_customer"] = spark.createDataFrame([(1,)], "only_col int")
+    r = PipelineRunner(cat, debounce_s=0.01)
+    r.nodes = [SRC_C]
+    r.search = "machinery"
+    with pytest.raises(Exception) as ei:
+        r.run_now()
+    from overturemaps_duckdb_spark.operators.fts import FtsScoringError
+
+    assert not isinstance(ei.value, FtsScoringError)
+    assert cat.fts  # capability cache NOT cleared by the unrelated failure
+
+
 def test_sql_override_replaces_compiled_plan(spark):
     """User-edited SQL replaces the compiled pipeline entirely
     (store.js:27, pipelineRunner.js:73) — DuckDB dialect accepted."""

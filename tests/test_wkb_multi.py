@@ -75,3 +75,27 @@ def test_polygon_with_hole_area_and_containment():
     # point inside the hole does NOT intersect; point in the ring does
     assert not wkb.intersects(wkb.point(5.0, 5.0), back)
     assert wkb.intersects(wkb.point(2.0, 2.0), back)
+
+
+def test_ewkb_zm_flag_combination():
+    """EWKB with BOTH Z and M flags ⇒ 4 ordinates per point; the two flags
+    are additive, not alternatives (ADVICE r1: each flag check used to set
+    dims=3 so ZM coordinates were read misaligned)."""
+    import struct
+
+    def ewkb_point(x, y, flags, *extra):
+        return (
+            b"\x01"
+            + struct.pack("<I", 1 | flags)
+            + struct.pack("<" + "d" * (2 + len(extra)), x, y, *extra)
+        )
+
+    Z, M = 0x80000000, 0x40000000
+    g = wkb.loads(ewkb_point(1.5, 2.5, Z | M, 9.0, 8.0))
+    assert g.kind == "POINT" and g.coords == (1.5, 2.5)
+    # single flags still parse as 3 ordinates
+    assert wkb.loads(ewkb_point(3.0, 4.0, Z, 9.0)).coords == (3.0, 4.0)
+    assert wkb.loads(ewkb_point(5.0, 6.0, M, 9.0)).coords == (5.0, 6.0)
+    # ISO ZM (type 3001) unchanged
+    iso = b"\x01" + struct.pack("<I", 3001) + struct.pack("<dddd", 7.0, 8.0, 1.0, 2.0)
+    assert wkb.loads(iso).coords == (7.0, 8.0)
