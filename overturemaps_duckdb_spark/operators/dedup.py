@@ -337,18 +337,54 @@ def embedding_neardup_pairs(
     vec_col: str,
     *,
     threshold: float = 0.95,
+    exact: bool = False,
+    n_bands: int = 8,
+    planes_per_band: int = 4,
+    dim: int = 64,
 ) -> DataFrame:
     """(a_id, b_id, cosine) for pairs with cosine ≥ threshold.
 
-    Brute-force all-pairs via broadcast — correct at fixture scale; the LSH
-    bucket variant (similarity.random_hyperplane_buckets) is the planet-scale
-    candidate generator."""
-    from overturemaps_duckdb_spark.operators.similarity import cosine_expr
+    Default path is banded hyperplane LSH + exact cosine verify: candidate
+    generation is an equi-join on (band, bucket) — shuffles small int keys,
+    never broadcasts the corpus, never evaluates N² pairs.  The verify step
+    keeps precision exact (output ⊆ the brute-force result; LSH affects
+    recall only, 1-(1-p^r)^b per pair — ~0.98 at cosine 0.8 with the
+    defaults, →1 for tighter dups).  `exact=True` opts into the old
+    broadcast all-pairs form for small corpora.
+    """
+    from overturemaps_duckdb_spark.operators.similarity import (
+        banded_signature_frame,
+        cosine_expr,
+    )
 
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    a = v.select(F.col("id").alias("a_id"), F.col("v").alias("a_v"))
-    b = v.select(F.col("id").alias("b_id"), F.col("v").alias("b_v"))
-    pairs = a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+    if exact:
+        a = v.select(F.col("id").alias("a_id"), F.col("v").alias("a_v"))
+        b = v.select(F.col("id").alias("b_id"), F.col("v").alias("b_v"))
+        pairs = a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+    else:
+        sig = banded_signature_frame(
+            v,
+            id_col="id",
+            vec_col="v",
+            n_bands=n_bands,
+            planes_per_band=planes_per_band,
+            dim=dim,
+        )
+        a = sig.select(
+            F.col("id").alias("a_id"), F.col("v").alias("a_v"), "band", "bucket"
+        )
+        b = sig.select(
+            F.col("id").alias("b_id"), F.col("v").alias("b_v"), "band", "bucket"
+        )
+        # a pair colliding in several bands must score once: one shuffle on
+        # (a_id, b_id) dedups candidates and carries the vectors along
+        pairs = (
+            a.join(b, ["band", "bucket"])
+            .where(F.col("a_id") < F.col("b_id"))
+            .groupBy("a_id", "b_id")
+            .agg(F.first("a_v").alias("a_v"), F.first("b_v").alias("b_v"))
+        )
     cos = F.round(cosine_expr(F.col("a_v"), F.col("b_v")), 6)
     return (
         pairs.withColumn("cosine", cos)

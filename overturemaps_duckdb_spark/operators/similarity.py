@@ -88,12 +88,15 @@ def _plane_weight(plane: int, dim: int) -> int:
 
 
 def hyperplane_signature(
-    vec: Column, *, n_planes: int = 8, dim: int = 64
+    vec: Column, *, n_planes: int = 8, dim: int = 64, plane_offset: int = 0
 ) -> Column:
-    """int bucket id: bit p = [Σᵢ wᵢᵖ·vᵢ ≥ 0] for deterministic planes."""
+    """int bucket id: bit p = [Σᵢ wᵢᵖ·vᵢ ≥ 0] for deterministic planes.
+
+    `plane_offset` selects a disjoint plane family — banded LSH uses bands
+    of `n_planes` planes each at offsets 0, n, 2n, …"""
     sig = F.lit(0).cast("bigint")
     for p in range(n_planes):
-        weights = [_plane_weight(p, i) for i in range(dim)]
+        weights = [_plane_weight(plane_offset + p, i) for i in range(dim)]
         dot = F.lit(0.0)
         # Σ over non-zero weights only (≈6/7 of dims) — still pure codegen
         for i, w in enumerate(weights):
@@ -101,6 +104,70 @@ def hyperplane_signature(
                 dot = dot + F.element_at(vec, i + 1).cast("double") * float(w)
         sig = sig + F.when(dot >= 0.0, F.lit(1 << p).cast("bigint")).otherwise(F.lit(0))
     return sig
+
+
+def banded_signature_frame(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    n_bands: int = 8,
+    planes_per_band: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """(id, v, band, bucket) — one row per (vector, band): OR-amplified LSH.
+    A pair is a candidate if ANY band agrees, so recall for pairs at angular
+    collision probability p is 1-(1-p^r)^b instead of the single-table p^r.
+
+    Built in two narrow steps so the expression tree stays small (an
+    unrolled per-plane sum blows up Catalyst on b·r planes): (1) all b·r
+    plane signs as ONE HOF over a literal weight matrix, (2) per-band bucket
+    ids folded from the bit array, exploded to rows.  Pure codegen, no UDF.
+
+    Scale knob: `planes_per_band` bounds bucket granularity (2^r buckets per
+    band) — at 100 TB raise r to ~16-20 (and b with it) so per-bucket row
+    counts stay small; candidate generation stays an equi-join on
+    (band, bucket) either way."""
+    n_planes = n_bands * planes_per_band
+    weights = F.array(
+        *[
+            F.array(
+                *[F.lit(float(_plane_weight(p, i))) for i in range(dim)]
+            )
+            for p in range(n_planes)
+        ]
+    )
+    vec = F.col(vec_col)
+    bits = F.transform(
+        weights,
+        lambda wp: F.when(
+            F.aggregate(
+                F.zip_with(vec, wp, lambda x, w: x.cast("double") * w),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0.0,
+            F.lit(1).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    with_bits = df.select(
+        F.col(id_col).alias("id"), vec.alias("v"), bits.alias("_bits")
+    )
+    r = planes_per_band
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.aggregate(
+                F.slice(with_bits["_bits"], b * r + 1, F.lit(r)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc * 2 + x,
+            ).alias("bucket"),
+        ),
+    )
+    return with_bits.select(
+        "id", "v", F.explode(bands).alias("bb")
+    ).select("id", "v", "bb.band", "bb.bucket")
 
 
 # ---------------------------------------------------------------------------

@@ -213,7 +213,11 @@ WHERE ROUND({_EMB_DOT} / ({_EMB_NORM_A} * {_EMB_NORM_B}), 6) >= 0.8
 
 @query("d5_embedding_neardup", oracle=_EMB_NEARDUP_ORACLE)
 def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cosine ≥ 0.8), brute force at fixture
-    scale; the LSH-bucketed generator is the 100 TB path (n2_lsh_ann)."""
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.8) via banded hyperplane
+    LSH + exact cosine verify — candidate generation is a (band, bucket)
+    equi-join, no full-corpus broadcast, no N² evaluation.  The verify step
+    makes the output a subset of the oracle's brute-force pairs (precision
+    1.0); recall vs brute force is pytest-asserted on planted near-dups
+    (tests/test_similarity_ivf.py)."""
     e = t(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(e, "vec_id", "embedding", threshold=0.8)

@@ -51,3 +51,44 @@ def test_ivf_determinism(spark):
     r1 = sorted((r["id"], r["_list"]) for r in a1.collect())
     r2 = sorted((r["id"], r["_list"]) for r in a2.collect())
     assert r1 == r2
+
+
+def test_embedding_neardup_lsh_matches_bruteforce(spark):
+    """d5's banded-LSH path must find the same pairs as brute force on a
+    corpus with planted near-dups (cosine ≈ 0.99): precision is exact by
+    construction (cosine verify), recall 1-(1-p^r)^b ≈ 1 at this tightness.
+    The fixture embeddings have no pairs ≥ 0.8 at all, so this synthetic
+    corpus is the only real recall exercise."""
+    import math
+    import random
+
+    from overturemaps_duckdb_spark.operators.dedup import embedding_neardup_pairs
+
+    rng = random.Random(7)
+    rows = []
+    vid = 0
+    for base in range(40):
+        v = [rng.gauss(0, 1) for _ in range(64)]
+        n = math.sqrt(sum(x * x for x in v))
+        v = [x / n for x in v]
+        rows.append((vid, v))
+        vid += 1
+        if base % 2 == 0:  # plant a tight near-dup of every other vector
+            w = [x + rng.gauss(0, 0.02) for x in v]
+            rows.append((vid, w))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    lsh = {
+        (r["a_id"], r["b_id"], r["cosine"])
+        for r in embedding_neardup_pairs(
+            df, "vec_id", "embedding", threshold=0.9
+        ).collect()
+    }
+    brute = {
+        (r["a_id"], r["b_id"], r["cosine"])
+        for r in embedding_neardup_pairs(
+            df, "vec_id", "embedding", threshold=0.9, exact=True
+        ).collect()
+    }
+    assert len(brute) == 20  # every planted dup found by brute force
+    assert lsh == brute
