@@ -34,6 +34,31 @@ from overturemaps_duckdb_spark.functions.geo import (
 DEFAULT_BAND_DEG = 0.2
 
 
+def _parse_size_bytes(v: str) -> int:
+    """Spark size-conf string ('10485760', '10MB', '-1') → bytes."""
+    s = str(v).strip().lower()
+    mult = 1
+    for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                      ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                      ("b", 1)):
+        if s.endswith(suffix):
+            s = s[: -len(suffix)]
+            mult = m
+            break
+    return int(float(s)) * mult
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's own sizeInBytes estimate for the optimized plan — the same
+    statistic the planner uses for broadcast decisions.  Driver-side only,
+    never triggers a job.  Unknown → 'huge' so the caller assumes
+    non-broadcastable (the safe direction at scale)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return 1 << 62
+
+
 def band_condition(
     a: DataFrame, b: DataFrame, band_deg: float = DEFAULT_BAND_DEG
 ) -> Column:
@@ -71,7 +96,7 @@ def spatial_join(
     distance_deg: float | None = None,
     band_deg: float = DEFAULT_BAND_DEG,
     exclude_self: bool = False,
-    broadcast_b: bool = True,
+    broadcast_b: bool | None = None,
 ) -> DataFrame:
     """J1/J2/J3: inner (`intersect`), left_semi (`within`), left_anti
     (`exclude`) theta join of two cached theme tables.
@@ -85,11 +110,31 @@ def spatial_join(
     statistics alone).  The exact geometric predicate runs as a post-join
     filter over the banded candidate set; semi/anti are derived from the
     matched-id set of the filtered inner join.
+
+    `broadcast_b`: None (default) auto-routes — broadcast theta join while
+    B's Catalyst size estimate fits spark.sql.autoBroadcastJoinThreshold,
+    else the grid-cell equi-join (:func:`spatial_join_grid`), which shuffles
+    both sides on cell id instead of degenerating to a nested-loop shuffle.
+    True forces the broadcast form, False forces the grid form; results are
+    identical either way (pytest-asserted).
     """
+    if broadcast_b is None:
+        thr = _parse_size_bytes(
+            a.sparkSession.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760"
+            )
+        )
+        broadcast_b = thr > 0 and _plan_size_bytes(b) <= thr
+    if not broadcast_b:
+        return spatial_join_grid(
+            a, b, how=how, predicate=predicate, distance_m=distance_m,
+            distance_deg=distance_deg, band_deg=band_deg,
+            exclude_self=exclude_self,
+        )
     cond = band_condition(a, b, band_deg)
     if exclude_self:
         cond = cond & (a["id"] != b["id"])
-    rhs = F.broadcast(b) if broadcast_b else b
+    rhs = F.broadcast(b)
     exact = _exact_predicate(
         a, b, predicate=predicate, distance_m=distance_m, distance_deg=distance_deg
     )

