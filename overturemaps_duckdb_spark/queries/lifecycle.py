@@ -66,23 +66,41 @@ def s3_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def s13_grid_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grid-partitioned layout end-to-end (sources/layout.py): write
-    cx=/cy= directory partitions, bbox-read with plan-time partition
-    pruning, result must equal the plain filter — layout is an
-    optimization, never a filter."""
-    from overturemaps_duckdb_spark.sources.layout import (
-        read_grid_bbox,
-        write_grid_partitioned,
-    )
+    """Grid-partitioned layout end-to-end, produced by load_theme's OWN
+    write path (themes.js:351 RTREE analog, sources/ingest.py): ingest the
+    staged files with a layout_root, then bbox-read the materialized
+    cx=/cy= directory partitions with plan-time partition pruning.  The
+    result must equal the plain filter — layout is an optimization, never a
+    filter."""
+    from overturemaps_duckdb_spark.sources.ingest import load_theme
+    from overturemaps_duckdb_spark.sources.layout import read_grid_bbox
 
     pts = customer_points(spark, sf_dir).select(
         "id", "centroid_lon", "centroid_lat"
     )
-    path = tempfile.mkdtemp(prefix="omds_s13_") + "/grid"
-    write_grid_partitioned(pts, path, cell_deg=30.0)
-    return read_grid_bbox(
-        spark, path, (-95.0, -50.0, -65.0, 50.0), cell_deg=30.0
-    ).select("id", "centroid_lon", "centroid_lat")
+    root = tempfile.mkdtemp(prefix="omds_s13_")
+    staged = os.path.join(root, "staged")
+    pts.write.mode("overwrite").parquet(staged)
+    files = [
+        os.path.join(staged, f)
+        for f in os.listdir(staged)
+        if f.endswith(".parquet")
+    ]
+    bbox = (-95.0, -50.0, -65.0, 50.0)
+    res = load_theme(
+        spark,
+        table="theme_s13",
+        files=files,
+        bbox=bbox,
+        projection=lambda raw: raw.select("id", "centroid_lon", "centroid_lat"),
+        limit=10**6,
+        layout_root=root,
+        layout_cell_deg=30.0,
+    )
+    assert res.layout_path is not None  # the layout came from load_theme
+    return read_grid_bbox(spark, res.layout_path, bbox, cell_deg=30.0).select(
+        "id", "centroid_lon", "centroid_lat"
+    )
 
 
 @query(

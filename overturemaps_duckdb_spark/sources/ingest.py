@@ -69,6 +69,8 @@ class LoadResult:
     cached: bool
     load_time_ms: float
     df: DataFrame = field(repr=False, default=None)
+    #: where the grid-partitioned materialization landed (None = in-memory)
+    layout_path: str | None = None
 
 
 def cache_select(
@@ -133,12 +135,23 @@ def load_theme(
     batch_size: int = BATCH_SIZE,
     lon_col: str = "centroid_lon",
     lat_col: str = "centroid_lat",
+    layout_root: str | None = None,
+    layout_cell_deg: float = 5.0,
 ) -> LoadResult:
     """The EP1 pipeline for one theme: prune files by bbox → batched,
-    budgeted ingest → register temp view → snapview persist → history log.
+    budgeted ingest → grid-partitioned materialization → register temp view
+    → snapview persist → history log.
 
     `projection` maps a raw batch DataFrame → cached-schema DataFrame (use
-    :func:`cache_select` composed with geometry/centroid derivation)."""
+    :func:`cache_select` composed with geometry/centroid derivation).
+
+    Materialization (the reference's optional RTREE, themes.js:351): when a
+    store or an explicit `layout_root` is given, the ingested rows land
+    grid-partitioned on `layout_cell_deg` cells (sources/layout.py) and the
+    registered view READS BACK from that layout — every later bbox query
+    gets plan-time partition pruning instead of a full scan.  With neither,
+    the load stays in-memory (cache only), matching the reference with
+    RTREE off."""
     t0 = time.monotonic()
     xmin, ymin, xmax, ymax = bbox
 
@@ -192,11 +205,33 @@ def load_theme(
 
     if loaded is None:
         loaded = projection(spark.read.parquet(*files)).where(F.lit(False))
+
+    # 4. grid-partitioned materialization — the RTREE analog (themes.js:351):
+    #    the ingested rows land pre-binned by spatial cell and the registered
+    #    view reads back from the layout, so every downstream bbox query is
+    #    partition-pruned at plan time (s13 exercises exactly this artifact).
+    layout_path = None
+    root = layout_root if layout_root is not None else (
+        store.root if store is not None else None
+    )
+    if root is not None and len(loaded.columns) > 0 and lon_col in loaded.columns:
+        import os
+
+        from overturemaps_duckdb_spark.sources.layout import (
+            write_grid_partitioned,
+        )
+
+        layout_path = os.path.join(root, "_layout", table)
+        write_grid_partitioned(
+            loaded, layout_path, cell_deg=layout_cell_deg,
+            lon_col=lon_col, lat_col=lat_col,
+        )
+        loaded = spark.read.parquet(layout_path).drop("cx", "cy")
     loaded = loaded.cache()
     rows = loaded.count()
     loaded.createOrReplaceTempView(table)
 
-    # 4. persistence + telemetry (themes.js:362,391)
+    # 5. persistence + telemetry (themes.js:362,391)
     elapsed_ms = (time.monotonic() - t0) * 1e3
     if store is not None:
         store.save(table, loaded, {"bbox": list(bbox)})
@@ -207,5 +242,6 @@ def load_theme(
             load_time_ms=elapsed_ms,
         )
     return LoadResult(
-        table, rows, len(files), len(survivors), batches, False, elapsed_ms, loaded
+        table, rows, len(files), len(survivors), batches, False, elapsed_ms,
+        loaded, layout_path,
     )

@@ -79,3 +79,61 @@ def test_bucketed_join_avoids_shuffle(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bkt_customer")
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
+
+
+def test_load_theme_materializes_grid_layout(spark):
+    """load_theme with a store must land the ingested rows grid-partitioned
+    (the RTREE analog, VERDICT r1 ask #5) and re-point the registered view
+    at the layout, so bbox scans get plan-time partition pruning."""
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from overturemaps_duckdb_spark.queries.spatial import customer_points
+    from overturemaps_duckdb_spark.sources.ingest import load_theme
+    from overturemaps_duckdb_spark.state import SnapviewStore
+    from tests.conftest import SF_SMOKE
+
+    pts = customer_points(spark, SF_SMOKE).select(
+        "id", "centroid_lon", "centroid_lat"
+    )
+    root = tempfile.mkdtemp(prefix="omds_lt_layout_")
+    staged = os.path.join(root, "staged")
+    pts.write.mode("overwrite").parquet(staged)
+    files = [
+        os.path.join(staged, f)
+        for f in os.listdir(staged)
+        if f.endswith(".parquet")
+    ]
+    store = SnapviewStore(spark, root)
+    res = load_theme(
+        spark,
+        table="theme_layout_t",
+        files=files,
+        bbox=(-180.0, -90.0, 180.0, 90.0),
+        projection=lambda raw: raw.select("id", "centroid_lon", "centroid_lat"),
+        limit=10**6,
+        store=store,
+        layout_cell_deg=30.0,
+    )
+    assert res.layout_path is not None and os.path.isdir(res.layout_path)
+    # directory partitions exist
+    assert any(d.startswith("cx=") for d in os.listdir(res.layout_path))
+    # registered view reads back from the layout with the original schema
+    view = spark.table("theme_layout_t")
+    assert view.columns == ["id", "centroid_lon", "centroid_lat"]
+    assert view.count() == res.rows == pts.count()
+    # a bbox read over the layout prunes partitions at plan time
+    from overturemaps_duckdb_spark.sources.layout import read_grid_bbox
+
+    pruned = read_grid_bbox(
+        spark, res.layout_path, (-95.0, -50.0, -65.0, 50.0), cell_deg=30.0
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    expected = pts.where(
+        (F.col("centroid_lon") >= -95) & (F.col("centroid_lon") <= -65)
+        & (F.col("centroid_lat") >= -50) & (F.col("centroid_lat") <= 50)
+    ).count()
+    assert pruned.count() == expected
