@@ -103,6 +103,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_k: int = 5,
     jaccard_threshold: float = 0.5,
+    stop_df_cap: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding, verified with exact
     shingle-set Jaccard.
@@ -112,6 +113,13 @@ def minhash_lsh_pairs(
     shuffle is on (band_idx, band_hash)).  Candidates are then verified
     exactly, so the output is threshold-exact (LSH affects recall only;
     the verification join keeps precision 1.0).
+
+    `stop_df_cap`: drop shingles whose document frequency exceeds the cap
+    BEFORE signatures/sets are built — boilerplate shingles shared by a
+    large fraction of a web-scale corpus otherwise glue unrelated docs into
+    the same bands (candidate blowup) and inflate Jaccard.  Signatures and
+    the verify sets see the same capped universe, so results stay
+    self-consistent; None (default) disables the extra df pass.
 
     Returns (a_id, b_id, jaccard) with a_id < b_id.
     """
@@ -143,6 +151,17 @@ def minhash_lsh_pairs(
     ex = norm_df.select(
         "id", F.explode(F.sequence(F.lit(1), count)).alias("_i"), "_n"
     ).select("id", F.expr(f"({poly}) % {1 << MINHASH_BASE_BITS}L").alias("h"))
+    if stop_df_cap is not None:
+        # stop-shingle removal: df per shingle over distinct (id, h), keep
+        # only shingles under the cap — one extra shuffle on the 8-byte hash
+        keep = (
+            ex.distinct()
+            .groupBy("h")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= stop_df_cap)
+            .select("h")
+        )
+        ex = ex.join(keep, "h")
     # ONE aggregation produces the shingle set AND all 16 signature mins:
     # a doc's exploded rows are co-located in their input partition, so the
     # map-side partial agg condenses 1.5M hash rows to ~1 row per doc before
@@ -228,17 +247,40 @@ def ngram_jaccard_pairs(
     *,
     shingle_k: int = 5,
     threshold: float = 0.5,
+    stop_df_cap: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs: explode distinct shingles to an inverted
     index, count shared shingles per pair, |A∪B| = |A|+|B|−|A∩B|.
 
     The pair-generation join shuffles on shingle — at 100 TB this runs after
-    LSH banding (see minhash_lsh_pairs); stop-shingle removal (drop shingles
-    with df above a cap) bounds the quadratic blowup of hot shingles."""
+    LSH banding (see minhash_lsh_pairs); `stop_df_cap` additionally drops
+    shingles with document frequency above the cap from CANDIDATE GENERATION
+    only (a shingle in k docs contributes k² join rows — one boilerplate
+    shingle across a corpus is a cartesian product).  Capped candidates are
+    then verified against the FULL shingle sets, so every reported jaccard
+    stays exact; only pairs whose overlap is exclusively hot shingles are
+    missed (bounded recall loss, zero precision loss)."""
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(char_ngrams(text_col, shingle_k))).alias("s"),
     )
+    if stop_df_cap is not None:
+        keep = (
+            sh.groupBy("s")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= stop_df_cap)
+            .select("s")
+        )
+        cand = (
+            sh.join(keep, "s")
+            .alias("a")
+            .join(sh.join(keep, "s").alias("b"), "s")
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+            .distinct()
+        )
+        sets = sh.groupBy("id").agg(F.collect_set("s").alias("shingles"))
+        return _verify_jaccard(cand, sets, threshold)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("id").alias("a_id"), "s")
     b = sh.select(F.col("id").alias("b_id"), "s")

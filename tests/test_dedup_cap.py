@@ -1,0 +1,97 @@
+"""Stop-shingle capping (VERDICT r1 stretch #9): hot boilerplate shingles
+must be removable from candidate generation without corrupting reported
+similarity values."""
+
+from __future__ import annotations
+
+import random
+
+from overturemaps_duckdb_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+
+BOILER = "all rights reserved contact us today"
+
+
+def _corpus(spark):
+    """30 unrelated docs glued by shared boilerplate + one true near-dup
+    pair (docs 100/101)."""
+    rng = random.Random(5)
+    rows = []
+    for i in range(30):
+        body = " ".join(
+            "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(6))
+            for _ in range(8)
+        )
+        rows.append((i, body + " " + BOILER))
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    rows.append((100, dup + " " + BOILER))
+    rows.append((101, dup + " once more " + BOILER))
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def test_ngram_cap_unhit_matches_uncapped(spark):
+    """A cap above every shingle's df is a no-op — the capped (candidate +
+    full-set verify) plan must reproduce the direct inverted-index plan's
+    pairs AND values exactly."""
+    df = _corpus(spark)
+    plain = {
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in ngram_jaccard_pairs(df, "id", "text", threshold=0.3).collect()
+    }
+    capped = {
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in ngram_jaccard_pairs(
+            df, "id", "text", threshold=0.3, stop_df_cap=10_000
+        ).collect()
+    }
+    assert capped == plain and (100, 101) in {(a, b) for a, b, _ in plain}
+
+
+def test_ngram_low_cap_exact_precision(spark):
+    """With a low cap the hot boilerplate shingles leave candidate
+    generation: surviving pairs keep their EXACT uncapped jaccard (verify
+    runs on full sets); only boilerplate-glued pairs may disappear."""
+    df = _corpus(spark)
+    plain = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, "id", "text", threshold=0.3).collect()
+    }
+    capped = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "id", "text", threshold=0.3, stop_df_cap=5
+        ).collect()
+    }
+    assert set(capped) <= set(plain)
+    for pair, jac in capped.items():
+        assert jac == plain[pair], f"jaccard drifted for {pair}"
+    assert (100, 101) in capped  # true near-dups share plenty of cool shingles
+
+
+def test_minhash_cap(spark):
+    """d2: cap above every df reproduces the uncapped result; a low cap
+    still finds the true near-dup pair while boilerplate stops gluing
+    unrelated docs into shared bands."""
+    df = _corpus(spark)
+    plain = {
+        (r["a_id"], r["b_id"])
+        for r in minhash_lsh_pairs(
+            df, "id", "text", jaccard_threshold=0.3
+        ).collect()
+    }
+    unhit = {
+        (r["a_id"], r["b_id"])
+        for r in minhash_lsh_pairs(
+            df, "id", "text", jaccard_threshold=0.3, stop_df_cap=10_000
+        ).collect()
+    }
+    assert unhit == plain
+    capped = {
+        (r["a_id"], r["b_id"])
+        for r in minhash_lsh_pairs(
+            df, "id", "text", jaccard_threshold=0.3, stop_df_cap=5
+        ).collect()
+    }
+    assert (100, 101) in capped
