@@ -280,3 +280,34 @@ def e3_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id", "event_id", (F.col("us") - F.lag("us").over(w)).alias("gap_us")
     )
+
+
+@query(
+    "i5_stream_foreachbatch_ingest",
+    oracle="""
+    SELECT event_type, count(*) AS n, sum(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def i5_stream_foreachbatch_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3 via a foreachBatch sink (streaming/windows.foreach_batch_ingest):
+    events staged as 3 micro-batches, each batch appended to a parquet sink
+    PLUS one `_load_history` telemetry row (themes.js:300-347,391).  The
+    reassembled sink must equal the batch table exactly — proven by the
+    per-type count/cents aggregate against the plain-SQL oracle; the log is
+    asserted to carry one row per micro-batch with matching row counts."""
+    import tempfile
+
+    from overturemaps_duckdb_spark.streaming.windows import foreach_batch_ingest
+
+    root = tempfile.mkdtemp(prefix="omds_i5_")
+    sink, log_root = foreach_batch_ingest(spark, sf_dir, root=root, n_splits=3)
+    log = spark.read.parquet(f"{log_root}/_load_history")
+    total = t(spark, sf_dir, "events").count()
+    assert log.count() == 3  # one telemetry row per micro-batch
+    assert log.agg(F.sum("row_count")).collect()[0][0] == total
+    sunk = spark.read.parquet(sink)
+    return sunk.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(cents("value")).alias("value_cents"),
+    )

@@ -198,3 +198,58 @@ def ep1_load_theme(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_size=2,
     )
     return res.df
+
+
+@query(
+    "s14_bucketed_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, count(*) AS n_orders
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+)
+def s14_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed layout end-to-end (sources/layout.write_bucketed): customer
+    and orders land hash-bucketed+sorted on the customer key, so the join
+    AND the per-customer aggregate plan with ZERO Exchange operators —
+    asserted on the executed plan.  This is the write-once/join-forever
+    layout for dimension tables at 100 TB (every shuffle of a 100 TB fact
+    table costs more than the one-time bucketed write)."""
+    import tempfile
+
+    from overturemaps_duckdb_spark.sources.layout import write_bucketed
+
+    root = tempfile.mkdtemp(prefix="omds_s14_")
+    write_bucketed(
+        t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        "omds_bkt_customer",
+        bucket_cols=["c_custkey"],
+        n_buckets=8,
+        sort_cols=["c_custkey"],
+        path=f"{root}/customer",
+    )
+    write_bucketed(
+        t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey"),
+        "omds_bkt_orders",
+        bucket_cols=["o_custkey"],
+        n_buckets=8,
+        sort_cols=["o_custkey"],
+        path=f"{root}/orders",
+    )
+    c = spark.table("omds_bkt_customer")
+    o = spark.table("omds_bkt_orders")
+    joined = (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    # bucketing's contract: NO shuffle exchange anywhere — the join either
+    # broadcasts the dim (Catalyst's call at fixture size; still no shuffle)
+    # or bucketed-SMJs, and the keyed aggregate inherits the bucket
+    # partitioning (the forced-SMJ zero-Exchange case is pytest-covered in
+    # test_layout.py where conf scope is controllable)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, (
+        "bucketed join/agg must not shuffle"
+    )
+    return joined

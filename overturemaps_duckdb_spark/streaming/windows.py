@@ -223,6 +223,72 @@ def stream_to_parquet(
     q.awaitTermination()
 
 
+def foreach_batch_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    root: str,
+    n_splits: int = 3,
+) -> tuple[str, str]:
+    """I3 through a ``foreachBatch`` sink: each micro-batch appends its rows
+    to a parquet table AND writes one `_load_history` telemetry row — the
+    streaming twin of the reference's per-batch CTAS/INSERT + history insert
+    loop (themes.js:300-347,391).
+
+    ``foreachBatch`` is the escape hatch the plain file sink can't cover:
+    the batch function sees a BATCH DataFrame per trigger, so it can do
+    multi-sink writes (data + log) — at 100 TB the same
+    hook does MERGE/upsert into table formats.  Events are staged into
+    `n_splits` files with pinned mtimes so maxFilesPerTrigger=1 yields a
+    deterministic batch sequence.
+
+    Returns (sink_path, log_root)."""
+    import os
+    import shutil
+
+    from overturemaps_duckdb_spark.state import append_load_history
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stage = os.path.join(root, "stage")
+    for i in range(n_splits):
+        part = batch.where(F.col("event_id") % n_splits == i)
+        pdir = os.path.join(stage, f"split_{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(pdir)
+        for fn in os.listdir(pdir):
+            if fn.endswith(".parquet"):
+                dst = os.path.join(stage, f"{i:02d}_events.parquet")
+                shutil.move(os.path.join(pdir, fn), dst)
+                os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+        shutil.rmtree(pdir)
+
+    sink = os.path.join(root, "sink")
+    log_root = os.path.join(root, "log")
+    ckpt = os.path.join(root, "ckpt")
+
+    def handle_batch(bdf: DataFrame, batch_id: int) -> None:
+        n = bdf.count()
+        bdf.write.mode("append").parquet(sink)
+        append_load_history(
+            spark, log_root, key=f"batch_{batch_id}", lim=n, row_count=n
+        )
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink, log_root
+
+
 def run_to_batch(
     sdf: DataFrame,
     name: str,

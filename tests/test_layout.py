@@ -137,3 +137,58 @@ def test_load_theme_materializes_grid_layout(spark):
         & (F.col("centroid_lat") >= -50) & (F.col("centroid_lat") <= 50)
     ).count()
     assert pruned.count() == expected
+
+
+def test_bucketed_join_no_exchange_smj(spark):
+    """With broadcasting disabled, two tables bucketed on the join key must
+    sort-merge-join AND aggregate with ZERO Exchange operators — the
+    write-once/join-forever layout contract."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from overturemaps_duckdb_spark.queries import t
+    from overturemaps_duckdb_spark.sources.layout import write_bucketed
+    from tests.conftest import SF_SMOKE
+
+    root = tempfile.mkdtemp(prefix="omds_bkt_")
+    write_bucketed(
+        t(spark, SF_SMOKE, "customer").select("c_custkey", "c_mktsegment"),
+        "bkt_t_customer", bucket_cols=["c_custkey"], n_buckets=8,
+        sort_cols=["c_custkey"], path=f"{root}/customer",
+    )
+    write_bucketed(
+        t(spark, SF_SMOKE, "orders").select("o_custkey", "o_orderkey"),
+        "bkt_t_orders", bucket_cols=["o_custkey"], n_buckets=8,
+        sort_cols=["o_custkey"], path=f"{root}/orders",
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        c = spark.table("bkt_t_customer")
+        o = spark.table("bkt_t_orders")
+        joined = (
+            c.join(o, c["c_custkey"] == o["o_custkey"])
+            .groupBy("c_custkey", "c_mktsegment")
+            .agg(F.count("*").alias("n_orders"))
+        )
+        rows = joined.collect()  # force execution inside the conf window
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed SMJ must be shuffle-free"
+        # values: spot-check against a plain join
+        expected = (
+            t(spark, SF_SMOKE, "customer")
+            .join(
+                t(spark, SF_SMOKE, "orders"),
+                F.col("c_custkey") == F.col("o_custkey"),
+            )
+            .groupBy("c_custkey")
+            .count()
+            .collect()
+        )
+        assert {(r["c_custkey"], r["n_orders"]) for r in rows} == {
+            (r["c_custkey"], r["count"]) for r in expected
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
