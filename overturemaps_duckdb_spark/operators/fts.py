@@ -69,8 +69,18 @@ class FtsIndex:
 
 
 def build_fts_index(df: DataFrame, id_col: str, text_col: str) -> FtsIndex:
-    """Tokenize → explode → (term, id, tf) postings + per-doc lengths."""
-    toks = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
+    """Tokenize → explode → (term, id, tf) postings + per-doc lengths.
+
+    Narrow sources (a single parquet file arrives as 1 partition) are
+    spread to full parallelism before tokenization — the explode+partial-agg
+    is the expensive stage and otherwise runs on one core (measured 4.0 s →
+    0.9 s at sf0.1).  Wide sources skip the exchange: at scale the scan
+    width comes from the file layout."""
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    toks = src.select("id", tokens("_t").alias("toks"))
     docstats = toks.select("id", F.size("toks").alias("dl"))
     postings = (
         toks.select("id", F.explode("toks").alias("term"))
