@@ -106,4 +106,5 @@ def load_all() -> None:
         spatial,
         sqlfront,
         textstats,
+        tpch,  # registered last: keeps pre-r2 registry order frozen
     )
