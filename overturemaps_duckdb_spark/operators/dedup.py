@@ -433,3 +433,67 @@ def embedding_neardup_pairs(
         .where(F.col("cosine") >= threshold)
         .select("a_id", "b_id", "cosine")
     )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs: (id, cluster_id) where
+    cluster_id is the minimum document id reachable through the pair graph
+    — the cluster-assignment table a dedup pipeline actually consumes
+    (keep the representative ``id == cluster_id`` row, drop the rest).
+
+    Min-label propagation: each round every node adopts the smallest label
+    among itself and its neighbors — one shuffle per round on the edge
+    endpoints, O(graph diameter) rounds.  Near-dup clusters are dense and
+    shallow (a dup of a dup of X is almost always a direct dup of X), so
+    this converges in a handful of rounds; for adversarially-chained graphs
+    the alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce") bounds rounds at O(log² n) with
+    the same per-round join shape.
+
+    Iterative DataFrame algorithms grow lineage exponentially, so each
+    round is cut with ``localCheckpoint`` (executor-local storage); on a
+    long-lived 1000-executor job use reliable ``checkpoint`` to survive
+    executor loss.  Convergence is detected driver-side: labels only ever
+    decrease, so an unchanged ``sum(comp)`` means a fixpoint (one 8-byte
+    scalar per round crosses to the driver — never the labels themselves).
+
+    Ref: the reference has no clustering op (its dedup surface stops at
+    DISTINCT, src/lib/analysisQueries.js:50-52); this extends the LLM-
+    pipeline dedup family (SURVEY §2 extension) from pair detection to the
+    assignment artifact.
+    """
+    acol, bcol = pairs.columns[0], pairs.columns[1]
+    fwd = pairs.select(F.col(acol).alias("u"), F.col(bcol).alias("v"))
+    edges = fwd.unionAll(fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
+    labels = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(id_col).cast("long").alias("comp")
+    ).localCheckpoint(eager=True)
+    prev = None
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels.select(F.col("id").alias("_vid"), "comp"),
+                       F.col("v") == F.col("_vid"))
+            .groupBy("u")
+            .agg(F.min("comp").alias("_nc"))
+        )
+        nxt = (
+            labels.join(nbr, labels["id"] == nbr["u"], "left")
+            .select(
+                labels["id"],
+                F.least(labels["comp"], F.coalesce(F.col("_nc"), labels["comp"])).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur = nxt.agg(F.sum("comp")).collect()[0][0]
+        labels = nxt
+        if cur == prev:
+            break
+        prev = cur
+    edges.unpersist()
+    return labels.select(F.col("id"), F.col("comp").alias("cluster_id"))

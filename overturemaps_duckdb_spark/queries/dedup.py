@@ -11,6 +11,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from overturemaps_duckdb_spark.operators.dedup import (
+    dedup_clusters,
     embedding_neardup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
@@ -221,3 +222,44 @@ def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_similarity_ivf.py)."""
     e = t(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(e, "vec_id", "embedding", threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# connected-components cluster assignment
+# ---------------------------------------------------------------------------
+
+# the d2 pair CTEs, re-terminated into a recursive reachability closure:
+# cluster_id = min doc id reachable through the near-dup pair graph
+_CLUSTER_ORACLE = (
+    _MINHASH_ORACLE.rsplit(
+        "SELECT a_id, b_id, jaccard FROM pairs WHERE jaccard >= 0.5", 1
+    )[0].replace("WITH codes", "WITH RECURSIVE codes", 1)
+    + """
+, dpairs AS (SELECT a_id AS u, b_id AS v FROM pairs WHERE jaccard >= 0.5),
+edges AS (SELECT u, v FROM dpairs UNION ALL SELECT v, u FROM dpairs),
+reach(id, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT re.id, e.v FROM reach re JOIN edges e ON e.u = re.r
+)
+SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY id
+"""
+)
+
+
+@query("d6_dedup_clusters", oracle=_CLUSTER_ORACLE)
+def d6_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the d2 near-dup pairs: every document gets
+    a cluster_id (= min reachable doc id; singletons map to themselves) —
+    the keep/drop assignment artifact of a dedup pipeline.  Min-label
+    propagation, one edge-endpoint shuffle per round, lineage cut per round
+    (operators/dedup.dedup_clusters); the oracle is the equivalent DuckDB
+    recursive-CTE reachability closure."""
+    d = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", n_hashes=16, bands=4, shingle_k=5, jaccard_threshold=0.5
+    )
+    return dedup_clusters(d, "doc_id", pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )

@@ -95,3 +95,24 @@ def test_minhash_cap(spark):
         ).collect()
     }
     assert (100, 101) in capped
+
+
+def test_dedup_clusters_chain_and_singletons(spark):
+    """A chained pair graph (a-b, b-c, c-d) must collapse to one cluster —
+    requires multiple propagation rounds — and untouched docs must stay
+    singleton clusters of themselves."""
+    import pyspark.sql.functions as F
+
+    from overturemaps_duckdb_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 10, 11, 20)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(3, 4), (2, 3), (1, 2), (10, 11)], "a_id long, b_id long"
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in dedup_clusters(docs, "doc_id", pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
