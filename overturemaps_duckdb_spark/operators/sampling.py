@@ -1,0 +1,48 @@
+"""Deterministic sampling for training-data pipelines.
+
+`rand()`-based sampling is non-reproducible across retries/stage replays —
+a failed task that reruns samples DIFFERENT rows, silently corrupting an
+otherwise exactly-once pipeline.  Hash-threshold sampling keys the decision
+on the row's own identity (md5 of the id), so it is stable under retries,
+portable across engines (the DuckDB oracle computes the identical bit
+pattern), and trivially stratifiable.  This is the industry-standard shape
+for corpus subsampling / heldout splits (sample = hash(id) mod M < k).
+
+Everything is a pure column expression — whole-stage codegen, no shuffle,
+the filter evaluates at scan time.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from overturemaps_duckdb_spark.functions.text import md5_long
+
+#: sampling universe denominator — permille thresholds
+M = 1000
+
+
+def hash_bucket(id_col: str | Column) -> Column:
+    """Stable per-row bucket in [0, 1000): md5-hash the id, mod 1000."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return md5_long(c.cast("string")) % M
+
+
+def hash_sample(df: DataFrame, id_col: str, permille: int) -> DataFrame:
+    """Keep ~permille/1000 of rows, deterministically by id."""
+    return df.where(hash_bucket(id_col) < permille)
+
+
+def stratified_sample(
+    df: DataFrame, id_col: str, stratum_col: str, rates: dict[str, int]
+) -> DataFrame:
+    """Per-stratum permille rates (e.g. downsample web text, keep all code).
+
+    Unlisted strata are dropped (rate 0) — the explicit-mixture contract of
+    a training-data recipe.  The rate lookup is a literal CASE chain, fully
+    codegen; rows never shuffle."""
+    rate = F.lit(0)
+    for value, permille in rates.items():
+        rate = F.when(F.col(stratum_col) == value, F.lit(permille)).otherwise(rate)
+    return df.where(hash_bucket(id_col) < rate)

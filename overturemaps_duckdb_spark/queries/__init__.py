@@ -107,4 +107,5 @@ def load_all() -> None:
         sqlfront,
         textstats,
         tpch,  # registered last: keeps pre-r2 registry order frozen
+        pipelineops,
     )

@@ -1,0 +1,145 @@
+"""Training-data pipeline operators beyond the reference surface (task-brief
+extension set): as-of join, deterministic hash sampling, stratified mixture
+sampling, and sequence packing.
+
+Each is an engine operator (operators/asof.py, sampling.py, packing.py)
+with a value-checked DuckDB oracle; the reference has no analogs (its
+surface stops at the SQL console), so reference citations point at the
+closest surface these extend."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from overturemaps_duckdb_spark.functions.text import token_count
+from overturemaps_duckdb_spark.operators.asof import asof_join
+from overturemaps_duckdb_spark.operators.packing import pack_sequences
+from overturemaps_duckdb_spark.operators.sampling import hash_sample, stratified_sample
+from overturemaps_duckdb_spark.queries import query, t
+from overturemaps_duckdb_spark.queries._sql import md5_long_sql, tokens_sql
+
+_CARRY = (
+    "OVER (PARTITION BY user_id ORDER BY ts_us, side, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+)
+
+
+@query(
+    "aj1_asof_join",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id, 0 AS side
+        FROM events WHERE event_type = 'view'
+        UNION ALL
+        SELECT user_id, epoch_us(ts), event_id, 1
+        FROM events WHERE event_type = 'purchase'
+    ), w AS (
+        SELECT *,
+               last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+                   {_CARRY} AS v_eid,
+               last_value(CASE WHEN side = 0 THEN ts_us END IGNORE NULLS)
+                   {_CARRY} AS v_ts_us
+        FROM u
+    )
+    SELECT event_id AS p_eid, user_id, ts_us AS p_ts_us,
+           v_eid, CAST(v_ts_us AS BIGINT) AS v_ts_us
+    FROM w WHERE side = 1
+    """,
+)
+def aj1_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest view at or
+    before it (NULL when none) — operators/asof.asof_join union-merge +
+    carry-forward, one shuffle on user_id, no range blowup.  The oracle is
+    the identical carry-forward expressed as a window over the union."""
+    ev = t(spark, sf_dir, "events").withColumn("us", F.expr("ts DIV 1000"))
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "us"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "event_id", "us"
+    )
+    out = asof_join(
+        purchases,
+        views,
+        by=["user_id"],
+        left_ts="us",
+        right_ts="us",
+        right_cols=["event_id", "us"],
+        right_order="event_id",
+    )
+    return out.select(
+        F.col("event_id").alias("p_eid"),
+        "user_id",
+        F.col("us").alias("p_ts_us"),
+        F.col("r_event_id").alias("v_eid"),
+        F.col("r_us").alias("v_ts_us"),
+    )
+
+
+@query(
+    "sa1_hash_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {md5_long_sql("CAST(doc_id AS VARCHAR)")} % 1000 < 100
+    """,
+)
+def sa1_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% corpus sample keyed on md5(doc_id) — stable under
+    task retries (rand() is not), identical bits in any engine."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return hash_sample(d, "doc_id", permille=100)
+
+
+@query(
+    "sa2_stratified_sample",
+    oracle=f"""
+    SELECT event_id, event_type FROM events
+    WHERE {md5_long_sql("CAST(event_id AS VARCHAR)")} % 1000 <
+          CASE event_type WHEN 'purchase' THEN 1000 WHEN 'view' THEN 500
+                          WHEN 'click' THEN 250 WHEN 'error' THEN 50
+                          ELSE 0 END
+    """,
+)
+def sa2_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified mixture sampling: per-stratum permille rates (keep all
+    purchases, half the views, ..., drop unlisted strata) — the explicit
+    mixture recipe of a training corpus, as a pure codegen filter."""
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type")
+    return stratified_sample(
+        ev,
+        "event_id",
+        "event_type",
+        {"purchase": 1000, "view": 500, "click": 250, "error": 50},
+    )
+
+
+@query(
+    "pk1_sequence_packing",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, CAST(len({tokens_sql('text')}) AS BIGINT) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+                   AS before
+        FROM tok
+    )
+    SELECT doc_id, n_tokens,
+           CAST(before // 2048 AS BIGINT) AS seq_id,
+           CAST(before - (before // 2048) * 2048 AS BIGINT) AS offset
+    FROM c
+    """,
+)
+def pk1_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked sequence packing at a 2048-token budget in doc_id order —
+    operators/packing.pack_sequences distributed prefix sum (range
+    partition → partition-local window → P-row driver stitch), never a
+    single-task global window."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("bigint").alias("n_tokens")
+    )
+    out = pack_sequences(d, "doc_id", "n_tokens", budget=2048)
+    return out.select("doc_id", "n_tokens", "seq_id", "offset")
