@@ -483,10 +483,15 @@ def _prim_distance(a: Geometry, b: Geometry) -> float:
 def intersection(a: Geometry, b: Geometry) -> Geometry | None:
     """ST_Intersection for the overlay-rendering case (AnalysisPanel.jsx:44-46).
 
-    Supports the shapes the engine constructs: point-vs-any (point or empty)
-    and convex-polygon clipping via Sutherland–Hodgman.  Concave inputs are
-    clipped against the convex subject — documented engine limitation (the
-    reference delegates to GEOS; full polygon overlay is out of scope)."""
+    Point-vs-any returns the point; polygon-vs-polygon is a full planar
+    overlay: Sutherland–Hodgman when the clip ring is convex (one pass),
+    otherwise Greiner–Hormann (handles concave×concave, including
+    multi-component results, returned as MULTIPOLYGON).  Degenerate
+    configurations (shared vertices / vertex-on-edge / collinear edges)
+    are resolved by an epsilon perturbation of the clip ring — invisible at
+    the 6-dp rounding every consumer applies.  Holes are not overlaid (the
+    reference's themes carry none; it delegates to GEOS for the general
+    case)."""
     if not intersects(a, b):
         return None
     if a.kind == "POINT":
@@ -494,13 +499,249 @@ def intersection(a: Geometry, b: Geometry) -> Geometry | None:
     if b.kind == "POINT":
         return b
     if a.kind == "POLYGON" and b.kind == "POLYGON":
-        clipped = _clip_polygon(a.coords[0], b.coords[0])
-        if len(clipped) >= 3:
-            if clipped[0] != clipped[-1]:
-                clipped.append(clipped[0])
-            return Geometry("POLYGON", [clipped])
-        return None
+        subj, clip = a.coords[0], b.coords[0]
+        if _is_convex(subj) and _is_convex(clip):
+            # convex∩convex is always a single convex piece — one SH pass
+            clipped = _clip_polygon(subj, clip)
+            rings = [clipped] if len(clipped) >= 3 else []
+        else:
+            # any concave operand can yield multiple components — SH would
+            # fuse them through zero-width corridors; GH splits them
+            rings = _overlay_intersection(subj, clip)
+        rings = [r for r in rings if len(r) >= 3]
+        if not rings:
+            return None
+        closed = []
+        for r in rings:
+            r = list(r)
+            if r[0] != r[-1]:
+                r.append(r[0])
+            closed.append(r)
+        if len(closed) == 1:
+            return Geometry("POLYGON", [closed[0]])
+        return Geometry(
+            "MULTIPOLYGON", [Geometry("POLYGON", [r]) for r in closed]
+        )
     return None  # line overlays not required by the reference surface
+
+
+def _is_convex(ring) -> bool:
+    pts = ring[:-1] if ring and ring[0] == ring[-1] else list(ring)
+    n = len(pts)
+    if n < 4:
+        return True
+    sign = 0
+    for i in range(n):
+        ax, ay = pts[i]
+        bx, by = pts[(i + 1) % n]
+        cx, cy = pts[(i + 2) % n]
+        cr = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+        if cr != 0:
+            s = 1 if cr > 0 else -1
+            if sign == 0:
+                sign = s
+            elif s != sign:
+                return False
+    return True
+
+
+class _DegenerateOverlay(Exception):
+    """Raised when GH meets a non-general-position configuration."""
+
+
+class _GHVert:
+    __slots__ = ("pt", "nxt", "prv", "neighbor", "entry", "inter", "visited")
+
+    def __init__(self, pt, inter=False):
+        self.pt = pt
+        self.nxt = self.prv = self.neighbor = None
+        self.entry = False
+        self.inter = inter
+        self.visited = False
+
+
+def _gh_ring(pts) -> "_GHVert":
+    head = None
+    prev = None
+    for p in pts:
+        v = _GHVert(p)
+        if head is None:
+            head = v
+        else:
+            prev.nxt = v
+            v.prv = prev
+        prev = v
+    prev.nxt = head
+    head.prv = prev
+    return head
+
+
+def _gh_nodes(head):
+    v = head
+    while True:
+        yield v
+        v = v.nxt
+        if v is head:
+            break
+
+
+def _edge_intersections(p1, p2, q1, q2):
+    """Proper-crossing parameters (t, u) strictly inside both edges; raises
+    on endpoint-touching or collinear-overlap (non-general position)."""
+    dx1, dy1 = p2[0] - p1[0], p2[1] - p1[1]
+    dx2, dy2 = q2[0] - q1[0], q2[1] - q1[1]
+    denom = dx1 * dy2 - dy1 * dx2
+    if denom == 0:
+        # parallel: degenerate only if collinear AND overlapping
+        cross = (q1[0] - p1[0]) * dy1 - (q1[1] - p1[1]) * dx1
+        if cross == 0:
+            proj = [
+                ((q[0] - p1[0]) * dx1 + (q[1] - p1[1]) * dy1) for q in (q1, q2)
+            ]
+            lo, hi = min(proj), max(proj)
+            if hi > 0 and lo < dx1 * dx1 + dy1 * dy1:
+                raise _DegenerateOverlay("collinear overlap")
+        return None
+    t = ((q1[0] - p1[0]) * dy2 - (q1[1] - p1[1]) * dx2) / denom
+    u = ((q1[0] - p1[0]) * dy1 - (q1[1] - p1[1]) * dx1) / denom
+    eps = 1e-12
+    if -eps < t < eps or 1 - eps < t < 1 + eps or -eps < u < eps or 1 - eps < u < 1 + eps:
+        if -eps <= t <= 1 + eps and -eps <= u <= 1 + eps:
+            raise _DegenerateOverlay("endpoint touch")
+        return None
+    if 0 < t < 1 and 0 < u < 1:
+        return (t, u)
+    return None
+
+
+def _strict_inside(pt, ring) -> bool:
+    x, y = pt
+    inside = False
+    for (x1, y1), (x2, y2) in zip(ring, ring[1:]):
+        if (y1 > y) != (y2 > y):
+            xin = (x2 - x1) * (y - y1) / (y2 - y1) + x1
+            if x < xin:
+                inside = not inside
+    return inside
+
+
+def _overlay_once(subj_pts, clip_pts, subj_closed, clip_closed):
+    s_head = _gh_ring(subj_pts)
+    c_head = _gh_ring(clip_pts)
+    # 1. find crossings, recording (edge-origin vertex, alpha) pairs
+    crossings = []
+    for sv in list(_gh_nodes(s_head)):
+        for cv in list(_gh_nodes(c_head)):
+            hit = _edge_intersections(sv.pt, sv.nxt.pt, cv.pt, cv.nxt.pt)
+            if hit is not None:
+                crossings.append((sv, cv, hit[0], hit[1]))
+    if not crossings:
+        if _strict_inside(subj_pts[0], clip_closed):
+            return [list(subj_pts)]
+        if _strict_inside(clip_pts[0], subj_closed):
+            return [list(clip_pts)]
+        return []
+    # 2. insert intersection twins, sorted by alpha along each original edge
+    def _insert(origin_of, alpha_idx):
+        by_edge: dict[int, list] = {}
+        for rec in crossings:
+            by_edge.setdefault(id(rec[origin_of]), []).append(rec)
+        for recs in by_edge.values():
+            recs.sort(key=lambda r: r[2 + alpha_idx])
+            anchor = recs[0][origin_of]
+            cur = anchor
+            for rec in recs:
+                p1, p2 = anchor.pt, anchor_nxt[id(anchor)]
+                t = rec[2 + alpha_idx]
+                pt = (p1[0] + (p2[0] - p1[0]) * t, p1[1] + (p2[1] - p1[1]) * t)
+                v = _GHVert(pt, inter=True)
+                v.prv, v.nxt = cur, cur.nxt
+                cur.nxt.prv = v
+                cur.nxt = v
+                rec[4 + origin_of] = v  # type: ignore[index]
+                cur = v
+
+    # remember each edge's original endpoint before insertions
+    anchor_nxt = {}
+    for rec in crossings:
+        anchor_nxt[id(rec[0])] = rec[0].nxt.pt
+        anchor_nxt[id(rec[1])] = rec[1].nxt.pt
+    crossings = [list(r) + [None, None] for r in crossings]
+    _insert(0, 0)
+    _insert(1, 1)
+    for rec in crossings:
+        sv_new, cv_new = rec[4], rec[5]
+        sv_new.neighbor, cv_new.neighbor = cv_new, sv_new
+    # 3. entry/exit flags
+    for head, other_closed in ((s_head, clip_closed), (c_head, subj_closed)):
+        status = not _strict_inside(head.pt, other_closed)
+        for v in _gh_nodes(head):
+            if v.inter:
+                v.entry = status
+                status = not status
+    # 4. trace result rings (GH traversal: follow the current list until the
+    # next intersection, hop to its twin, repeat until back at the start)
+    rings = []
+    limit = 4 * (len(subj_pts) + len(clip_pts) + 2 * len(crossings))
+    for rec in crossings:
+        start = rec[4]
+        if start.visited:
+            continue
+        ring = []
+        cur = start
+        steps = 0
+        while True:
+            cur.visited = True
+            cur.neighbor.visited = True
+            if cur.entry:
+                while True:
+                    ring.append(cur.pt)
+                    cur = cur.nxt
+                    steps += 1
+                    if cur.inter or steps > limit:
+                        break
+            else:
+                while True:
+                    ring.append(cur.pt)
+                    cur = cur.prv
+                    steps += 1
+                    if cur.inter or steps > limit:
+                        break
+            if steps > limit:
+                raise _DegenerateOverlay("trace did not terminate")
+            cur.visited = True
+            cur.neighbor.visited = True
+            cur = cur.neighbor
+            if cur is start or cur is start.neighbor:
+                break
+        if len(ring) >= 3:
+            rings.append(ring)
+    return rings
+
+
+def _overlay_intersection(subj, clip) -> list:
+    """Greiner–Hormann polygon intersection of two (possibly concave) outer
+    rings; returns a list of open result rings.  Non-general-position
+    inputs retry with the clip ring perturbed by a scale-relative epsilon
+    (≤1e-9 of the bbox span — below every consumer's rounding)."""
+    subj_closed = list(subj) if subj[0] == subj[-1] else list(subj) + [subj[0]]
+    clip_closed = list(clip) if clip[0] == clip[-1] else list(clip) + [clip[0]]
+    subj_pts = subj_closed[:-1]
+    clip_pts = clip_closed[:-1]
+    span = max(
+        abs(v) for p in subj_pts + clip_pts for v in p
+    ) or 1.0
+    for attempt in range(4):
+        try:
+            return _overlay_once(subj_pts, clip_pts, subj_closed, clip_closed)
+        except _DegenerateOverlay:
+            eps = span * 1e-10 * (3 ** attempt)
+            clip_pts = [
+                (x + eps * (1 + (i % 3)), y + eps * (1 + (i % 2)))
+                for i, (x, y) in enumerate(clip_pts)
+            ]
+            clip_closed = clip_pts + [clip_pts[0]]
+    raise _DegenerateOverlay("unresolvable degeneracy after perturbation")
 
 
 def _clip_polygon(subject, clip) -> list:

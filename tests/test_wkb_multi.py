@@ -182,3 +182,90 @@ def test_distance_intersects_fastpaths_bit_identical():
     for i in range(len(pts_a)):
         k = wkb.intersects(wkb.loads(sa[i]), wkb.loads(sbox[i]))
         assert bool(hit[i]) == k, f"intersects drift row {i}"
+
+
+# ---------------------------------------------------------------------------
+# general polygon overlay (Greiner–Hormann)
+# ---------------------------------------------------------------------------
+
+
+def _ring_poly(*pts):
+    from overturemaps_duckdb_spark.functions.wkb import Geometry
+
+    r = list(pts)
+    if r[0] != r[-1]:
+        r.append(r[0])
+    return Geometry("POLYGON", [r])
+
+
+def test_overlay_concave_concave_area():
+    """U-shape ∩ T-shape: only the T's stem inside the U's cavity walls
+    survives — hand-computed area 1.0."""
+    from overturemaps_duckdb_spark.functions.wkb import area, intersection
+
+    u = _ring_poly((0, 0), (6, 0), (6, 4), (4, 4), (4, 2), (2, 2), (2, 4), (0, 4))
+    t = _ring_poly((2.5, 1), (3.5, 1), (3.5, 5), (5, 5), (5, 6), (1, 6), (1, 5), (2.5, 5))
+    g = intersection(u, t)
+    assert g is not None and abs(area(g) - 1.0) < 1e-9
+
+
+def test_overlay_multi_component():
+    """Comb teeth through a bar: four disjoint pieces must come back as a
+    MULTIPOLYGON (Sutherland–Hodgman would fuse them through zero-width
+    corridors), total area exact."""
+    from overturemaps_duckdb_spark.functions.wkb import area, intersection
+
+    comb = _ring_poly((0, 0), (7, 0), (7, 1), (0, 1))
+    teeth = _ring_poly(
+        (0.5, -1), (1.5, -1), (1.5, 2), (2.5, 2), (2.5, -1), (3.5, -1), (3.5, 2),
+        (4.5, 2), (4.5, -1), (5.5, -1), (5.5, 2), (6.5, 2), (6.5, -1), (6.8, -1),
+        (6.8, 3), (0.2, 3),
+    )
+    g = intersection(comb, teeth)
+    assert g.kind == "MULTIPOLYGON" and len(g.coords) == 4
+    assert abs(area(g) - 3.4125) < 1e-9
+
+
+def test_overlay_degenerate_shared_boundary():
+    """Identical boxes share every edge — the perturbation fallback must
+    resolve it to (essentially) the box itself."""
+    from overturemaps_duckdb_spark.functions.wkb import area, intersection
+
+    a = _ring_poly((0, 0), (4, 0), (4, 4), (0, 4))
+    b = _ring_poly((0, 0), (4, 0), (4, 4), (0, 4))
+    g = intersection(a, b)
+    assert g is not None and abs(area(g) - 16.0) < 1e-6
+
+
+def test_overlay_matches_convex_clip_areas():
+    """Randomized: concave staircase ∩ convex k-gon — GH area must equal the
+    Sutherland–Hodgman area (exact for a convex clip; corridor artifacts
+    cancel in the shoelace)."""
+    import math
+    import random
+
+    from overturemaps_duckdb_spark.functions.wkb import (
+        _clip_polygon, _overlay_intersection, _ring_area,
+    )
+
+    rng = random.Random(7)
+    for _ in range(40):
+        xs = sorted(rng.uniform(0, 10) for _ in range(3))
+        stair = [
+            (0, 0), (10, 0), (10, 3), (xs[2], 3), (xs[2], 6), (xs[1], 6),
+            (xs[1], 8), (xs[0], 8), (xs[0], 10), (0, 10),
+        ]
+        cx, cy, r = rng.uniform(1, 9), rng.uniform(1, 9), rng.uniform(1.5, 5)
+        n = rng.choice([3, 4, 5])
+        ph = rng.uniform(0, 6.28)
+        clip = [
+            (cx + r * math.cos(ph + 2 * math.pi * i / n),
+             cy + r * math.sin(ph + 2 * math.pi * i / n))
+            for i in range(n)
+        ]
+        stair_c, clip_c = stair + [stair[0]], clip + [clip[0]]
+        sh = _clip_polygon(stair, clip_c)
+        sh_area = abs(_ring_area(sh + [sh[0]])) if len(sh) >= 3 else 0.0
+        rings = _overlay_intersection(stair_c, clip_c)
+        gh_area = sum(abs(_ring_area(rr + [rr[0]])) for rr in rings)
+        assert abs(gh_area - sh_area) <= 1e-6 * max(1.0, sh_area)
