@@ -618,8 +618,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS revenue_tenthousandths,
            CAST(count(*) AS BIGINT) AS n
     FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '2024-01-01'
-      AND l_shipdate < TIMESTAMP '2025-01-01'
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
       AND l_discount BETWEEN 0.02 AND 0.09
       AND l_quantity < 24
     """,
@@ -634,8 +634,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.where(
-            (F.col("l_shipdate") >= F.lit("2024-01-01").cast("timestamp_ntz"))
-            & (F.col("l_shipdate") < F.lit("2025-01-01").cast("timestamp_ntz"))
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
             & (F.col("l_discount").between(0.02, 0.09))
             & (F.col("l_quantity") < 24)
         )
@@ -700,7 +700,7 @@ def a3_groupby_source(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) / 100.0 / count(*) AS avg_disc,
            CAST(count(*) AS BIGINT) AS count_order
     FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
     """,
@@ -715,7 +715,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
     )
     return (
-        li.where(F.col("l_shipdate") <= F.lit("2024-09-01 00:00:00").cast("timestamp_ntz"))
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(cents("l_quantity")).alias("sum_qty_cents"),

@@ -1,5 +1,5 @@
-"""TPC-H breadth — the remaining query shapes (Q2/Q7/Q8/Q9/Q11/Q13/Q16/Q17/
-Q19/Q20/Q21/Q22) adapted to the fixture schema (TESTDATA.md).
+"""TPC-H breadth — the remaining query shapes (Q2/Q7/Q8/Q9/Q11/Q13/Q15/Q16/
+Q17/Q19/Q20/Q21/Q22) adapted to the fixture schema (TESTDATA.md).
 
 The fixtures have no ``partsupp`` table and no comment/commit/receipt
 columns, so each query keeps its canonical TPC-H *plan shape* (correlated
@@ -591,4 +591,49 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("numcust"),
             F.sum(cents("c_acctbal")).alias("totacctbal_cents"),
         )
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM({_REV_CENTS_SQL}) AS BIGINT) AS total_revenue_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue_cents
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue_cents = (SELECT MAX(total_revenue_cents) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue "view" per supplier over a quarter, then the
+    supplier(s) hitting the global max.
+
+    The revenue aggregate is computed ONCE and reused for both the max
+    threshold and the join-back (Catalyst reuses the exchange under AQE);
+    the 1-row max crosses as a broadcast, supplier is a broadcast dim — the
+    only fact shuffle is the suppkey aggregation.  Revenue is exact int
+    cents, so the max-equality join is deterministic (no double compare).
+    """
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    s = t(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev_cents()).alias("total_revenue_cents")
+    )
+    mx = revenue.agg(F.max("total_revenue_cents").alias("_mx"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue_cents") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue_cents")
+        .orderBy("s_suppkey")
     )
