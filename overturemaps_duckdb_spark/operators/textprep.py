@@ -1,0 +1,148 @@
+"""Training-corpus text preparation: decontamination, repetition signals,
+sliding-window chunking.
+
+Beyond-reference surface (the reference's text handling stops at FTS/ILIKE,
+`/root/reference/src/lib/fts.js`): these are the standard pre-training
+pipeline stages between raw documents and tokenization —
+
+- **decontamination**: drop/flag training documents sharing any verbatim
+  token n-gram with an evaluation benchmark (the GPT-3/Llama 8-13-gram
+  collision test).  Scale shape: the benchmark side is tiny relative to the
+  corpus, so its distinct-gram set BROADCASTS and the corpus never
+  shuffles — contamination check is a map-side semi/inner join.
+- **repetition signals**: Gopher-style within-document duplication ratios
+  (duplicate token / 2-gram / 3-gram fractions) — pure array expressions,
+  whole-stage codegen, no shuffle at all.
+- **chunking**: overlapping fixed-width character windows (the training-
+  sample segmentation pass) — explode over a computed start sequence; output
+  rows stay co-partitioned with their source document.
+
+All three are value-checkable against DuckDB list-function oracles.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from overturemaps_duckdb_spark.functions.text import tokens
+
+
+def token_ngrams(toks: Column, n: int) -> Column:
+    """array<string> of space-joined token n-grams over a BOUND tokens
+    column (bind `toks` via select/withColumn first — an inlined expression
+    would re-evaluate per element, NOTES.md HOF gotcha).  Documents shorter
+    than `n` tokens yield their single whole-document gram."""
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+
+
+def ngram_decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 8,
+) -> DataFrame:
+    """(id, n_hit_grams) for training documents sharing ≥1 verbatim token
+    n-gram with the benchmark corpus — the contamination flag list a
+    training pipeline joins back to drop/quarantine documents.
+
+    Plan shape: the benchmark's distinct grams are exploded and broadcast
+    (eval sets are a few thousand documents even when the corpus is 100 TB);
+    the corpus side explodes per-document distinct grams and inner-joins
+    map-side — the corpus is never shuffled and never re-scanned.  The
+    groupBy(id) count shuffles only the (rare) hit rows.
+    """
+    tg = (
+        train.select(F.col(id_col).alias("id"), tokens(text_col).alias("_tk"))
+        .select("id", F.explode(F.array_distinct(token_ngrams(F.col("_tk"), n))).alias("gram"))
+    )
+    bg = (
+        bench.select(tokens(text_col).alias("_tk"))
+        .select(F.explode(token_ngrams(F.col("_tk"), n)).alias("gram"))
+        .distinct()
+    )
+    return (
+        tg.join(F.broadcast(bg), "gram")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hit_grams"))
+    )
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, dup_token_frac, dup_2gram_frac, dup_3gram_frac) — the Gopher
+    repetition-quality tier: fraction of tokens / word 2-grams / word
+    3-grams that are repeats within the document (0 = no repetition).
+
+    Pure column expressions over one bound token array — no explode, no
+    shuffle; at 100 TB this is a free rider on any scan that already reads
+    the text column."""
+
+    def dup_frac(arr: Column) -> Column:
+        total = F.size(arr)
+        return F.when(total > 0, F.round(
+            1.0 - F.size(F.array_distinct(arr)).cast("double") / total.cast("double"), 6
+        )).otherwise(F.lit(0.0))
+
+    toked = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("_tk")
+    )
+    with_grams = toked.select(
+        "id",
+        F.col("_tk"),
+        token_ngrams(F.col("_tk"), 2).alias("_g2"),
+        token_ngrams(F.col("_tk"), 3).alias("_g3"),
+    )
+    return with_grams.select(
+        "id",
+        dup_frac(F.col("_tk")).alias("dup_token_frac"),
+        dup_frac(F.col("_g2")).alias("dup_2gram_frac"),
+        dup_frac(F.col("_g3")).alias("dup_3gram_frac"),
+    )
+
+
+def sliding_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_chars: int = 200,
+    stride: int = 150,
+) -> DataFrame:
+    """(id, chunk_idx, chunk_text, n_chunk_chars) — overlapping character
+    windows: chunk i covers [1 + (i-1)·stride, … + chunk_chars).  The last
+    window may be short; every document yields ≥1 chunk.
+
+    n_chunks = 1 + ⌈max(len − chunk, 0) / stride⌉ guarantees full coverage
+    with (chunk − stride)-char overlap.  The explode multiplies rows ~len/
+    stride-fold but keeps them in the parent's partition — no shuffle; at
+    100 TB the chunker runs as a map-only stage between scan and tokenizer.
+    """
+    if stride <= 0 or chunk_chars <= 0:
+        raise ValueError("chunk_chars and stride must be positive")
+    n = F.length(F.col(text_col))
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(F.greatest(n - F.lit(chunk_chars), F.lit(0)) / F.lit(float(stride)))
+    ).cast("int")
+    start = (F.col("chunk_idx") - 1) * stride + 1
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("_t"),
+            F.explode(F.sequence(F.lit(1), n_chunks)).alias("chunk_idx"),
+        )
+        .select(
+            "id",
+            "chunk_idx",
+            F.substring(F.col("_t"), start, chunk_chars).alias("chunk_text"),
+        )
+        .withColumn("n_chunk_chars", F.length("chunk_text").cast("bigint"))
+    )

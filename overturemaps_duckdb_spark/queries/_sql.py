@@ -20,6 +20,17 @@ def tokens_sql(col: str) -> str:
     return f"list_filter(string_split({norm_sql(col)}, ' '), x -> x <> '')"
 
 
+def token_ngrams_sql(tk_col: str, n: int) -> str:
+    """list of space-joined token n-grams over a BOUND token-list column —
+    twin of operators.textprep.token_ngrams (docs shorter than n tokens
+    yield their single whole-document gram)."""
+    return (
+        f"list_transform(range(1, greatest(len({tk_col}) - {n - 1}, 1) + 1), "
+        f"i -> array_to_string(list_slice({tk_col}, CAST(i AS INTEGER), "
+        f"CAST(i + {n - 1} AS INTEGER)), ' '))"
+    )
+
+
 def md5_long_sql(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
 

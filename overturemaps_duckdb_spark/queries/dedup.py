@@ -18,11 +18,13 @@ from overturemaps_duckdb_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_dedup_buckets,
 )
+from overturemaps_duckdb_spark.operators.textprep import ngram_decontaminate
 from overturemaps_duckdb_spark.queries import query, t
 from overturemaps_duckdb_spark.queries._sql import (
     char_ngrams_sql,
     md5_long_sql,
     norm_sql,
+    token_ngrams_sql,
     tokens_sql,
 )
 
@@ -263,3 +265,41 @@ def d6_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(d, "doc_id", pairs).select(
         F.col("id").alias("doc_id"), "cluster_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+_DECONTAM_N = 8
+
+_DECONTAM_ORACLE = f"""
+WITH tk AS (SELECT doc_id, {tokens_sql('text')} AS tk FROM documents),
+bg AS (
+    SELECT DISTINCT unnest({token_ngrams_sql('tk', _DECONTAM_N)}) AS gram
+    FROM tk WHERE doc_id % 7 = 0
+),
+tg AS (
+    SELECT doc_id, unnest(list_distinct({token_ngrams_sql('tk', _DECONTAM_N)})) AS gram
+    FROM tk WHERE doc_id % 7 <> 0
+)
+SELECT tg.doc_id AS id, CAST(count(*) AS BIGINT) AS n_hit_grams
+FROM tg JOIN bg ON tg.gram = bg.gram
+GROUP BY tg.doc_id
+"""
+
+
+@query("dc1_decontaminate", oracle=_DECONTAM_ORACLE)
+def dc1_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (doc_id % 7 ≠ 0) sharing a
+    verbatim 8-token gram with the held-out benchmark split (doc_id % 7 =
+    0) — the GPT-3/Llama n-gram collision test as a first-class operator.
+
+    Scale shape (operators/textprep.ngram_decontaminate): the benchmark's
+    distinct grams broadcast (eval sets stay small no matter how big the
+    corpus is), the corpus explodes grams map-side and inner-joins without
+    shuffling, and only hit rows reach the groupBy."""
+    d = t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 7 == 0)
+    train = d.where(F.col("doc_id") % 7 != 0)
+    return ngram_decontaminate(train, bench, "doc_id", "text", n=_DECONTAM_N)

@@ -16,8 +16,16 @@ from overturemaps_duckdb_spark.functions.text import (
     shingle_fingerprint,
     token_count,
 )
+from overturemaps_duckdb_spark.operators.textprep import (
+    repetition_signals,
+    sliding_chunks,
+)
 from overturemaps_duckdb_spark.queries import query, t
-from overturemaps_duckdb_spark.queries._sql import norm_sql, tokens_sql
+from overturemaps_duckdb_spark.queries._sql import (
+    norm_sql,
+    token_ngrams_sql,
+    tokens_sql,
+)
 
 
 def _in_list(words: tuple[str, ...]) -> str:
@@ -198,3 +206,66 @@ def x5_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", redacted.alias("redacted"), had_email.alias("had_email")
     )
+
+
+def _dup_frac_sql(arr: str) -> str:
+    return (
+        f"CASE WHEN len({arr}) > 0 THEN "
+        f"ROUND(1.0 - len(list_distinct({arr})) * 1.0 / len({arr}), 6) "
+        f"ELSE 0.0 END"
+    )
+
+
+@query(
+    "x7_repetition_signals",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {tokens_sql('text')} AS tk FROM documents),
+    g AS (
+        SELECT doc_id, tk,
+               {token_ngrams_sql('tk', 2)} AS g2,
+               {token_ngrams_sql('tk', 3)} AS g3
+        FROM tk
+    )
+    SELECT doc_id AS id,
+           {_dup_frac_sql('tk')} AS dup_token_frac,
+           {_dup_frac_sql('g2')} AS dup_2gram_frac,
+           {_dup_frac_sql('g3')} AS dup_3gram_frac
+    FROM g
+    """,
+)
+def x7_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: fraction of tokens / word
+    2-grams / word 3-grams that are within-document repeats — pure array
+    expressions (operators/textprep.repetition_signals), no explode, no
+    shuffle; rides any scan that already reads the text column."""
+    d = t(spark, sf_dir, "documents")
+    return repetition_signals(d, "doc_id", "text")
+
+
+_CHUNK, _STRIDE = 200, 150
+
+_CHUNK_SQL = f"substr(text, CAST((i - 1) * {_STRIDE} + 1 AS INTEGER), {_CHUNK})"
+
+
+@query(
+    "x8_sliding_chunks",
+    oracle=f"""
+    WITH n AS (
+        SELECT doc_id, text,
+               CAST(1 + ceil(greatest(length(text) - {_CHUNK}, 0) / {_STRIDE}.0)
+                   AS BIGINT) AS nc
+        FROM documents
+    )
+    SELECT doc_id AS id, CAST(i AS INTEGER) AS chunk_idx,
+           {_CHUNK_SQL} AS chunk_text,
+           CAST(length({_CHUNK_SQL}) AS BIGINT) AS n_chunk_chars
+    FROM (SELECT doc_id, text, unnest(range(1, nc + 1)) AS i FROM n)
+    """,
+)
+def x8_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sample segmentation: overlapping {_CHUNK}-char windows with
+    {_STRIDE}-char stride (operators/textprep.sliding_chunks) — explode over
+    a computed start sequence, rows stay co-partitioned with the parent doc
+    (map-only stage between scan and tokenizer at 100 TB)."""
+    d = t(spark, sf_dir, "documents")
+    return sliding_chunks(d, "doc_id", "text", chunk_chars=_CHUNK, stride=_STRIDE)
