@@ -183,41 +183,45 @@ def minhash_lsh_pairs(
     sig = index.select(
         "id", F.array(*[F.col(f"_m{i}") for i in range(n_hashes)]).alias("sig")
     )
+    # Band keys as one 64-bit xxhash64 over (band_idx, signature slice) —
+    # long join keys instead of md5 hex strings.  Only the bucket GROUPING
+    # matters, not the hash value, so this buckets identically to the
+    # oracle's md5 banding absent hash collisions.
     banded = sig.select(
         "id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.md5(
-                            F.array_join(
-                                F.transform(
-                                    F.slice("sig", bi * rows + 1, rows),
-                                    lambda x: x.cast("string"),
-                                ),
-                                ",",
-                            )
-                        ).alias("bhash"),
-                    )
+                    F.xxhash64(F.lit(bi), F.slice("sig", bi * rows + 1, rows))
                     for bi in range(bands)
                 ]
             )
-        ).alias("bk"),
-    ).select("id", "bk.band", "bk.bhash")
-    left = banded.alias("l")
-    right = banded.alias("r")
-    cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bhash") == F.col("r.bhash"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(F.col("l.id").alias("a_id"), F.col("r.id").alias("b_id"))
-        .distinct()
+        ).alias("bkey"),
     )
-    return _verify_jaccard(cand, hs, jaccard_threshold)
+    # ONE shuffle forms the buckets; the old banded SELF-join shuffled both
+    # sides and re-shuffled for a mid-chain candidate distinct (each extra
+    # exchange is a blocking AQE stage).  In-bucket pair expansion is a
+    # sorted-combinations HOF (quadratic per bucket — identical cost shape
+    # to the self-join, which was also quadratic per bucket); multi-band
+    # duplicate pairs are deduped at the END on the tiny verified output.
+    buckets = (
+        banded.groupBy("bkey")
+        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
+            ),
+        )
+    )
+    cand = buckets.select(F.explode(pair_structs).alias("p")).select(
+        "p.a_id", "p.b_id"
+    )
+    return _verify_jaccard(cand, hs, jaccard_threshold).distinct()
 
 
 def _verify_jaccard(cand: DataFrame, sig: DataFrame, threshold: float) -> DataFrame:
