@@ -8,8 +8,10 @@ with an ILIKE fallback when the index is missing (fts.js:93-127).
 Spark has no secondary indexes, so the index IS a DataFrame pair — exactly
 how the FTS extension models it internally, but distributed:
 
-- ``postings``: (term, id, tf) — partitioned by term, so a query's term
-  lookup is an IN-predicate prune (pushed into the scan) of a term slice.
+- ``postings``: (term, id, tf, dl) — partitioned by term, so a query's term
+  lookup is an IN-predicate prune (pushed into the scan) of a term slice;
+  the doc length is denormalized into each posting so scoring never joins
+  a separate doc-stats table.
 - ``termstats``: (term, df) — document frequencies materialized at build
   time, as DuckDB's FTS schema does; scoring never re-aggregates postings.
 - ``docstats``: (id, dl) + scalar (N, avgdl).
@@ -57,7 +59,7 @@ class FtsIndex:
     instead of re-aggregating the full postings per query.  Optional for
     backward compatibility; derived from postings when absent."""
 
-    postings: DataFrame  # (term, id, tf)
+    postings: DataFrame  # (term, id, tf, dl)
     docstats: DataFrame  # (id, dl)
     stats: DataFrame  # single row: (n, avgdl)
     termstats: DataFrame | None = None  # (term, df)
@@ -93,10 +95,13 @@ def build_fts_index(df: DataFrame, id_col: str, text_col: str) -> FtsIndex:
         src = src.repartition(par)
     toks = src.select("id", tokens("_t").alias("toks"))
     docstats = toks.select("id", F.size("toks").alias("dl"))
+    # doc length rides along in the postings (classic posting-list
+    # denormalization): +8 bytes/row at build time deletes the per-query
+    # docstats join — scoring touches ONE table plus two broadcast stats.
     postings = (
-        toks.select("id", F.explode("toks").alias("term"))
+        toks.select("id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
         .groupBy("term", "id")
-        .agg(F.count("*").alias("tf"))
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
     )
     # avgdl as exact-int sum / exact-int count (one double division) — the
     # same value any SQL oracle computes, unlike engine-specific AVG paths.
@@ -146,11 +151,11 @@ def bm25_score(
     term_idf = dfreq.crossJoin(F.broadcast(index.stats)).select(
         "term", idf.alias("idf")
     )
-    matches = (
-        pruned.join(F.broadcast(term_idf), "term")
-        .join(index.docstats, "id")
-        .crossJoin(F.broadcast(index.stats))
+    matches = pruned.join(F.broadcast(term_idf), "term").crossJoin(
+        F.broadcast(index.stats)
     )
+    if "dl" not in index.postings.columns:  # legacy index without inline dl
+        matches = matches.join(index.docstats, "id")
     tf = F.col("tf").cast("double")
     denom = tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
     contrib = F.col("idf") * tf / denom

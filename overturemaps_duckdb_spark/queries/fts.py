@@ -53,7 +53,7 @@ def t1_fts_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1 — the materialized inverted index (term, id, tf); the Spark twin of
     `PRAGMA create_fts_index` (fts.js:51-68)."""
     d = t(spark, sf_dir, "documents")
-    return build_fts_index(d, "doc_id", "text").postings
+    return build_fts_index(d, "doc_id", "text").postings.select("term", "id", "tf")
 
 
 @query(
