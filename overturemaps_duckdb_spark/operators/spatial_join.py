@@ -75,6 +75,7 @@ def _exact_predicate(
     predicate: str,
     distance_m: float | None,
     distance_deg: float | None = None,
+    assume_points: bool = False,
 ) -> Column:
     if predicate == "intersects":
         return st_intersects(a["geometry"], b["geometry"])
@@ -82,6 +83,16 @@ def _exact_predicate(
         # the pipeline compiler pre-rounds the degree threshold like the
         # reference's (d/111320).toFixed(6) (pipeline.js:128)
         deg = distance_deg if distance_deg is not None else meters_to_degrees(distance_m)
+        if assume_points:
+            # POINT-POINT distance == centroid distance, and the kernel's
+            # point fast path is literally sqrt(dx²+dy²) over the packed
+            # doubles (functions/geo.st_distance) — the identical IEEE ops
+            # as codegen sqrt here, so swapping the pandas UDF for a native
+            # column is bit-exact while keeping the predicate inside
+            # whole-stage codegen (no Arrow round-trip per candidate pair).
+            dx = a["centroid_lon"] - b["centroid_lon"]
+            dy = a["centroid_lat"] - b["centroid_lat"]
+            return F.sqrt(dx * dx + dy * dy) < deg
         return st_distance(a["geometry"], b["geometry"]) < deg
     raise ValueError(f"unknown predicate {predicate!r}")
 
@@ -97,6 +108,7 @@ def spatial_join(
     band_deg: float = DEFAULT_BAND_DEG,
     exclude_self: bool = False,
     broadcast_b: bool | None = None,
+    assume_points: bool = False,
 ) -> DataFrame:
     """J1/J2/J3: inner (`intersect`), left_semi (`within`), left_anti
     (`exclude`) theta join of two cached theme tables.
@@ -129,14 +141,15 @@ def spatial_join(
         return spatial_join_grid(
             a, b, how=how, predicate=predicate, distance_m=distance_m,
             distance_deg=distance_deg, band_deg=band_deg,
-            exclude_self=exclude_self,
+            exclude_self=exclude_self, assume_points=assume_points,
         )
     cond = band_condition(a, b, band_deg)
     if exclude_self:
         cond = cond & (a["id"] != b["id"])
     rhs = F.broadcast(b)
     exact = _exact_predicate(
-        a, b, predicate=predicate, distance_m=distance_m, distance_deg=distance_deg
+        a, b, predicate=predicate, distance_m=distance_m,
+        distance_deg=distance_deg, assume_points=assume_points,
     )
     if how == "inner":
         return a.join(rhs, cond, "inner").where(exact)
@@ -161,22 +174,37 @@ def bidirectional_match_ids(
     band_deg: float = DEFAULT_BAND_DEG,
     exclude_self: bool = False,
     impl: str = "broadcast",
+    assume_points: bool = False,
 ) -> DataFrame:
     """J4: ids of base rows hitting `other` UNION ids of `other` rows hit by
-    base (pipeline.js:141-157) — two semi-joins + distinct union.
+    base (pipeline.js:141-157).
+
+    The reference compiles two EXISTS probes; both predicates here
+    (`within_distance`, `intersects`) are SYMMETRIC, so the two probe sets
+    are the two endpoint projections of ONE matched pair set — the heavy
+    band-join subtree runs once, not twice (pl4 measured ~2.1→~1.4 s warm
+    at sf0.1).
 
     `impl`: 'broadcast' (small other side, BroadcastNestedLoop with the band
     residual) or 'grid' (both sides large → grid-cell equi-join)."""
-    join_fn = spatial_join if impl == "broadcast" else spatial_join_grid
-    fwd = join_fn(
-        base, other, how="left_semi", predicate=predicate, distance_m=distance_m,
-        distance_deg=distance_deg, band_deg=band_deg, exclude_self=exclude_self,
-    ).select("id")
-    rev = join_fn(
-        other, base, how="left_semi", predicate=predicate, distance_m=distance_m,
-        distance_deg=distance_deg, band_deg=band_deg, exclude_self=exclude_self,
-    ).select("id")
-    return fwd.union(rev).distinct()
+    exact = _exact_predicate(
+        base, other, predicate=predicate, distance_m=distance_m,
+        distance_deg=distance_deg, assume_points=assume_points,
+    )
+    extra = (base["id"] != other["id"]) if exclude_self else None
+    if impl == "broadcast":
+        cond = band_condition(base, other, band_deg)
+        if extra is not None:
+            cond = cond & extra
+        pairs = base.join(F.broadcast(other), cond, "inner").where(exact)
+    else:
+        pairs = banded_join(
+            base, other, band_deg=band_deg, how="inner", extra_condition=extra
+        ).where(exact)
+    both = pairs.select(base["id"].alias("id")).union(
+        pairs.select(other["id"].alias("id"))
+    )
+    return both.distinct()
 
 
 def matched_b_overlay(
@@ -301,6 +329,7 @@ def spatial_join_grid(
     distance_deg: float | None = None,
     band_deg: float = DEFAULT_BAND_DEG,
     exclude_self: bool = False,
+    assume_points: bool = False,
 ) -> DataFrame:
     """The no-broadcast form of :func:`spatial_join`: grid-cell equi-join
     for candidates (both sides shuffle on cell id; AQE handles skew), exact
@@ -314,7 +343,8 @@ def spatial_join_grid(
         extra = a["id"] != b["id"]
     cand = banded_join(a, b, band_deg=band_deg, how="inner", extra_condition=extra)
     exact = _exact_predicate(
-        a, b, predicate=predicate, distance_m=distance_m, distance_deg=distance_deg
+        a, b, predicate=predicate, distance_m=distance_m,
+        distance_deg=distance_deg, assume_points=assume_points,
     )
     matched_pairs = cand.where(exact)
     if how == "inner":

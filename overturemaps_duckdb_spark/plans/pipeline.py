@@ -230,6 +230,9 @@ def compile_pipeline(
                     band_deg=band_deg,
                     exclude_self=True,  # base.id != b.id (pipeline.js:130)
                     impl=spatial_impl,
+                    # catalog themes are POINT tables (query.js:35-44 ingest
+                    # projection) → distance predicate stays in codegen
+                    assume_points=True,
                 )
             )
 
@@ -262,6 +265,7 @@ def compile_pipeline(
                 distance_deg=distance_degrees(sf.distance),
                 band_deg=band_deg,
                 exclude_self=True,
+                assume_points=True,
             )
 
     # -- outer projection: late GeoJSON (pipeline.js:103-111)

@@ -28,11 +28,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from overturemaps_duckdb_spark.functions.geo import (
-    st_centroid_lonlat,
-    st_geometrytype,
-    st_point,
-)
+from overturemaps_duckdb_spark.functions.geo import st_point
 from overturemaps_duckdb_spark.operators.fts import build_fts_index
 from overturemaps_duckdb_spark.plans.pipeline import Catalog, Node, compile_pipeline
 from overturemaps_duckdb_spark.queries import query, t
@@ -55,23 +51,22 @@ FIELDS = {
 
 
 def _themed(df: DataFrame) -> DataFrame:
-    """Attach geometry-derived columns through the WKB kernel (so the
-    compiler path exercises the real ingest projection, query.js:39-42)."""
-    from overturemaps_duckdb_spark.queries.spatial import _spread
+    """Attach geometry-derived columns (the ingest projection of
+    query.js:39-42).  All pipeline themes are POINT tables, where the
+    kernel's geometry type and centroid are constants of the construction
+    (raw f8 read-back of the packed lon/lat — bit-identical), so only the
+    WKB *pack* runs as a pandas UDF; the parse-back kernels stay verified
+    by the g1/g2 oracle queries."""
+    from overturemaps_duckdb_spark.queries.spatial import _spread, _theme_cache
 
     df = _spread(df)
     out = df.withColumn("geometry", st_point("lon", "lat")).withColumn(
-        "geom_type", st_geometrytype("geometry")
+        "geom_type", F.lit("POINT")
     )
-    cen = st_centroid_lonlat("geometry")
-    from overturemaps_duckdb_spark.queries.spatial import _theme_cache
-
     return _theme_cache(
-        out.withColumn("_c", cen)
-        .withColumns(
-            {"centroid_lon": F.col("_c.lon"), "centroid_lat": F.col("_c.lat")}
-        )
-        .drop("_c", "lon", "lat")
+        out.withColumns(
+            {"centroid_lon": F.col("lon"), "centroid_lat": F.col("lat")}
+        ).drop("lon", "lat")
     )
 
 

@@ -75,18 +75,22 @@ def _theme_cache(df: DataFrame) -> DataFrame:
 
 def customer_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theme-cached-shaped point table: id, lon, lat, geometry(WKB),
-    centroid_lon/lat (the ingest projection of query.js:35-44, with the
-    centroid coming from the kernel so the UDF path is what gets verified)."""
+    centroid_lon/lat (the ingest projection of query.js:35-44).
+
+    For POINT geometries the kernel centroid is a raw f8 read of the packed
+    lon/lat (functions/geo.st_centroid_lonlat fast path) — bit-identical to
+    the source columns — so the theme fixtures take the coordinates
+    directly and skip one pandas-UDF pass per ingest; the kernel path
+    itself stays verified by the g1/g2 oracle queries."""
     c = _spread(t(spark, sf_dir, "customer"))
     pts = c.select(
         F.col("c_custkey").alias("id"),
         F.expr(_C_LON).alias("lon"),
         F.expr(_C_LAT).alias("lat"),
     ).withColumn("geometry", st_point("lon", "lat"))
-    cen = st_centroid_lonlat("geometry")
-    return _theme_cache(pts.withColumn("_c", cen).withColumns(
-        {"centroid_lon": F.col("_c.lon"), "centroid_lat": F.col("_c.lat")}
-    ).drop("_c"))
+    return _theme_cache(pts.withColumns(
+        {"centroid_lon": F.col("lon"), "centroid_lat": F.col("lat")}
+    ))
 
 
 def supplier_points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -96,10 +100,9 @@ def supplier_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_S_LON).alias("lon"),
         F.expr(_S_LAT).alias("lat"),
     ).withColumn("geometry", st_point("lon", "lat"))
-    cen = st_centroid_lonlat("geometry")
-    return _theme_cache(pts.withColumn("_c", cen).withColumns(
-        {"centroid_lon": F.col("_c.lon"), "centroid_lat": F.col("_c.lat")}
-    ).drop("_c"))
+    return _theme_cache(pts.withColumns(
+        {"centroid_lon": F.col("lon"), "centroid_lat": F.col("lat")}
+    ))
 
 
 def supplier_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -239,7 +242,8 @@ def j2_spatial_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = customer_points(spark, sf_dir)
     spts = supplier_points(spark, sf_dir)
     return spatial_join(
-        pts, spts, how="left_semi", predicate="within_distance", distance_m=WITHIN_M
+        pts, spts, how="left_semi", predicate="within_distance",
+        distance_m=WITHIN_M, assume_points=True,
     ).select("id")
 
 
@@ -262,7 +266,8 @@ def j3_spatial_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = customer_points(spark, sf_dir)
     spts = supplier_points(spark, sf_dir)
     return spatial_join(
-        pts, spts, how="left_anti", predicate="within_distance", distance_m=WITHIN_M
+        pts, spts, how="left_anti", predicate="within_distance",
+        distance_m=WITHIN_M, assume_points=True,
     ).select("id")
 
 
@@ -293,7 +298,9 @@ def j4_spatial_bidirectional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pts = customer_points(spark, sf_dir)
     spts = supplier_points(spark, sf_dir)
-    return bidirectional_match_ids(pts, spts, distance_m=WITHIN_M)
+    return bidirectional_match_ids(
+        pts, spts, distance_m=WITHIN_M, assume_points=True
+    )
 
 
 @query(
