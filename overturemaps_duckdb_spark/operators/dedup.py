@@ -44,19 +44,23 @@ from overturemaps_duckdb_spark.functions.text import (
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Keep the lowest-id representative per exact (normalized) text.
 
-    ONE shuffle: window rank over the 60-bit content hash (the earlier
-    groupBy(min) + semi-join form re-shuffled the full table on a second
-    key).  Rows hash-partition once, sort by id within the hash, keep
-    rank 1."""
-    from pyspark.sql.window import Window
+    ONE shuffle, no sort: ``min_by(struct(row), id)`` per 60-bit content
+    hash.  Unlike the earlier window-rank form (which shuffles EVERY row to
+    its hash partition and sorts there), min_by partially aggregates
+    map-side — on a heavily-duplicated corpus the shuffle carries ~one row
+    per (hash, input partition), not the corpus.  ``id`` is unique, so the
+    winner is deterministic.
 
-    keyed = df.withColumn("_h", md5_long(normalize(text_col)))
-    w = Window.partitionBy("_h").orderBy(F.col(id_col).asc())
-    return (
-        keyed.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_h", "_rn")
+    The grouping hash is internal (never reaches the output — the oracle
+    groups by the normalized text itself), so it uses xxhash64 (64-bit,
+    one JVM pass) instead of the engine-portable 60-bit md5 prefix the
+    value-checked operators need."""
+    cols = df.columns
+    keyed = df.withColumn("_h", F.xxhash64(normalize(text_col)))
+    agg = keyed.groupBy("_h").agg(
+        F.min_by(F.struct(*cols), F.col(id_col)).alias("_r")
     )
+    return agg.select(*[F.col(f"_r.{c}").alias(c) for c in cols])
 
 
 # ---------------------------------------------------------------------------
