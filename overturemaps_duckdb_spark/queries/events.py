@@ -264,6 +264,37 @@ def i4_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "i6_stream_dedup_replay",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def i6_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup: the events file replayed as TWO
+    identical micro-batches (at-least-once delivery), `dropDuplicates` on
+    the key emitting each event once.  The per-type count/cents aggregate
+    equals the single-copy batch table — without the dedup every count
+    would be doubled.  The training-data twin is ingest dedup at the door:
+    a redelivering upstream must not double-weight documents."""
+    import tempfile
+
+    from overturemaps_duckdb_spark.streaming.windows import (
+        replayed_dedup_stream,
+        run_to_batch,
+    )
+
+    root = tempfile.mkdtemp(prefix="omds_i6_")
+    deduped = replayed_dedup_stream(spark, sf_dir, root=root, n_copies=2)
+    out = run_to_batch(deduped, "i6_dedup", output_mode="append")
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(cents("value")).alias("value_cents"),
+    )
+
+
+@query(
     "e3_lag_delta",
     oracle="""
     SELECT user_id, event_id,

@@ -289,6 +289,50 @@ def foreach_batch_ingest(
     return sink, log_root
 
 
+def replayed_dedup_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    root: str,
+    n_copies: int = 2,
+) -> DataFrame:
+    """Streaming exactly-once dedup over an at-least-once source.
+
+    The events file is staged ``n_copies`` times with pinned mtimes, so
+    ``maxFilesPerTrigger=1`` replays the identical payload as successive
+    micro-batches — the delivery model of a retrying upstream (a queue with
+    redelivery, a backfill overlapping live ingest).  ``dropDuplicates`` on
+    the key column holds the seen-key set in the state store and emits each
+    key exactly once, no matter how many times it arrives.
+
+    At 100 TB the unbounded seen-set is the scale hazard;
+    ``dropDuplicatesWithinWatermark`` bounds state to the redelivery horizon
+    (keys older than the watermark are evicted).  The bounded replay here
+    has no event-time ordering between copies, so the unbounded form is the
+    one whose output equals the batch answer deterministically — duplicates
+    are bit-identical rows, so WHICH arrival survives cannot matter.
+    """
+    import os
+    import shutil
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(src).schema
+    stage = os.path.join(root, "stage")
+    os.makedirs(stage, exist_ok=True)
+    for i in range(n_copies):
+        dst = os.path.join(stage, f"{i:02d}_events.parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    return stream.dropDuplicates(["event_id"])
+
+
 def run_to_batch(
     sdf: DataFrame,
     name: str,

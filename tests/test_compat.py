@@ -56,7 +56,7 @@ def test_pragma_fts_intercept(spark):
     t(spark, SF_SMOKE, "documents").createOrReplaceTempView("docs_c")
     duck_sql(spark, "PRAGMA create_fts_index('docs_c', 'doc_id', 'text')")
     postings = spark.table("fts_main_docs_c_postings")
-    assert postings.columns == ["term", "id", "tf"]
+    assert postings.columns == ["term", "id", "tf", "dl"]
     assert postings.count() > 0
     # the registered index is queryable through plain SQL (T2's data side)
     top = spark.sql(
