@@ -46,3 +46,25 @@ def stratified_sample(
     for value, permille in rates.items():
         rate = F.when(F.col(stratum_col) == value, F.lit(permille)).otherwise(rate)
     return df.where(hash_bucket(id_col) < rate)
+
+
+def shuffle_key(id_col: str | Column, seed: int = 42) -> Column:
+    """Deterministic global-shuffle sort key: md5 of 'id:seed'.
+
+    Training-order shuffling must be reproducible (re-running the pipeline
+    yields the identical order) and retry-safe — `rand()` is neither.  The
+    hex digest is uniform, so ORDER BY this key is an unbiased permutation;
+    a different seed is a fresh independent permutation.  At 100 TB the
+    engine range-partitions by this key (repartitionByRange + local sort)
+    — a total sort, never a single-task global window."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.md5(F.concat(c.cast("string"), F.lit(f":{seed}")))
+
+
+def deterministic_shuffle(df: DataFrame, id_col: str, seed: int = 42) -> DataFrame:
+    """The corpus with its shuffle key attached, range-partitioned and
+    sorted by it — rows stream out in the seeded permutation order."""
+    keyed = df.withColumn("_shuffle_key", shuffle_key(id_col, seed))
+    return keyed.repartitionByRange(
+        df.sparkSession.sparkContext.defaultParallelism, "_shuffle_key"
+    ).sortWithinPartitions("_shuffle_key")

@@ -146,3 +146,85 @@ def sliding_chunks(
         )
         .withColumn("n_chunk_chars", F.length("chunk_text").cast("bigint"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule filter
+# ---------------------------------------------------------------------------
+
+#: rule thresholds (Rae et al. 2021 "Scaling Language Models" §A1.1 shape,
+#: scaled to the fixture's short documents)
+GOPHER_WC_MIN, GOPHER_WC_MAX = 5, 10_000
+GOPHER_AWL_MIN, GOPHER_AWL_MAX = 2.0, 12.0
+GOPHER_SYMBOL_MAX = 0.30
+GOPHER_MIN_STOP_HITS = 2
+
+
+def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style document quality filter with per-rule reason codes.
+
+    Four SQL-expressible rules from the Gopher/MassiveText filtering recipe:
+
+    - ``wc``   word count within [GOPHER_WC_MIN, GOPHER_WC_MAX]
+    - ``awl``  mean word length within [GOPHER_AWL_MIN, GOPHER_AWL_MAX]
+    - ``sym``  non-alphanumeric-non-space char fraction ≤ GOPHER_SYMBOL_MAX
+    - ``stop`` at least GOPHER_MIN_STOP_HITS English stopword hits
+
+    Output: (id, n_words, avg_word_len, symbol_frac, stop_hits, keep,
+    reasons) where `reasons` is the comma-joined codes of FAILED rules in
+    fixed order (empty string = keep).  Everything is a pure column
+    expression — whole-stage codegen, no shuffle, rides the scan; the
+    reason codes make the filter auditable (per-rule kill counts are one
+    groupBy away), which is how production corpus filters are tuned.
+    """
+    toks = F.col("_tk")
+    wc = F.size(toks)
+    # total token chars via HOF aggregate over the BOUND tokens column
+    tot_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    awl = F.when(wc > 0, tot_chars.cast("double") / wc).otherwise(F.lit(0.0))
+    n = F.length(F.col(text_col))
+    stripped = F.regexp_replace(F.col(text_col), r"[a-zA-Z0-9\s]+", "")
+    sym = F.when(n > 0, F.length(stripped).cast("double") / n).otherwise(
+        F.lit(0.0)
+    )
+    from overturemaps_duckdb_spark.functions.text import LANG_STOPWORDS
+
+    stop_hits = F.size(
+        F.filter(toks, lambda x: x.isin(*LANG_STOPWORDS["en"]))
+    )
+    bound = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col),
+        tokens(text_col).alias("_tk"),
+    )
+    feats = bound.select(
+        "id",
+        wc.cast("bigint").alias("n_words"),
+        F.round(awl, 6).alias("avg_word_len"),
+        F.round(sym, 6).alias("symbol_frac"),
+        stop_hits.cast("bigint").alias("stop_hits"),
+    )
+    fail_wc = ~F.col("n_words").between(GOPHER_WC_MIN, GOPHER_WC_MAX)
+    fail_awl = ~F.col("avg_word_len").between(GOPHER_AWL_MIN, GOPHER_AWL_MAX)
+    fail_sym = F.col("symbol_frac") > GOPHER_SYMBOL_MAX
+    fail_stop = F.col("stop_hits") < GOPHER_MIN_STOP_HITS
+    # concat_ws skips NULLs (in Spark and DuckDB alike) — CASE WHEN with no
+    # ELSE yields NULL, so the reasons string is exactly the failed codes
+    reasons = F.concat_ws(
+        ",",
+        F.when(fail_wc, F.lit("wc")),
+        F.when(fail_awl, F.lit("awl")),
+        F.when(fail_sym, F.lit("sym")),
+        F.when(fail_stop, F.lit("stop")),
+    )
+    return feats.select(
+        "id",
+        "n_words",
+        "avg_word_len",
+        "symbol_frac",
+        "stop_hits",
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"),
+    )

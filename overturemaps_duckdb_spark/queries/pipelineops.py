@@ -15,7 +15,11 @@ from pyspark.sql import DataFrame, SparkSession
 from overturemaps_duckdb_spark.functions.text import token_count
 from overturemaps_duckdb_spark.operators.asof import asof_join
 from overturemaps_duckdb_spark.operators.packing import pack_sequences
-from overturemaps_duckdb_spark.operators.sampling import hash_sample, stratified_sample
+from overturemaps_duckdb_spark.operators.sampling import (
+    deterministic_shuffle,
+    hash_sample,
+    stratified_sample,
+)
 from overturemaps_duckdb_spark.queries import query, t
 from overturemaps_duckdb_spark.queries._sql import md5_long_sql, tokens_sql
 
@@ -143,3 +147,21 @@ def pk1_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = pack_sequences(d, "doc_id", "n_tokens", budget=2048)
     return out.select("doc_id", "n_tokens", "seq_id", "offset")
+
+
+@query(
+    "sh1_deterministic_shuffle",
+    oracle="""
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':42') AS _shuffle_key
+    FROM documents
+    """,
+)
+def sh1_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training-order shuffle: every doc keyed by
+    md5(id:seed), range-partitioned + locally sorted on the key
+    (operators/sampling.deterministic_shuffle) — the seeded permutation a
+    training run reads, identical on every re-run and under task retries.
+    The driver compare is order-insensitive; the ORDER itself is pytest-
+    asserted (tests/test_pipelineops.py)."""
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(d, "doc_id").select("doc_id", "_shuffle_key")

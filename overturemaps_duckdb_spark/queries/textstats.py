@@ -17,6 +17,13 @@ from overturemaps_duckdb_spark.functions.text import (
     token_count,
 )
 from overturemaps_duckdb_spark.operators.textprep import (
+    GOPHER_AWL_MAX,
+    GOPHER_AWL_MIN,
+    GOPHER_MIN_STOP_HITS,
+    GOPHER_SYMBOL_MAX,
+    GOPHER_WC_MAX,
+    GOPHER_WC_MIN,
+    gopher_rules,
     repetition_signals,
     sliding_chunks,
 )
@@ -269,3 +276,77 @@ def x8_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-only stage between scan and tokenizer at 100 TB)."""
     d = t(spark, sf_dir, "documents")
     return sliding_chunks(d, "doc_id", "text", chunk_chars=_CHUNK, stride=_STRIDE)
+
+
+@query(
+    "x9_gopher_rules",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, text, {tokens_sql('text')} AS tk FROM documents
+    ),
+    feats AS (
+        SELECT doc_id,
+               CAST(len(tk) AS BIGINT) AS n_words,
+               ROUND(CASE WHEN len(tk) > 0
+                     THEN CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT)
+                          * 1.0 / len(tk)
+                     ELSE 0.0 END, 6) AS avg_word_len,
+               ROUND(CASE WHEN length(text) > 0
+                     THEN length(regexp_replace(text, '[a-zA-Z0-9\\s]+', '', 'g'))
+                          * 1.0 / length(text)
+                     ELSE 0.0 END, 6) AS symbol_frac,
+               CAST(len(list_filter(tk, x -> x IN ({_in_list(LANG_STOPWORDS['en'])})))
+                   AS BIGINT) AS stop_hits
+        FROM base
+    ),
+    flagged AS (
+        SELECT *,
+               concat_ws(',',
+                   CASE WHEN n_words NOT BETWEEN {GOPHER_WC_MIN} AND {GOPHER_WC_MAX}
+                        THEN 'wc' END,
+                   CASE WHEN avg_word_len NOT BETWEEN {GOPHER_AWL_MIN} AND {GOPHER_AWL_MAX}
+                        THEN 'awl' END,
+                   CASE WHEN symbol_frac > {GOPHER_SYMBOL_MAX} THEN 'sym' END,
+                   CASE WHEN stop_hits < {GOPHER_MIN_STOP_HITS} THEN 'stop' END
+               ) AS reasons
+        FROM feats
+    )
+    SELECT doc_id AS id, n_words, avg_word_len, symbol_frac, stop_hits,
+           reasons = '' AS keep, reasons
+    FROM flagged
+    """,
+)
+def x9_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule filter with per-rule reason codes (word count,
+    mean word length, symbol fraction, stopword evidence) — the auditable
+    keep/drop decision of a MassiveText-shaped corpus filter, pure codegen
+    (operators/textprep.gopher_rules)."""
+    d = t(spark, sf_dir, "documents")
+    return gopher_rules(d, "doc_id", "text")
+
+
+@query(
+    "x10_corpus_composition",
+    oracle=f"""
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len({tokens_sql('text')})) AS BIGINT) AS n_tokens,
+           ROUND(AVG(n_chars), 6) AS avg_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY source, lang
+    """,
+)
+def x10_corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition report: per (source, lang) document / token /
+    length statistics — the mixture table a training run is budgeted
+    against.  One partial-aggregated groupBy; token counting rides the
+    scan."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count("text")).cast("bigint").alias("n_tokens"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )

@@ -62,3 +62,46 @@ def test_pack_sequences_partition_independent(spark):
     assert all(0 <= off < 100 for _, _, off in ka)
     seqs = [s for _, s, _ in ka]
     assert seqs == sorted(seqs)
+
+
+def test_deterministic_shuffle_order_and_stability(spark):
+    import hashlib
+
+    from overturemaps_duckdb_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    out = deterministic_shuffle(df, "doc_id", seed=42)
+    rows = [r["doc_id"] for r in out.toLocalIterator()]
+    # partition-ordered iteration IS the seeded permutation: range partitions
+    # are key-ordered and each is locally sorted
+    expect = sorted(
+        range(500), key=lambda i: hashlib.md5(f"{i}:42".encode()).hexdigest()
+    )
+    assert rows == expect
+    # re-run → identical order; different seed → different permutation
+    again = [r["doc_id"] for r in deterministic_shuffle(df, "doc_id", 42).toLocalIterator()]
+    assert again == rows
+    other = [r["doc_id"] for r in deterministic_shuffle(df, "doc_id", 7).toLocalIterator()]
+    assert other != rows and sorted(other) == sorted(rows)
+
+
+def test_gopher_rules_reason_codes(spark):
+    from overturemaps_duckdb_spark.operators.textprep import gopher_rules
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat in a field of green grass for hours"),
+            (2, "tiny"),                              # wc + stop fail
+            (3, "$$$ %% ### !!! @@@ *** $$$ %% ### !!! @@@ ***"),  # sym+wc+awl+stop
+            (4, "the " + "pneumonoultramicroscopic " * 30 + "and of to in it"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in gopher_rules(docs, "doc_id", "text").collect()}
+    assert out[1]["keep"] and out[1]["reasons"] == ""
+    assert not out[2]["keep"] and out[2]["reasons"] == "wc,stop"
+    assert not out[3]["keep"]
+    assert "sym" in out[3]["reasons"].split(",")
+    assert not out[4]["keep"] and out[4]["reasons"] == "awl"
