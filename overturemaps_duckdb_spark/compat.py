@@ -20,9 +20,14 @@ exact texts run unchanged:
 
 String literals are protected during rewriting (single-quote aware), so a
 search for `'list_min'` inside data is never rewritten.  `ILIKE` is native
-Spark SQL (≥3.3) and passes through untouched.  Anything genuinely
-DuckDB-internal (e.g. `match_bm25`) raises with a pointer to the native
-operator, mirroring the reference's error-driven degrade contract.
+Spark SQL (≥3.3) and passes through untouched.
+
+`fts_main_<t>.match_bm25(id, 'q')` — the reference's compiled FTS SQL
+(pipeline.js:78,89) — runs when the index was PRAGMA-registered: the call
+becomes a correlated scalar aggregate over the `fts_main_<t>_score`
+contribution view.  Without the PRAGMA it raises the degrade-hint error,
+mirroring the reference's error-driven degrade contract
+(pipelineRunner.js:93-101).
 """
 
 from __future__ import annotations
@@ -265,12 +270,21 @@ def _intercept(
         s,
     )
     if m:
-        from overturemaps_duckdb_spark.operators.fts import build_fts_index
+        from overturemaps_duckdb_spark.operators.fts import (
+            build_fts_index,
+            contributions,
+        )
 
         table, id_col, text_col = m.groups()
         idx = build_fts_index(spark.table(table), id_col, text_col).persist()
         idx.postings.createOrReplaceTempView(f"fts_main_{table}_postings")
         idx.docstats.createOrReplaceTempView(f"fts_main_{table}_docstats")
+        # query-independent per-(term, id) BM25 contributions: the view raw
+        # SQL `match_bm25` calls aggregate over (column renamed so an outer
+        # unqualified id correlates, never shadowed)
+        contributions(idx).withColumnRenamed(
+            "id", "__fts_id"
+        ).createOrReplaceTempView(f"fts_main_{table}_score")
         return idx.postings.limit(0)
 
     m = re.match(r"(?is)^COPY\s+\"?(\w+)\"?\s+TO\s+'([^']+)'.*$", s)
@@ -315,6 +329,47 @@ def _ensure_len_udf(spark: SparkSession) -> None:
         _LEN_REGISTERED.add(id(spark))
 
 
+#: the reference's canonical FTS call (pipeline.js:78,89 / fts.js:85-91):
+#: `fts_main_<table>.match_bm25(<id expr>, '<query>')`
+_MATCH_BM25 = re.compile(
+    r"(?is)\bfts_main_(\w+)\s*\.\s*match_bm25\s*\(\s*([A-Za-z_][\w.]*)\s*,"
+    r"\s*'((?:[^']|'')*)'\s*\)"
+)
+
+
+def _rewrite_match_bm25(spark: SparkSession, sql: str) -> str:
+    """Rewrite `match_bm25` calls against a PRAGMA-registered index into a
+    correlated scalar aggregate over the `fts_main_<t>_score` contribution
+    view: SUM(contrib) of the query's terms for the outer row's id — NULL
+    when no term matches, exactly DuckDB-FTS's no-match value (Catalyst
+    plans the correlated scalar subquery as an outer aggregate join, so
+    scoring stays one distributed join, not a per-row probe).  Without the
+    PRAGMA the call raises the same degrade-hint error as before — the
+    reference errors on match_bm25-without-index too (pipelineRunner.js:
+    93-101)."""
+    from overturemaps_duckdb_spark.operators.fts import tokenize_query
+
+    def repl(m: re.Match) -> str:
+        table, id_expr, raw_q = m.groups()
+        if not spark.catalog.tableExists(f"fts_main_{table}_score"):
+            raise NotImplementedError(
+                f"match_bm25 needs a registered FTS index for '{table}' — run "
+                f"PRAGMA create_fts_index('{table}', …) first, or use "
+                "operators.fts.bm25_topk / the pipeline compiler's FTS mode "
+                "(the reference degrades to ILIKE on this same error)"
+            )
+        terms = tokenize_query(raw_q.replace("''", "'"))
+        if not terms:
+            return "CAST(NULL AS DOUBLE)"
+        tl = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+        return (
+            f"(SELECT SUM(contrib) FROM fts_main_{table}_score "
+            f"WHERE __fts_id = {id_expr} AND term IN ({tl}))"
+        )
+
+    return _MATCH_BM25.sub(repl, sql)
+
+
 def duck_sql(spark: SparkSession, sql: str, session_state=None) -> DataFrame:
     """Run a DuckDB-dialect SQL text on Spark (the EP3 console entry).
 
@@ -325,6 +380,7 @@ def duck_sql(spark: SparkSession, sql: str, session_state=None) -> DataFrame:
     if intercepted is not None:
         return intercepted
     sql = _materialize_read_parquet(spark, sql)
+    sql = _rewrite_match_bm25(spark, sql)
     translated = translate(sql)
     if "duck_len(" in translated:
         _ensure_len_udf(spark)

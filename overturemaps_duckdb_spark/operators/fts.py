@@ -168,6 +168,32 @@ def bm25_score(
     return matches.groupBy("id").agg(F.sum(contrib).alias("_score"))
 
 
+def contributions(
+    index: FtsIndex, *, k1: float = K1, b: float = B
+) -> DataFrame:
+    """(id, term, contrib) — every posting's query-INDEPENDENT BM25
+    contribution.  A query's score is the sum of contrib over its terms, so
+    this table (registered as `fts_main_<t>_score` by the console's PRAGMA
+    intercept, compat.py) lets raw SQL evaluate `match_bm25` as a plain
+    filtered aggregate — no per-query recomputation of idf/norms."""
+    dfreq = index.termstats
+    if dfreq is None:  # legacy index without the df table
+        dfreq = index.postings.groupBy("term").agg(F.count("*").alias("df"))
+    n = F.col("n").cast("double")
+    idf = F.log(F.lit(1.0) + (n - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    term_idf = dfreq.crossJoin(F.broadcast(index.stats)).select(
+        "term", idf.alias("idf")
+    )
+    rows = index.postings.join(F.broadcast(term_idf), "term").crossJoin(
+        F.broadcast(index.stats)
+    )
+    if "dl" not in index.postings.columns:
+        rows = rows.join(index.docstats, "id")
+    tf = F.col("tf").cast("double")
+    denom = tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    return rows.select("id", "term", (F.col("idf") * tf / denom).alias("contrib"))
+
+
 def bm25_topk(
     index: FtsIndex,
     df: DataFrame,

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from overturemaps_duckdb_spark.compat import duck_sql
 from overturemaps_duckdb_spark.queries import query, t
+from overturemaps_duckdb_spark.queries._sql import bm25_sql
 
 _EP3_SQL = """
 SELECT doc_id,
@@ -47,3 +48,39 @@ def ep3_ctas_copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     duck_sql(spark, f"COPY \"__ep3_docs\" TO '{out_dir}' (FORMAT PARQUET)")
     return spark.read.parquet(out_dir)
+
+
+_FTS_CONSOLE_SQL = """
+SELECT doc_id,
+       ROUND(fts_main_documents.match_bm25(doc_id, 'table scan merge'), 6)
+           AS _score
+FROM documents
+WHERE fts_main_documents.match_bm25(doc_id, 'table scan merge') IS NOT NULL
+ORDER BY _score DESC, doc_id
+LIMIT 10
+"""
+
+
+@query(
+    "ep4_sql_fts_console",
+    oracle=bm25_sql(
+        table="documents", id_col="doc_id", text_col="text",
+        terms=["table", "scan", "merge"],
+    )
+    + """
+    SELECT d.doc_id, ROUND(s._score, 6) AS _score
+    FROM documents d JOIN scores s ON d.doc_id = s.id
+    ORDER BY ROUND(s._score, 6) DESC, d.doc_id
+    LIMIT 10
+    """,
+)
+def ep4_sql_fts_console(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's compiled FTS SQL, verbatim through the console:
+    `PRAGMA create_fts_index` then `fts_main_t.match_bm25(id, 'q')` in both
+    SELECT and WHERE (pipeline.js:77-92) — rewritten by the shim into a
+    correlated scalar aggregate over the PRAGMA-registered contribution
+    view.  The oracle is the pure-SQL Okapi twin (DuckDB's fts extension is
+    unavailable offline), so scores are value-checked."""
+    t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    duck_sql(spark, "PRAGMA create_fts_index('documents', 'doc_id', 'text')")
+    return duck_sql(spark, _FTS_CONSOLE_SQL)

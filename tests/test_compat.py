@@ -134,3 +134,29 @@ def test_ilike_passthrough(spark):
         spark, "SELECT count(*) AS c FROM cust_c WHERE c_mktsegment ILIKE '%machi%'"
     )
     assert df.collect()[0]["c"] > 0
+
+
+def test_match_bm25_console_rewrite(spark):
+    from overturemaps_duckdb_spark.operators.fts import bm25_topk, build_fts_index
+
+    t(spark, SF_SMOKE, "documents").createOrReplaceTempView("docs_m")
+    duck_sql(spark, "PRAGMA create_fts_index('docs_m', 'doc_id', 'text')")
+    got = duck_sql(
+        spark,
+        "SELECT doc_id, fts_main_docs_m.match_bm25(doc_id, 'table scan merge')"
+        " AS _score FROM docs_m"
+        " WHERE fts_main_docs_m.match_bm25(doc_id, 'table scan merge')"
+        " IS NOT NULL ORDER BY _score DESC, doc_id LIMIT 5",
+    ).collect()
+    idx = build_fts_index(t(spark, SF_SMOKE, "documents"), "doc_id", "text")
+    want = bm25_topk(
+        idx, t(spark, SF_SMOKE, "documents"), "doc_id", "table scan merge", limit=5
+    ).collect()
+    assert [(r["doc_id"], round(r["_score"], 6)) for r in got] == [
+        (r["doc_id"], round(r["_score"], 6)) for r in want
+    ]
+    # without a PRAGMA-registered index the call still raises the degrade hint
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="ILIKE"):
+        duck_sql(spark, "SELECT fts_main_zzz.match_bm25(doc_id, 'q') FROM docs_m")
