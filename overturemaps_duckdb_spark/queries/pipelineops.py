@@ -15,6 +15,8 @@ from pyspark.sql import DataFrame, SparkSession
 from overturemaps_duckdb_spark.functions.text import token_count
 from overturemaps_duckdb_spark.operators.asof import asof_join
 from overturemaps_duckdb_spark.operators.packing import pack_sequences
+from overturemaps_duckdb_spark.operators.skew import salted_agg
+from overturemaps_duckdb_spark.queries.events import cents
 from overturemaps_duckdb_spark.operators.sampling import (
     deterministic_shuffle,
     hash_sample,
@@ -165,3 +167,35 @@ def sh1_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted (tests/test_pipelineops.py)."""
     d = t(spark, sf_dir, "documents").select("doc_id")
     return deterministic_shuffle(d, "doc_id").select("doc_id", "_shuffle_key")
+
+
+@query(
+    "sk1_salted_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+           CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def sk1_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation over a hot-keyed column (4 event types funnel
+    the whole table into 4 groups): operators/skew.salted_agg splits each
+    key into 16 salted subkeys, partially aggregates, then merges — two
+    bounded shuffles instead of one task-killing one.  Results are exactly
+    the plain GROUP BY (algebraic aggregates re-aggregate losslessly),
+    which the oracle states."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", cents("value").alias("_cents")
+    )
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n": (F.count("*"), F.sum("n").cast("bigint")),
+            "value_cents": (F.sum("_cents"), F.sum("value_cents").cast("bigint")),
+            "max_cents": (F.max("_cents"), F.max("max_cents").cast("bigint")),
+        },
+    )
+    return out
