@@ -505,3 +505,48 @@ def dedup_clusters(
         prev = cur
     edges.unpersist()
     return labels.select(F.col("id"), F.col("comp").alias("cluster_id"))
+
+
+def canonical_per_cluster(
+    df: DataFrame,
+    id_col: str,
+    clusters: DataFrame,
+    quality_col: str,
+) -> DataFrame:
+    """Pick the document a dedup pipeline KEEPS from each near-dup cluster:
+    the highest-``quality_col`` member (ties broken by smallest id), plus the
+    cluster size — the artifact consumed by the corpus-write stage (keep the
+    canonical row, drop the other members, log n_members for audit).
+
+    One shuffle on cluster_id: the quality join rides the same hash
+    partitioning as the window rank, so Catalyst plans a single Exchange;
+    the rank-1 filter is the standard distributed argmax (no driver-side
+    state, no collect).  Output: (cluster_id, keep_id, keep_quality,
+    n_members).
+
+    Ref: extends d6's assignment (the reference's dedup surface stops at
+    DISTINCT, src/lib/analysisQueries.js:50-52) to the selection step."""
+    from pyspark.sql import Window
+
+    q = df.select(
+        F.col(id_col).cast("long").alias("_qid"), F.col(quality_col).alias("_q")
+    )
+    joined = clusters.join(q, clusters["id"] == q["_qid"]).select(
+        "cluster_id", "id", "_q"
+    )
+    w = Window.partitionBy("cluster_id")
+    ranked = joined.select(
+        "cluster_id",
+        "id",
+        "_q",
+        F.row_number()
+        .over(w.orderBy(F.desc("_q"), F.asc("id")))
+        .alias("_rn"),
+        F.count("*").over(w).alias("n_members"),
+    )
+    return ranked.where(F.col("_rn") == 1).select(
+        "cluster_id",
+        F.col("id").alias("keep_id"),
+        F.col("_q").alias("keep_quality"),
+        F.col("n_members").cast("bigint").alias("n_members"),
+    )

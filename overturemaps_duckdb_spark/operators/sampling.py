@@ -48,6 +48,67 @@ def stratified_sample(
     return df.where(hash_bucket(id_col) < rate)
 
 
+def mixture_rates(
+    df: DataFrame,
+    stratum_col: str,
+    token_col: str,
+    weights_permille: dict[str, int],
+    budget_tokens: int,
+) -> DataFrame:
+    """(stratum, rate_pm) — per-stratum keep rates (permille) that hit a
+    token-budget mixture: stratum s should contribute ~weights[s]/1000 of
+    ``budget_tokens``, so rate_pm(s) = min(1000, ⌊w·budget / tokens(s)⌋).
+
+    The per-stratum token totals are a tiny aggregate (one row per source —
+    dozens, not billions), so the rate table broadcasts; the corpus itself
+    never collects anywhere.  Strata not in the recipe get rate 0 — the
+    explicit-mixture contract (same as stratified_sample).
+
+    The division is floor(double/double) rather than integer DIV so the
+    DuckDB oracle can state the bit-identical IEEE expression."""
+    totals = df.groupBy(stratum_col).agg(
+        F.sum(token_col).cast("bigint").alias("_stratum_tokens")
+    )
+    wmap = F.create_map(
+        *[F.lit(x) for kv in weights_permille.items() for x in kv]
+    )
+    w_pm = F.coalesce(wmap[F.col(stratum_col)], F.lit(0)).cast("bigint")
+    rate = F.least(
+        F.lit(1000).cast("bigint"),
+        F.floor(
+            (w_pm * F.lit(budget_tokens)).cast("double")
+            / F.col("_stratum_tokens")
+        ).cast("bigint"),
+    )
+    return totals.select(stratum_col, rate.alias("rate_pm"))
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    token_col: str,
+    weights_permille: dict[str, int],
+    budget_tokens: int,
+) -> DataFrame:
+    """Downsample each stratum to its mixture share of a global token budget
+    (the "data recipe" step of a training pipeline: e.g. web 60% / code 30% /
+    reference 10% of a 2T-token budget).
+
+    Two bounded stages: a map-side-combinable per-stratum token sum (rows
+    shuffle as (stratum, partial-sum) pairs only), then a broadcast join of
+    the dozens-row rate table back onto the corpus with the deterministic
+    md5-threshold filter — retry-stable, engine-portable, no corpus shuffle.
+    Rates are derived from the ACTUAL token mass per stratum, so a stratum
+    with less material than its share simply keeps everything (rate caps at
+    1000‰) — the standard behavior when a small high-quality source can't
+    fill its target share."""
+    rates = mixture_rates(df, stratum_col, token_col, weights_permille, budget_tokens)
+    return df.join(F.broadcast(rates), stratum_col).where(
+        hash_bucket(id_col) < F.col("rate_pm")
+    )
+
+
 def shuffle_key(id_col: str | Column, seed: int = 42) -> Column:
     """Deterministic global-shuffle sort key: md5 of 'id:seed'.
 

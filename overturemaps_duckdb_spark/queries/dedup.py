@@ -11,6 +11,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from overturemaps_duckdb_spark.operators.dedup import (
+    canonical_per_cluster,
     dedup_clusters,
     embedding_neardup_pairs,
     exact_dedup,
@@ -265,6 +266,50 @@ def d6_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(d, "doc_id", pairs).select(
         F.col("id").alias("doc_id"), "cluster_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# canonical selection per cluster
+# ---------------------------------------------------------------------------
+
+# the d6 closure, re-terminated into the keep/drop selection: per cluster,
+# keep the longest member (ties → smallest doc_id) and record the size
+_CANONICAL_TAIL = """, assign AS (
+    SELECT id, CAST(MIN(r) AS BIGINT) AS cluster_id FROM reach GROUP BY id
+),
+ranked AS (
+    SELECT a.cluster_id, a.id, d.n_chars,
+           row_number() OVER (PARTITION BY a.cluster_id
+                              ORDER BY d.n_chars DESC, a.id ASC) AS rn,
+           count(*) OVER (PARTITION BY a.cluster_id) AS n_members
+    FROM assign a JOIN documents d ON d.doc_id = a.id
+)
+SELECT cluster_id, id AS keep_id, CAST(n_chars AS BIGINT) AS keep_quality,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1
+"""
+
+_D6_TAIL = """
+SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY id
+"""
+assert _CLUSTER_ORACLE.endswith(_D6_TAIL), "d6 oracle tail drifted"
+_CANONICAL_ORACLE = _CLUSTER_ORACLE[: -len(_D6_TAIL)] + _CANONICAL_TAIL
+
+
+@query("d7_cluster_canonical", oracle=_CANONICAL_ORACLE)
+def d7_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: for each d6 near-dup cluster, keep the
+    highest-quality member (n_chars as the quality key, ties → smallest id)
+    and record the cluster size — the keep/drop artifact the corpus-write
+    stage consumes.  Distributed argmax: one cluster_id shuffle shared by the
+    quality join and the window rank (operators/dedup.canonical_per_cluster)."""
+    d = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", n_hashes=16, bands=4, shingle_k=5, jaccard_threshold=0.5
+    )
+    clusters = dedup_clusters(d, "doc_id", pairs)
+    return canonical_per_cluster(d, "doc_id", clusters, "n_chars")
 
 
 # ---------------------------------------------------------------------------

@@ -20,6 +20,7 @@ from overturemaps_duckdb_spark.queries.events import cents
 from overturemaps_duckdb_spark.operators.sampling import (
     deterministic_shuffle,
     hash_sample,
+    mixture_sample,
     stratified_sample,
 )
 from overturemaps_duckdb_spark.queries import query, t
@@ -199,3 +200,60 @@ def sk1_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return out
+
+
+#: mixture recipe: target permille share of the token budget per source
+#: (sums to 1000; sources not in the recipe are dropped — rate 0)
+_MIX_WEIGHTS = {
+    "src0": 250,
+    "src1": 250,
+    "src2": 150,
+    "src3": 100,
+    "src4": 100,
+    "src5": 50,
+    "src6": 50,
+    "src7": 50,
+}
+_MIX_BUDGET = 10_000  # tokens
+
+_MIX_W_VALUES = ", ".join(f"('{s}', {w})" for s, w in _MIX_WEIGHTS.items())
+
+
+@query(
+    "mx1_token_budget_mix",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               CAST(len({tokens_sql('text')}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    tot AS (
+        SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS st
+        FROM tok GROUP BY source
+    ),
+    w(source, w_pm) AS (VALUES {_MIX_W_VALUES}),
+    rate AS (
+        SELECT tot.source,
+               LEAST(1000, CAST(FLOOR(
+                   CAST(w.w_pm * {_MIX_BUDGET} AS DOUBLE) / tot.st
+               ) AS BIGINT)) AS rate_pm
+        FROM tot JOIN w ON tot.source = w.source
+    )
+    SELECT k.doc_id, k.source, k.n_tokens, r.rate_pm
+    FROM tok k JOIN rate r ON k.source = r.source
+    WHERE {md5_long_sql("CAST(k.doc_id AS VARCHAR)")} % 1000 < r.rate_pm
+    """,
+)
+def mx1_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling — the "data recipe" step of a training
+    pipeline: each source is downsampled so it contributes its target share
+    of a global token budget (operators/sampling.mixture_sample).  Per-source
+    rates derive from the actual token mass (a dozens-row broadcast);
+    membership is the deterministic md5 threshold, so the sample is
+    retry-stable and the oracle reproduces it bit-for-bit."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count("text").cast("bigint").alias("n_tokens")
+    )
+    return mixture_sample(
+        d, "doc_id", "source", "n_tokens", _MIX_WEIGHTS, _MIX_BUDGET
+    ).select("doc_id", "source", "n_tokens", "rate_pm")

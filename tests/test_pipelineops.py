@@ -105,3 +105,73 @@ def test_gopher_rules_reason_codes(spark):
     assert not out[3]["keep"]
     assert "sym" in out[3]["reasons"].split(",")
     assert not out[4]["keep"] and out[4]["reasons"] == "awl"
+
+
+def test_mixture_sample_rates_and_budget(spark):
+    from overturemaps_duckdb_spark.operators.sampling import (
+        mixture_rates,
+        mixture_sample,
+    )
+
+    # 3 strata × 100 docs × 10 tokens each = 1000 tokens per stratum
+    docs = spark.createDataFrame(
+        [(s * 100 + i, f"s{s}", 10) for s in range(3) for i in range(100)],
+        "doc_id long, source string, toks long",
+    )
+    weights = {"s0": 500, "s1": 500}  # s2 not in the recipe → dropped
+    rates = {
+        r["source"]: r["rate_pm"]
+        for r in mixture_rates(docs, "source", "toks", weights, 1000).collect()
+    }
+    # s0 target = 500 tokens of 1000 available → 500 permille
+    assert rates == {"s0": 500, "s1": 500, "s2": 0}
+
+    out = mixture_sample(docs, "doc_id", "source", "toks", weights, 1000)
+    got = out.groupBy("source").count().collect()
+    by_src = {r["source"]: r["count"] for r in got}
+    assert "s2" not in by_src
+    # md5 thresholding at 500 permille keeps roughly half (exact count is
+    # deterministic; bound it loosely so the fixture isn't hash-brittle)
+    assert 30 <= by_src["s0"] <= 70 and 30 <= by_src["s1"] <= 70
+    # re-run → identical sample (retry stability)
+    again = mixture_sample(docs, "doc_id", "source", "toks", weights, 1000)
+    assert sorted(r["doc_id"] for r in again.collect()) == sorted(
+        r["doc_id"] for r in out.collect()
+    )
+
+
+def test_mixture_sample_rate_caps_at_full_keep(spark):
+    from overturemaps_duckdb_spark.operators.sampling import mixture_sample
+
+    docs = spark.createDataFrame(
+        [(i, "small", 1) for i in range(10)] + [(100 + i, "big", 100) for i in range(10)],
+        "doc_id long, source string, toks long",
+    )
+    # small stratum has 10 tokens but its share is 500 of 10_000 = 5000
+    # tokens → rate caps at 1000 permille: keep everything it has
+    out = mixture_sample(
+        docs, "doc_id", "source", "toks", {"small": 500, "big": 500}, 10_000
+    )
+    small = [r for r in out.collect() if r["source"] == "small"]
+    assert len(small) == 10 and all(r["rate_pm"] == 1000 for r in small)
+
+
+def test_canonical_per_cluster_argmax_and_ties(spark):
+    from overturemaps_duckdb_spark.operators.dedup import canonical_per_cluster
+
+    docs = spark.createDataFrame(
+        [(1, 50), (2, 90), (3, 90), (4, 70), (5, 10)],
+        "doc_id long, quality long",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)],
+        "id long, cluster_id long",
+    )
+    out = {
+        r["cluster_id"]: r
+        for r in canonical_per_cluster(docs, "doc_id", clusters, "quality").collect()
+    }
+    # cluster 1: quality tie 90 between ids 2 and 3 → smallest id wins
+    assert out[1]["keep_id"] == 2 and out[1]["keep_quality"] == 90
+    assert out[1]["n_members"] == 3
+    assert out[4]["keep_id"] == 4 and out[4]["n_members"] == 2
