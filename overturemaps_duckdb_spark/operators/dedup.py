@@ -98,43 +98,30 @@ def minhash_signature_from_hashes(hs: Column, *, n_hashes: int = 16) -> Column:
     )
 
 
-def minhash_lsh_pairs(
+def minhash_index(
     df: DataFrame,
     id_col: str,
     text_col: str,
     *,
     n_hashes: int = 16,
-    bands: int = 4,
     shingle_k: int = 5,
-    jaccard_threshold: float = 0.5,
     stop_df_cap: int | None = None,
 ) -> DataFrame:
-    """Near-duplicate pairs via MinHash banding, verified with exact
-    shingle-set Jaccard.
+    """The persisted per-doc MinHash index: (id, shingles, _m0.._m{n-1}).
 
-    LSH: split the signature into `bands` bands of `n_hashes/bands` rows;
-    docs sharing any band hash are candidates (banded equi-join — the only
-    shuffle is on (band_idx, band_hash)).  Candidates are then verified
-    exactly, so the output is threshold-exact (LSH affects recall only;
-    the verification join keeps precision 1.0).
+    Shingle hashing runs in FULL whole-stage codegen: explode positions and
+    compute the rolling polynomial from k ascii(substring(...)) calls per
+    row — zero higher-order-function interpretation anywhere.  The norm
+    column is computed once per doc and only referenced per exploded row;
+    ascii(substring(past-end)) = 0 supplies the zero padding.  min() over
+    duplicate shingle hashes equals min over the distinct set, so no
+    per-doc dedup is needed before the signature aggregates.
 
-    `stop_df_cap`: drop shingles whose document frequency exceeds the cap
-    BEFORE signatures/sets are built — boilerplate shingles shared by a
-    large fraction of a web-scale corpus otherwise glue unrelated docs into
-    the same bands (candidate blowup) and inflate Jaccard.  Signatures and
-    the verify sets see the same capped universe, so results stay
-    self-consistent; None (default) disables the extra df pass.
-
-    Returns (a_id, b_id, jaccard) with a_id < b_id.
-    """
-    rows = n_hashes // bands
-    # Shingle hashing in FULL whole-stage codegen: explode positions and
-    # compute the rolling polynomial from 5 ascii(substring(...)) calls per
-    # row — zero higher-order-function interpretation anywhere.  The norm
-    # column is computed once per doc and only referenced per exploded row;
-    # ascii(substring(past-end)) = 0 supplies the zero padding.  min() over
-    # duplicate shingle hashes equals min over the distinct set, so no
-    # per-doc dedup is needed before the signature aggregates.
+    ONE aggregation produces the shingle set AND all n signature mins: a
+    doc's exploded rows are co-located in their input partition, so the
+    map-side partial agg condenses the hash rows to ~1 row per doc before
+    the shuffle.  At 100 TB the index is written to parquet instead of
+    session-persisted."""
     from overturemaps_duckdb_spark.functions.text import (
         MINHASH_BASE_BITS,
         SHINGLE_B,
@@ -166,13 +153,8 @@ def minhash_lsh_pairs(
             .select("h")
         )
         ex = ex.join(keep, "h")
-    # ONE aggregation produces the shingle set AND all 16 signature mins:
-    # a doc's exploded rows are co-located in their input partition, so the
-    # map-side partial agg condenses 1.5M hash rows to ~1 row per doc before
-    # the shuffle.  The persisted result (one row per doc) is the "minhash
-    # index" — at 100 TB it is written to parquet instead.
     a_list, b_list = minhash_coeffs(n_hashes)
-    index = (
+    return (
         ex.groupBy("id")
         .agg(
             F.collect_set("h").alias("shingles"),
@@ -183,15 +165,18 @@ def minhash_lsh_pairs(
         )
         .persist()
     )
-    hs = index.select("id", "shingles")
+
+
+def band_keys(index: DataFrame, *, n_hashes: int, bands: int) -> DataFrame:
+    """(id, bkey) — one 64-bit xxhash64 band key per band over the signature
+    slice: long join keys instead of md5 hex strings.  Only the bucket
+    GROUPING matters, not the hash value, so this buckets identically to an
+    md5-banding oracle absent hash collisions."""
+    rows = n_hashes // bands
     sig = index.select(
         "id", F.array(*[F.col(f"_m{i}") for i in range(n_hashes)]).alias("sig")
     )
-    # Band keys as one 64-bit xxhash64 over (band_idx, signature slice) —
-    # long join keys instead of md5 hex strings.  Only the bucket GROUPING
-    # matters, not the hash value, so this buckets identically to the
-    # oracle's md5 banding absent hash collisions.
-    banded = sig.select(
+    return sig.select(
         "id",
         F.explode(
             F.array(
@@ -202,6 +187,43 @@ def minhash_lsh_pairs(
             )
         ).alias("bkey"),
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.5,
+    stop_df_cap: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding, verified with exact
+    shingle-set Jaccard.
+
+    LSH: split the signature into `bands` bands of `n_hashes/bands` rows;
+    docs sharing any band hash are candidates (banded equi-join — the only
+    shuffle is on (band_idx, band_hash)).  Candidates are then verified
+    exactly, so the output is threshold-exact (LSH affects recall only;
+    the verification join keeps precision 1.0).
+
+    `stop_df_cap`: drop shingles whose document frequency exceeds the cap
+    BEFORE signatures/sets are built — boilerplate shingles shared by a
+    large fraction of a web-scale corpus otherwise glue unrelated docs into
+    the same bands (candidate blowup) and inflate Jaccard.  Signatures and
+    the verify sets see the same capped universe, so results stay
+    self-consistent; None (default) disables the extra df pass.
+
+    Returns (a_id, b_id, jaccard) with a_id < b_id.
+    """
+    index = minhash_index(
+        df, id_col, text_col,
+        n_hashes=n_hashes, shingle_k=shingle_k, stop_df_cap=stop_df_cap,
+    )
+    hs = index.select("id", "shingles")
+    banded = band_keys(index, n_hashes=n_hashes, bands=bands)
     # ONE shuffle forms the buckets; the old banded SELF-join shuffled both
     # sides and re-shuffled for a mid-chain candidate distinct (each extra
     # exchange is a blocking AQE stage).  In-bucket pair expansion is a
@@ -239,6 +261,62 @@ def _verify_jaccard(cand: DataFrame, sig: DataFrame, threshold: float) -> DataFr
     return (
         joined.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def cross_corpus_minhash_pairs(
+    corpus: DataFrame,
+    probe: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """A×B near-duplicate pairs: which training-corpus docs near-match a
+    held-out/benchmark set — LSH-bucketed decontamination for when the
+    benchmark side is itself too large to broadcast (the n-gram broadcast
+    path in operators/textprep.ngram_decontaminate covers the small-probe
+    case; this covers probe sets that are corpora in their own right).
+
+    Both sides get independent MinHash indexes (same hash family, so equal
+    texts produce equal band keys), then candidates come from ONE equi-join
+    on the 64-bit band key — each side shuffles once on an 8-byte key, no
+    A×B blowup, no broadcast of either corpus.  Exact shingle-set Jaccard
+    verifies every candidate, so precision is 1.0 at the threshold; banding
+    controls recall exactly as in the self-join case.
+
+    Returns (a_id from corpus, b_id from probe, jaccard) — ids may coincide
+    numerically across the two corpora; they are namespaced by side.
+    """
+    idx_a = minhash_index(
+        corpus, id_col, text_col, n_hashes=n_hashes, shingle_k=shingle_k
+    )
+    idx_b = minhash_index(
+        probe, id_col, text_col, n_hashes=n_hashes, shingle_k=shingle_k
+    )
+    ba = band_keys(idx_a, n_hashes=n_hashes, bands=bands).select(
+        F.col("id").alias("a_id"), "bkey"
+    )
+    bb = band_keys(idx_b, n_hashes=n_hashes, bands=bands).select(
+        F.col("id").alias("b_id"), "bkey"
+    )
+    # multi-band duplicates collapse BEFORE the (heavier) verify join — the
+    # candidate list is tiny relative to the corpora, so this distinct is a
+    # small-key shuffle, not a corpus shuffle
+    cand = ba.join(bb, "bkey").select("a_id", "b_id").distinct()
+    a = idx_a.select(F.col("id").alias("a_id"), F.col("shingles").alias("a_sh"))
+    b = idx_b.select(F.col("id").alias("b_id"), F.col("shingles").alias("b_sh"))
+    joined = cand.join(a, "a_id").join(b, "b_id")
+    inter = F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
+    union = F.size(F.array_union("a_sh", "b_sh")).cast("double")
+    jac = F.round(inter / union, 6)
+    return (
+        joined.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= jaccard_threshold)
         .select("a_id", "b_id", "jaccard")
     )
 

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from overturemaps_duckdb_spark.operators.dedup import (
     canonical_per_cluster,
+    cross_corpus_minhash_pairs,
     dedup_clusters,
     embedding_neardup_pairs,
     exact_dedup,
@@ -108,6 +109,65 @@ SELECT a_id, b_id, jaccard FROM pairs WHERE jaccard >= 0.5
 _MINHASH_ORACLE = _minhash_oracle()
 
 
+def _cross_minhash_oracle(
+    where_a: str, where_b: str, n_hashes: int = 16, bands: int = 4, k: int = 5
+) -> str:
+    """Two-sided twin of _minhash_oracle: independent shingle/minhash/band
+    CTEs per side, candidates from the band equi-join ACROSS sides."""
+    from overturemaps_duckdb_spark.functions.text import MINHASH_P, minhash_coeffs
+    from overturemaps_duckdb_spark.queries._sql import (
+        char_codes_sql,
+        norm_sql,
+        poly_shingles_from_codes_sql,
+    )
+
+    a_list, b_list = minhash_coeffs(n_hashes)
+    seeds = ", ".join(f"({i}, {a_list[i]}, {b_list[i]})" for i in range(n_hashes))
+    rows = n_hashes // bands
+
+    def side(tag: str, where: str) -> str:
+        return f"""
+codes_{tag} AS (
+    SELECT doc_id AS id, {char_codes_sql('text')} AS c,
+           length({norm_sql('text')}) AS len FROM documents WHERE {where}
+),
+docs_{tag} AS (
+    SELECT id, {poly_shingles_from_codes_sql('c', 'len', k)} AS shingles
+    FROM codes_{tag}
+),
+mins_{tag} AS (
+    SELECT d.id, s.seed,
+           list_min(list_transform(d.shingles,
+               h -> (h * s.a + s.b) % {MINHASH_P})) AS mv
+    FROM docs_{tag} d, (VALUES {seeds}) s(seed, a, b)
+),
+bands_{tag} AS (
+    SELECT id, seed // {rows} AS band,
+           md5(string_agg(CAST(mv AS VARCHAR), ',' ORDER BY seed)) AS bhash
+    FROM mins_{tag} GROUP BY id, seed // {rows}
+)"""
+
+    return f"""
+WITH {side('a', where_a)},
+{side('b', where_b)},
+cand AS (
+    SELECT DISTINCT l.id AS a_id, r.id AS b_id
+    FROM bands_a l JOIN bands_b r ON l.band = r.band AND l.bhash = r.bhash
+),
+pairs AS (
+    SELECT c.a_id, c.b_id,
+           ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+               / CAST(len(a.shingles) + len(b.shingles)
+                      - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE), 6)
+               AS jaccard
+    FROM cand c
+    JOIN docs_a a ON c.a_id = a.id
+    JOIN docs_b b ON c.b_id = b.id
+)
+SELECT a_id, b_id, jaccard FROM pairs WHERE jaccard >= 0.5
+"""
+
+
 @query("d2_minhash_lsh_pairs", oracle=_MINHASH_ORACLE)
 def d2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16 hashes)+LSH(4 bands) near-dup candidate pairs, verified
@@ -116,6 +176,27 @@ def d2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
         d, "doc_id", "text", n_hashes=16, bands=4, shingle_k=5, jaccard_threshold=0.5
+    )
+
+
+#: train/probe split for d8 — every 5th doc plays the held-out benchmark
+_D8_WHERE_A = "doc_id % 5 <> 0"
+_D8_WHERE_B = "doc_id % 5 = 0"
+
+
+@query("d8_cross_corpus_neardup", oracle=_cross_minhash_oracle(_D8_WHERE_A, _D8_WHERE_B))
+def d8_cross_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A×B decontamination: training-corpus docs that near-match a held-out
+    probe corpus (MinHash banding on both sides, ONE band-key equi-join, no
+    broadcast of either side, exact Jaccard ≥ 0.5 verify) — the scale path
+    when the benchmark set is too large for textprep.ngram_decontaminate's
+    broadcast n-grams (operators/dedup.cross_corpus_minhash_pairs)."""
+    d = t(spark, sf_dir, "documents")
+    corpus = d.where(F.expr(_D8_WHERE_A))
+    probe = d.where(F.expr(_D8_WHERE_B))
+    return cross_corpus_minhash_pairs(
+        corpus, probe, "doc_id", "text",
+        n_hashes=16, bands=4, shingle_k=5, jaccard_threshold=0.5,
     )
 
 

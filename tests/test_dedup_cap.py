@@ -116,3 +116,24 @@ def test_dedup_clusters_chain_and_singletons(spark):
         for r in dedup_clusters(docs, "doc_id", pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_cross_corpus_minhash_finds_planted_pair(spark):
+    from overturemaps_duckdb_spark.operators.dedup import cross_corpus_minhash_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely unrelated text about spark shuffles and joins")],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(100, base + "!"), (101, "another benchmark prompt with nothing in common")],
+        "doc_id long, text string",
+    )
+    out = cross_corpus_minhash_pairs(
+        corpus, probe, "doc_id", "text", jaccard_threshold=0.5
+    ).collect()
+    assert [(r["a_id"], r["b_id"]) for r in out] == [(1, 100)]
+    assert out[0]["jaccard"] > 0.9
+    # direction: a_id is always from the corpus side, b_id from the probe
+    # side — no same-side pairs even though both sides share the hash family
