@@ -287,6 +287,15 @@ def _intercept(
         ).createOrReplaceTempView(f"fts_main_{table}_score")
         return idx.postings.limit(0)
 
+    m = re.match(r"(?is)^SUMMARIZE\s+(?:TABLE\s+)?\"?(\w+)\"?$", s)
+    if m:
+        # DuckDB's SUMMARIZE <table> — one-scan per-column profile (the
+        # console accepts it like any statement; engine analog in
+        # operators/profile.profile_table)
+        from overturemaps_duckdb_spark.operators.profile import profile_table
+
+        return profile_table(spark.table(m.group(1)))
+
     m = re.match(r"(?is)^COPY\s+\"?(\w+)\"?\s+TO\s+'([^']+)'.*$", s)
     if m:
         table, path = m.groups()

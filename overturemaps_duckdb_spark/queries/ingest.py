@@ -253,3 +253,46 @@ def s14_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucketed join/agg must not shuffle"
     )
     return joined
+
+
+@query(
+    "s15_table_profile",
+    oracle="""
+    SELECT 'doc_id' AS column_name, 'bigint' AS column_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(doc_id) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+           CAST(min(doc_id) AS VARCHAR) AS min_v,
+           CAST(max(doc_id) AS VARCHAR) AS max_v
+    FROM documents
+    UNION ALL
+    SELECT 'lang', 'string', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(lang) AS BIGINT),
+           CAST(count(DISTINCT lang) AS BIGINT),
+           CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'source', 'string', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(source) AS BIGINT),
+           CAST(count(DISTINCT source) AS BIGINT),
+           CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', 'bigint', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(n_chars) AS BIGINT),
+           CAST(count(DISTINCT n_chars) AS BIGINT),
+           CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+    FROM documents
+    """,
+)
+def s15_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column table profile (count / nulls / distinct / min / max) in ONE
+    scan — the engine analog of DuckDB's `SUMMARIZE`, which the reference's
+    SQL console accepts like any statement.  A single aggregate computes all
+    columns' stats simultaneously; `stack` pivots the one-row result
+    (operators/profile.profile_table; the console's `SUMMARIZE t` routes
+    there via the compat intercept)."""
+    from overturemaps_duckdb_spark.operators.profile import profile_table
+
+    d = t(spark, sf_dir, "documents")
+    return profile_table(d, ["doc_id", "lang", "source", "n_chars"])

@@ -58,9 +58,8 @@ def x1_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "x2_quality_score",
-    oracle=f"""
+#: the x2 quality formula as a reusable CTE chain ending in q(doc_id, quality)
+_QUALITY_CTES = f"""
     WITH base AS (
         SELECT doc_id, text, {tokens_sql('text')} AS tk, length(text) AS n
         FROM documents
@@ -79,12 +78,19 @@ def x1_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                      AND (CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT) * 1.0) / len(tk) <= 10.0
                     THEN 1.0 ELSE 0.0 END AS tok_ok
         FROM base
+    ),
+    q AS (
+        SELECT doc_id,
+               ROUND(0.4 * alpha + 0.3 * stop_ratio * 5.0 + 0.15 * len_ok + 0.15 * tok_ok, 6)
+                   AS quality
+        FROM feats
     )
-    SELECT doc_id,
-           ROUND(0.4 * alpha + 0.3 * stop_ratio * 5.0 + 0.15 * len_ok + 0.15 * tok_ok, 6)
-               AS quality
-    FROM feats
-    """,
+"""
+
+
+@query(
+    "x2_quality_score",
+    oracle=_QUALITY_CTES + "SELECT doc_id, quality FROM q",
 )
 def x2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality heuristic (length / alpha-ratio / stopword-density /
@@ -349,4 +355,39 @@ def x10_corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_chars"), 6).alias("avg_chars"),
         F.min("n_chars").cast("bigint").alias("min_chars"),
         F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
+
+
+@query(
+    "x11_quality_percentile_filter",
+    oracle=_QUALITY_CTES + """,
+    ql AS (
+        SELECT q.doc_id, d.lang, q.quality
+        FROM q JOIN documents d ON q.doc_id = d.doc_id
+    )
+    SELECT doc_id, lang, quality, pr FROM (
+        SELECT doc_id, lang, quality,
+               ROUND(percent_rank() OVER (PARTITION BY lang ORDER BY quality), 6) AS pr
+        FROM ql
+    ) WHERE pr >= 0.6
+    """,
+)
+def x11_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality pruning: keep each language's top quality band
+    (percent_rank ≥ 0.6 within the language) — the relative-cutoff filter a
+    pipeline uses when absolute thresholds would gut low-resource languages.
+
+    percent_rank shuffles once on lang and sorts within each language
+    partition; ties share a rank, so the cut is deterministic.  At 100 TB
+    the same cut is taken with approx_percentile(quality, 0.6) per language
+    (one aggregate + a broadcast threshold join) instead of a full in-group
+    sort — same keep-set up to sketch error."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("quality")
+    return (
+        d.select("doc_id", "lang", quality_score("text").alias("quality"))
+        .withColumn("pr", F.round(F.percent_rank().over(w), 6))
+        .where(F.col("pr") >= 0.6)
     )

@@ -160,3 +160,15 @@ def test_match_bm25_console_rewrite(spark):
 
     with _pytest.raises(NotImplementedError, match="ILIKE"):
         duck_sql(spark, "SELECT fts_main_zzz.match_bm25(doc_id, 'q') FROM docs_m")
+
+
+def test_summarize_intercept(spark):
+    spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5), (2, "b", 7)],
+        "id long, name string, v long",
+    ).createOrReplaceTempView("prof_t")
+    rows = {r["column_name"]: r for r in duck_sql(spark, "SUMMARIZE prof_t").collect()}
+    assert set(rows) == {"id", "name", "v"}
+    assert rows["id"]["n_rows"] == 3 and rows["id"]["n_distinct"] == 2
+    assert rows["v"]["n_null"] == 1 and rows["v"]["min_v"] == "5"
+    assert rows["name"]["column_type"] == "string" and rows["name"]["max_v"] == "b"
