@@ -22,7 +22,9 @@ import tempfile
 import zipfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import Column, DataFrame, SparkSession
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -80,15 +82,40 @@ def _ship_package(spark: SparkSession) -> None:
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table (TESTDATA.md).
 
-    ``events.parquet`` carries TIMESTAMP(NANOS) which Spark only reads as a
-    LONG of epoch-nanos behind the legacy flag — set it defensively (the
-    driver's session may not have it).  LONG nanos are also the most
-    oracle-deterministic representation (no TZ rendering involved).
+    ``events.parquet`` has carried different physical `ts` types across
+    fixture regenerations — TIMESTAMP(NANOS) (readable only as a LONG of
+    epoch-nanos behind the legacy flag) and plain TIMESTAMP[us] (read as
+    TIMESTAMP_NTZ).  Set both confs defensively (the driver's session may
+    not have them) and let :func:`us_col` adapt to whichever type actually
+    loaded — probe-then-adapt, the reference's own schema handling pattern
+    (/root/reference/src/lib/themes.js:294-297, query.js:10-45 builds
+    against whatever columns/types exist).
+
+    Session TZ is pinned to UTC so a TIMESTAMP_NTZ → TIMESTAMP cast is the
+    identity on the epoch scale: DuckDB's `epoch_us(ts)` treats the naive
+    wall time as-is, and so do we.
     """
     _ship_package(spark)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def us_col(df: DataFrame, col: str = "ts") -> Column:
+    """Epoch-microseconds BIGINT from the events `ts` column, whatever
+    physical type the fixture carries.
+
+    - LONG (TIMESTAMP(NANOS) under `nanosAsLong`) → integer `DIV 1000`;
+    - TIMESTAMP / TIMESTAMP_NTZ → `unix_micros` (NTZ goes through a cast
+      that is exact because :func:`t` pins the session TZ to UTC).
+
+    Matches the oracle's `epoch_us(ts)` bit-for-bit in both cases.
+    """
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        return F.expr(f"{col} DIV 1000")
+    return F.unix_micros(F.col(col).cast("timestamp"))
 
 
 def load_all() -> None:

@@ -1,10 +1,12 @@
 """Event-stream inventory (SURVEY §2.9 + extension surface): incremental
 batch semantics, tumbling windows, sessionization on the `events` table.
 
-The fixture's `ts` is parquet TIMESTAMP(NANOS): Spark reads it as a LONG of
-epoch-nanos (legacy flag, set in queries.t), DuckDB truncates to µs — so all
-time math happens on `ts DIV 1000` (epoch-µs, exactly `epoch_us(ts)` in the
-oracle).  Integer bucket arithmetic is TZ-independent by construction.
+The fixture's `ts` physical type has varied across regenerations
+(TIMESTAMP(NANOS) read as epoch-nano LONG, TIMESTAMP[us] read as
+TIMESTAMP_NTZ) — all time math therefore goes through `queries.us_col`,
+which probes the loaded dtype and yields epoch-µs BIGINT either way
+(exactly `epoch_us(ts)` in the oracle).  Integer bucket arithmetic is
+TZ-independent by construction.
 
 The true Structured-Streaming forms (watermark + window / session_window)
 live in streaming/windows.py and are exercised by tests — batch and stream
@@ -15,7 +17,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from overturemaps_duckdb_spark.queries import query, t
+from overturemaps_duckdb_spark.queries import query, t, us_col
 
 #: 5-minute tumbling window, in µs
 WINDOW_US = 300_000_000
@@ -45,8 +47,8 @@ def e1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer epoch-bucket keys: deterministic, TZ-free, and a cheap
     high-cardinality shuffle key at scale."""
     ev = t(spark, sf_dir, "events")
-    bucket = (F.expr("ts DIV 1000").cast("bigint") / F.lit(WINDOW_US)).cast("bigint")
-    window_start = F.expr(f"(ts DIV 1000) DIV {WINDOW_US} * {WINDOW_US}")
+    ev = ev.withColumn("us", us_col(ev))
+    window_start = F.expr(f"us DIV {WINDOW_US} * {WINDOW_US}")
     return (
         ev.groupBy(window_start.alias("window_start_us"), "event_type")
         .agg(
@@ -88,7 +90,8 @@ def e2_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (30-min inactivity gap) via lag + cumulative-sum — the
     batch twin of `session_window(ts, '30 minutes')`.  Partitioned by
     user_id: the window state never exceeds one user's history per task."""
-    ev = t(spark, sf_dir, "events").withColumn("us", F.expr("ts DIV 1000"))
+    ev = t(spark, sf_dir, "events")
+    ev = ev.withColumn("us", us_col(ev))
     w_order = Window.partitionBy("user_id").orderBy("us", "event_id")
     w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     flagged = ev.withColumn("prev_us", F.lag("us").over(w_order)).withColumn(
@@ -306,7 +309,8 @@ def i6_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def e3_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead inter-event gaps per user (window navigation functions)."""
-    ev = t(spark, sf_dir, "events").withColumn("us", F.expr("ts DIV 1000"))
+    ev = t(spark, sf_dir, "events")
+    ev = ev.withColumn("us", us_col(ev))
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     return ev.select(
         "user_id", "event_id", (F.col("us") - F.lag("us").over(w)).alias("gap_us")
@@ -316,7 +320,8 @@ def e3_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "i5_stream_foreachbatch_ingest",
     oracle="""
-    SELECT event_type, count(*) AS n, sum(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
     FROM events GROUP BY event_type
     """,
 )

@@ -23,7 +23,7 @@ from overturemaps_duckdb_spark.operators.sampling import (
     mixture_sample,
     stratified_sample,
 )
-from overturemaps_duckdb_spark.queries import query, t
+from overturemaps_duckdb_spark.queries import query, t, us_col
 from overturemaps_duckdb_spark.queries._sql import md5_long_sql, tokens_sql
 
 _CARRY = (
@@ -59,7 +59,8 @@ def aj1_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     before it (NULL when none) — operators/asof.asof_join union-merge +
     carry-forward, one shuffle on user_id, no range blowup.  The oracle is
     the identical carry-forward expressed as a window over the union."""
-    ev = t(spark, sf_dir, "events").withColumn("us", F.expr("ts DIV 1000"))
+    ev = t(spark, sf_dir, "events")
+    ev = ev.withColumn("us", us_col(ev))
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "user_id", "event_id", "us"
     )

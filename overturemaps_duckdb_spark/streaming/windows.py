@@ -16,8 +16,10 @@ Scale notes:
 - `availableNow` gives batch-bounded execution of the same plan — used by
   tests and the oracle harness to prove stream/batch equivalence (the twins
   must agree row-for-row).
-- Event time is `timestamp_micros(ts DIV 1000)`: the fixture's nano
-  timestamps truncated to µs, identical to the batch/oracle convention.
+- Event time adapts to the fixture's physical `ts` type (probe-then-adapt,
+  like queries.us_col): epoch-nano LONG → `timestamp_micros(ts DIV 1000)`,
+  TIMESTAMP/TIMESTAMP_NTZ → a UTC-pinned cast — identical to the
+  batch/oracle convention either way.
 
 Boundary semantics: `session_window` starts a NEW session when the gap is
 ``>= gap`` (window end is exclusive); the lag-based batch formulation must
@@ -27,6 +29,7 @@ use ``>=`` to match — see queries/events i2 oracle.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession
 
 from overturemaps_duckdb_spark.queries.events import WINDOW_US, cents
@@ -44,6 +47,7 @@ def events_stream(
 ) -> DataFrame:
     """Streaming view of the events table (file source, schema-pinned)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file source wants a directory; glob-filter down to the events file
     reader = (
@@ -55,9 +59,15 @@ def events_stream(
 
 
 def with_event_time(stream: DataFrame) -> DataFrame:
-    return stream.withColumn(
-        "event_time", F.timestamp_micros(F.expr("ts DIV 1000").cast("bigint"))
-    )
+    """TIMESTAMP event-time column from whatever physical `ts` the source
+    carries (epoch-nano LONG / TIMESTAMP / TIMESTAMP_NTZ); the NTZ cast is
+    exact because the loaders pin the session TZ to UTC."""
+    dt = stream.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        ev = F.timestamp_micros(F.expr("ts DIV 1000").cast("bigint"))
+    else:
+        ev = F.col("ts").cast("timestamp")
+    return stream.withColumn("event_time", ev)
 
 
 def tumbling_counts(
@@ -115,6 +125,7 @@ def session_counts_to_batch(
     import tempfile
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     src = f"{sf_dir}/events.parquet"
     batch = spark.read.parquet(src)
     max_ts = batch.agg(F.max("ts")).collect()[0][0]
@@ -122,7 +133,12 @@ def session_counts_to_batch(
     stage = tempfile.mkdtemp(prefix="omds_stream_")
     shutil.copy(src, os.path.join(stage, "events.parquet"))
     os.utime(os.path.join(stage, "events.parquet"), (1_000_000, 1_000_000))
-    flush_ts = max_ts + 365 * 86_400 * 10**9
+    if isinstance(max_ts, int):  # epoch-nano LONG fixture
+        flush_ts = max_ts + 365 * 86_400 * 10**9
+    else:  # timestamp fixture → datetime.datetime
+        from datetime import timedelta
+
+        flush_ts = max_ts + timedelta(days=365)
     sentinel_cols = []
     for fld in batch.schema.fields:
         if fld.name == "ts":

@@ -51,8 +51,15 @@ def norm(v):
         return round(float(v), 9)
     return v
 
-random.seed(7)
-sample = random.sample(sorted(os_), 8)
+if len(sys.argv) > 1:  # explicit names (or a count via -n N)
+    if sys.argv[1] == "-n":
+        random.seed(7)
+        sample = random.sample(sorted(os_), int(sys.argv[2]))
+    else:
+        sample = sys.argv[1:]
+else:
+    random.seed(7)
+    sample = random.sample(sorted(os_), 8)
 fails = []
 for name in sample:
     sdf = qs[name](spark, SF)
