@@ -31,12 +31,89 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q.QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
+#: Certification rotation. The registry (143 queries) is frozen this round —
+#: no new registrations — but the driver samples a bounded prefix per round,
+#: so the listing order rotates which queries get a driver-certified row:
+#: first the r02-failing (now fixed) event-time family, then §2-lettered
+#: micro-ops and extension operators that have never had a driver row
+#: (everything already green in r01/r02 keeps that certification and moves
+#: after them).  Ordering only; every entry is unchanged.
+_CERT_PRIORITY = [
+    # r02 FAIL → fixed this round (events ts dtype + i5 oracle cast)
+    "e1_tumbling_window",
+    "e2_sessionize",
+    "i1_stream_tumbling_window",
+    "i2_stream_session_window",
+    "i4_stream_stream_join",
+    "e3_lag_delta",
+    "i5_stream_foreachbatch_ingest",
+    "aj1_asof_join",
+    # §2.1 sources/lifecycle — never driver-sampled
+    "s1_scan_filter_project",
+    "s5_ctas_ingest_budget",
+    "s6_incremental_append",
+    "s11_count_probe",
+    # §2.2 projection/scalar micro-ops
+    "p2_struct_field_access",
+    "p3_array_index_1based",
+    "p4_coalesce_cast_empty",
+    "p6_concat_ws_search_name",
+    "p7_round",
+    "p8_regexp_replace",
+    "p9_p10_length_abs",
+    "p11_literal_source_tag",
+    "p13_json_extract",
+    # §2.3 filters
+    "f1_interval_overlap",
+    "f3_between",
+    "f4_ilike_substring",
+    "f5_is_not_null",
+    "f8_in_subquery_semi",
+    # §2.4 joins
+    "j1_inner_band_theta_join",
+    "j2_semi_join_within",
+    "j3_anti_join_exclude",
+    "j4_bidirectional_match",
+    "j5_join_distinct_matched_b",
+    "j6_pip_fold_collect",
+    # §2.5 aggregation
+    "a2_distinct",
+    "a3_groupby_source",
+    "a6_count_distinct",
+    "a8_rollup",
+    "a9_cube",
+    # §2.6 windows
+    "w1_topk_per_group",
+    "w2_running_sum",
+    "w3_rank_dense_rank",
+    # §2.7 ordering/limits
+    "o1_topk_order_limit",
+    "o4_limit_offset",
+    "o5_balanced_union_limit",
+    "o6_nulls_last_sort",
+    # §2.8 set ops
+    "u1_union_all_aligned",
+    "u2_union_distinct",
+    "u3_intersect_except",
+    # headline extension ops — never driver-sampled
+    "n1_cosine_topk",
+    "q1_pricing_summary",
+    "mx1_token_budget_mix",
+]
+
+
+def _ordered(src: dict) -> dict:
+    head = {k: src[k] for k in _CERT_PRIORITY if k in src}
+    tail = {k: v for k, v in src.items() if k not in head}
+    return {**head, **tail}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ extensions)."""
-    return dict(_q.QUERIES)
+    return _ordered(dict(_q.QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL per query (omitted ⇒ rows-only check by design,
     e.g. engine-specific sketches like approx_count_distinct)."""
-    return dict(_q.ORACLES)
+    return _ordered(dict(_q.ORACLES))

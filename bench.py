@@ -73,30 +73,42 @@ def main() -> None:
     # every session cache (FTS indexes, theme tables, persisted minhash
     # indexes) is keyed by sf_dir or source path, so the sf0.1 runs still
     # perform all real scans, shuffles, index builds, and UDF work.
+    # Resilience contract: one broken query must not zero out the whole
+    # benchmark — failures are reported per-query in the JSON instead of
+    # killing the run (learned in r02, where a fixture dtype change crashed
+    # warmup and left BENCH_r02 with no numbers at all).
+    errors: dict[str, str] = {}
     for warm in HEADLINE:
-        _q.QUERIES[warm](spark, "/root/testdata/sf0.001").write.format(
-            "noop"
-        ).mode("overwrite").save()
+        try:
+            _q.QUERIES[warm](spark, "/root/testdata/sf0.001").write.format(
+                "noop"
+            ).mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001
+            errors[warm] = f"warmup: {exc}"[:300]
 
     times: dict[str, float] = {}
     for name in HEADLINE:
+        if name in errors:
+            continue
         fn = _q.QUERIES[name]
         t0 = time.monotonic()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.monotonic() - t0, 3)
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times[name] = round(time.monotonic() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"timed: {exc}"[:300]
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
     spark.stop()
 
 

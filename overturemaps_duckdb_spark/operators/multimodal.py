@@ -15,13 +15,15 @@ Beyond-reference surface (BASELINE.json north star).  Design for 100 TB:
   partitions by *bytes* not rows (``spark.sql.files.maxPartitionBytes``)
   since payloads dominate.  Feature outputs are tiny and re-shuffle freely.
 
-The actual pixel/sample decoding libraries (PIL, ffmpeg, librosa) are NOT in
-this container.  Each kernel therefore has two paths:
-- ``_real_decode_*`` — raises :class:`NotImplementedError` with the exact
-  dependency needed (the marked STUB), and
+Pixel/sample decoding libraries (PIL, ffmpeg, librosa) are NOT in this
+container.  Each kernel therefore has layered paths:
+- ``_real_*`` — pillow when importable (production executors; arbitrary
+  formats), else a built-in dependency-free binary-PPM (P6) codec doing
+  REAL pixel decode/resample in numpy (tests/test_multimodal_real.py);
+  anything else raises :class:`NotImplementedError` naming the dependency.
 - a deterministic fake parse of our synthetic payload header, so the
   Spark-side plumbing (schema, batch iteration, UDF signatures, partition
-  behavior) is fully real and fully tested.
+  behavior) is fully real and fully tested against SQL oracles.
 
 Synthetic payload format (built by :func:`attach_payload` from any text
 column, so fixtures need no binary files)::
@@ -113,16 +115,95 @@ def attach_payload(
 # ---------------------------------------------------------------------------
 
 
+def _pil():
+    """Pillow if importable (production executors), else None (this
+    container ships no image libs — the PPM path below still does real
+    pixel work without it)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+# -- minimal real codec: binary PPM (P6), public format, zero dependencies --
+
+
+def _ppm_parse_header(payload: bytes) -> tuple[int, int, int, int] | None:
+    """Parse a binary-PPM header → (width, height, maxval, data_offset),
+    or None if the payload isn't P6.  Whitespace/comment handling per the
+    netpbm spec."""
+    if not payload.startswith(b"P6"):
+        return None
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3 and i < len(payload):
+        c = payload[i : i + 1]
+        if c.isspace():
+            i += 1
+        elif c == b"#":  # comment to end of line
+            while i < len(payload) and payload[i : i + 1] not in (b"\n", b"\r"):
+                i += 1
+        elif c.isdigit():
+            j = i
+            while j < len(payload) and payload[j : j + 1].isdigit():
+                j += 1
+            fields.append(int(payload[i:j]))
+            i = j
+        else:
+            return None
+    if len(fields) < 3 or i >= len(payload) or not payload[i : i + 1].isspace():
+        return None
+    width, height, maxval = fields
+    return width, height, maxval, i + 1  # single whitespace after maxval
+
+
+def decode_ppm(payload: bytes):
+    """P6 payload → HxWx3 uint8 numpy array (real pixels, no deps)."""
+    import numpy as np
+
+    hdr = _ppm_parse_header(payload)
+    if hdr is None:
+        raise ValueError("not a binary PPM (P6) payload")
+    width, height, _maxval, off = hdr
+    n = width * height * 3
+    arr = np.frombuffer(payload, dtype=np.uint8, count=n, offset=off)
+    return arr.reshape(height, width, 3)
+
+
+def encode_ppm(arr) -> bytes:
+    """HxWx3 uint8 numpy array → P6 payload."""
+    h, w = arr.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode() + arr.astype("uint8").tobytes()
+
+
+def _resize_nearest(arr, width: int, height: int):
+    """Nearest-neighbor resample via integer index maps — the standard
+    vectorized formulation (pure numpy fancy indexing, no Python loop)."""
+    import numpy as np
+
+    src_h, src_w = arr.shape[:2]
+    rows = np.minimum((np.arange(height) * src_h) // height, src_h - 1)
+    cols = np.minimum((np.arange(width) * src_w) // width, src_w - 1)
+    return arr[rows[:, None], cols[None, :]]
+
+
 def _real_decode_image(payload: bytes) -> tuple[int, int, int]:
-    """STUB: the real path needs an image decoder.
+    """Real image decode: pillow for arbitrary formats when importable;
+    the built-in PPM parser otherwise (header-only — no pixel copy)."""
+    Image = _pil()
+    if Image is not None:
+        import io
 
-    On a production cluster::
-
-        from PIL import Image           # pip install pillow on executors
-        img = Image.open(io.BytesIO(payload))
+        img = Image.open(io.BytesIO(bytes(payload)))
         return img.width, img.height, getattr(img, "n_frames", 1)
-    """
-    raise NotImplementedError("image decoding requires pillow on executors")
+    hdr = _ppm_parse_header(bytes(payload))
+    if hdr is not None:
+        return hdr[0], hdr[1], 1
+    raise NotImplementedError(
+        "non-PPM image decoding requires pillow on executors"
+    )
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
@@ -216,25 +297,52 @@ def extract_byte_features(assets: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _real_resize_payload(payload: bytes, width: int, height: int) -> bytes:
+    """Real pixel resize: pillow when importable (any format, Lanczos,
+    re-encoded to the source format); otherwise the dependency-free PPM
+    path (numpy nearest-neighbor over real pixel data)."""
+    Image = _pil()
+    if Image is not None and not payload.startswith(b"P6"):
+        import io
+
+        img = Image.open(io.BytesIO(payload))
+        fmt = img.format or "PNG"
+        buf = io.BytesIO()
+        img.resize((width, height)).save(buf, format=fmt)
+        return buf.getvalue()
+    if not payload.startswith(b"P6"):
+        raise NotImplementedError(
+            "non-PPM image resize requires pillow on executors"
+        )
+    return encode_ppm(_resize_nearest(decode_ppm(payload), width, height))
+
+
 def resize_images(
     assets: DataFrame, width: int, height: int, *, use_real_codec: bool = False
 ) -> DataFrame:
-    """Thumbnail kernel: payload → resized payload.
+    """Thumbnail kernel: payload → resized payload (schema-preserving map).
 
-    Real path (STUB): PIL `Image.resize((width, height))` re-encoded to the
-    original format.  Fake path keeps the plumbing honest: a new payload
-    whose header records the target dims (deterministic, size-bounded)."""
+    Real path (``use_real_codec=True``): actual pixel resampling via
+    :func:`_real_resize_payload` — pillow when present, built-in numpy
+    PPM nearest-neighbor otherwise (tests/test_multimodal_real.py).  Fake
+    path (default, used by the m5 oracle query over text-derived synthetic
+    payloads): a new payload whose header records the target dims
+    (deterministic, size-bounded), exercising identical plumbing."""
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if use_real_codec:
-                _real_decode_image(b"")  # raises NotImplementedError
             out = pdf.copy()
-            tag = f"{width}x{height}:".encode()
-            out["payload"] = [
-                bytes(p[: len(MAGIC) + 1]) + tag + bytes(p[len(MAGIC) + 1 :])[:64]
-                for p in pdf["payload"]
-            ]
+            if use_real_codec:
+                out["payload"] = [
+                    _real_resize_payload(bytes(p), width, height)
+                    for p in pdf["payload"]
+                ]
+            else:
+                tag = f"{width}x{height}:".encode()
+                out["payload"] = [
+                    bytes(p[: len(MAGIC) + 1]) + tag + bytes(p[len(MAGIC) + 1 :])[:64]
+                    for p in pdf["payload"]
+                ]
             yield out
 
     return assets.mapInPandas(resize, schema=assets.schema)

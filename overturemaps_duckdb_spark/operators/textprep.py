@@ -228,3 +228,53 @@ def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         (reasons == "").alias("keep"),
         reasons.alias("reasons"),
     )
+
+
+def quality_percentile_prune(
+    df: DataFrame,
+    *,
+    quality_col: str = "quality",
+    group_col: str = "lang",
+    cutoff: float = 0.6,
+    mode: str = "approx",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Keep each group's top quality band (quality ≥ the group's `cutoff`
+    quantile) — the relative-cutoff pruning a pipeline uses when absolute
+    thresholds would gut low-resource languages.
+
+    Two physical strategies with the same keep-set (up to sketch error):
+
+    - ``mode="approx"`` (default, the 100 TB path): one partial-aggregated
+      ``approx_percentile(quality, cutoff, accuracy)`` per group → a
+      groups-cardinality threshold table (dozens of languages ≈ dozens of
+      rows) broadcast back onto the corpus.  NO per-group global sort — the
+      corpus side sees one scan and a map-side broadcast-hash join; one
+      skewed language (English at ~half the web) costs nothing extra.  The
+      GK sketch is exact while a group's value count stays ≤ ``accuracy``.
+    - ``mode="exact"``: per-group ``percent_rank`` window (one shuffle on
+      the group key, full in-group sort) — the verification twin used by the
+      x11 oracle query; a single giant language makes a single giant sort
+      partition, which is exactly why it is not the default.
+    """
+    if mode == "exact":
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(group_col).orderBy(quality_col)
+        return (
+            df.withColumn("_pr", F.percent_rank().over(w))
+            .where(F.col("_pr") >= cutoff)
+            .drop("_pr")
+        )
+    if mode != "approx":
+        raise ValueError(f"mode must be 'approx' or 'exact', got {mode!r}")
+    thr = df.groupBy(group_col).agg(
+        F.expr(
+            f"approx_percentile({quality_col}, {cutoff}d, {accuracy})"
+        ).alias("_thr")
+    )
+    return (
+        df.join(F.broadcast(thr), group_col)
+        .where(F.col(quality_col) >= F.col("_thr"))
+        .drop("_thr")
+    )

@@ -377,11 +377,14 @@ def x11_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame
     (percent_rank ≥ 0.6 within the language) — the relative-cutoff filter a
     pipeline uses when absolute thresholds would gut low-resource languages.
 
-    percent_rank shuffles once on lang and sorts within each language
-    partition; ties share a rank, so the cut is deterministic.  At 100 TB
-    the same cut is taken with approx_percentile(quality, 0.6) per language
-    (one aggregate + a broadcast threshold join) instead of a full in-group
-    sort — same keep-set up to sketch error."""
+    This registered form is the EXACT/verification twin (percent_rank must
+    appear in the output, so it shuffles once on lang and sorts within each
+    language partition; ties share a rank, so the cut is deterministic).
+    The production default is operators/textprep.quality_percentile_prune
+    (mode="approx"): approx_percentile per language + a broadcast threshold
+    join — no per-language global sort, so one skewed language can't create
+    one giant sort partition (equivalence + plan shape pinned in
+    tests/test_quality_prune.py)."""
     from pyspark.sql import Window
 
     d = t(spark, sf_dir, "documents")
