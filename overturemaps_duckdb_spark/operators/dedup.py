@@ -199,6 +199,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     jaccard_threshold: float = 0.5,
     stop_df_cap: int | None = None,
+    bucket_cap: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding, verified with exact
     shingle-set Jaccard.
@@ -215,6 +216,18 @@ def minhash_lsh_pairs(
     the same bands (candidate blowup) and inflate Jaccard.  Signatures and
     the verify sets see the same capped universe, so results stay
     self-consistent; None (default) disables the extra df pass.
+
+    `bucket_cap`: hard guard on in-bucket membership — one boilerplate band
+    key shared by millions of docs would otherwise `collect_set` into a
+    single multi-GB row (and a quadratic pair expansion) on one task.  The
+    sorted id list is truncated to the first `bucket_cap` members; the drop
+    is NOT silent — it is counted via `DataFrame.observe` (no extra job)
+    and exposed on ``minhash_lsh_pairs.last_cap_observation`` after the
+    first action.  Fixture-scale buckets are far below the default, so
+    capped and uncapped results coincide there (pinned in
+    tests/test_dedup_cap.py); a genuinely hot bucket is boilerplate glue
+    whose pairs the Jaccard verify would mostly reject anyway — the right
+    structural fix for those corpora is `stop_df_cap`.
 
     Returns (a_id, b_id, jaccard) with a_id < b_id.
     """
@@ -235,6 +248,20 @@ def minhash_lsh_pairs(
         .agg(F.sort_array(F.collect_set("id")).alias("ids"))
         .where(F.size("ids") > 1)
     )
+    if bucket_cap is not None:
+        from pyspark.sql import Observation
+
+        obs = Observation("lsh_bucket_cap")
+        buckets = buckets.observe(
+            obs,
+            F.coalesce(
+                F.sum(F.greatest(F.size("ids") - bucket_cap, F.lit(0))), F.lit(0)
+            ).alias("dropped_ids"),
+            F.coalesce(
+                F.sum((F.size("ids") > bucket_cap).cast("long")), F.lit(0)
+            ).alias("capped_buckets"),
+        ).withColumn("ids", F.slice("ids", 1, bucket_cap))
+        minhash_lsh_pairs.last_cap_observation = obs
     pair_structs = F.flatten(
         F.transform(
             F.col("ids"),
