@@ -106,3 +106,87 @@ def test_engine_end_to_end(spark, tmp_path):
             tuple(round(v, 3) for v in bbox)) in eng._pip_memo
     r2 = eng.intersections("places_customer", ["places_customer"], bbox)
     assert r1 is r2  # memo hit returns the same object
+
+
+def test_scale_scenario_grid_layout_banded_fold_no_bnlj(spark, tmp_path):
+    """VERDICT r2 stretch: the 100 TB composition in one scenario at sf0.1 —
+    load_theme grid-partitioned materialization + grid banded join +
+    intersection_fold, with broadcast disabled so the planner must use the
+    cell equi-join.  Asserts the plans, not just the rows: the layout read
+    is partition-pruned and NO join in the fold degenerates to
+    BroadcastNestedLoop/CartesianProduct."""
+    import pyspark.sql.functions as F
+
+    from overturemaps_duckdb_spark.operators.spatial_join import (
+        intersection_fold,
+    )
+    from overturemaps_duckdb_spark.queries.spatial import supplier_boxes
+
+    sf = "/root/testdata/sf0.1"
+    raw = spark.read.parquet(f"{sf}/customer.parquet").select(
+        F.col("c_custkey").cast("string").alias("id"),
+        F.col("c_name").alias("display_name"),
+        "c_mktsegment",
+    )
+    files = _stage_theme_files(spark, str(tmp_path), "places01", raw)
+
+    eng = Engine(spark, root=tempfile.mkdtemp(prefix="omds_scale_"))
+
+    def projection(batch):
+        from overturemaps_duckdb_spark.functions.geo import st_point
+        from overturemaps_duckdb_spark.queries.spatial import _C_LAT, _C_LON
+
+        pts = batch.select(
+            "id",
+            F.coalesce("display_name", F.lit("")).alias("display_name"),
+            F.col("display_name").alias("search_name"),
+            F.expr(_C_LON.replace("c_custkey", "CAST(id AS BIGINT)")).alias(
+                "centroid_lon"
+            ),
+            F.expr(_C_LAT.replace("c_custkey", "CAST(id AS BIGINT)")).alias(
+                "centroid_lat"
+            ),
+        )
+        return pts.withColumn("geometry", st_point("centroid_lon", "centroid_lat"))
+
+    eng.register_theme(
+        "places/customer01",
+        ThemeSpec(table="places_customer01", files=files, projection=projection),
+    )
+    res = eng.load_area(
+        ["places/customer01"], bbox=(-180.0, -90.0, 180.0, 90.0), limit=50_000
+    )["places/customer01"]
+    assert res.rows > 10_000  # sf0.1 customer ≈ 15k, all in bbox
+
+    # 1. the materialized layout exists and a cell-filtered read is
+    #    partition-pruned at PLAN time (directory pruning, not row filtering)
+    layout = os.path.join(eng.snapviews.root, "_layout", "places_customer01")
+    assert any(d.startswith("cx=") for d in os.listdir(layout))
+    pruned = spark.read.parquet(layout).where("cx = 0 AND cy = 0")
+    scan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in scan and "(cx" in scan
+
+    # 2. fold the loaded points against a polygon theme with broadcast OFF:
+    #    the band join must take the grid-cell equi-join path
+    polys = supplier_boxes(spark, sf)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fold = intersection_fold(
+            eng.catalog.tables["places_customer01"], {"suppliers": polys}
+        )
+        plan = fold._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        labels = fold.collect()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert len(labels) > 0
+    assert all(r["labels"] == "suppliers" for r in labels)
+
+    # 3. the engine-facade memoized pass over the same tables agrees
+    eng.catalog.tables["suppliers"] = polys
+    via_engine = eng.intersections(
+        "places_customer01", ["suppliers"], (-180.0, -90.0, 180.0, 90.0)
+    )
+    assert {r["id"] for r in via_engine} == {r["id"] for r in labels}
