@@ -130,9 +130,13 @@ def session_counts_to_batch(
     batch = spark.read.parquet(src)
     max_ts = batch.agg(F.max("ts")).collect()[0][0]
 
+    # Stage = a SYMLINK to the source file (constant cost — the events
+    # table is never copied; at 100 TB the staging dir is a manifest of
+    # references, not data) + the one-row sentinel.  Batch order is
+    # guaranteed by mtime: the symlink resolves to the source's mtime
+    # (some past instant), the sentinel is future-dated below.
     stage = tempfile.mkdtemp(prefix="omds_stream_")
-    shutil.copy(src, os.path.join(stage, "events.parquet"))
-    os.utime(os.path.join(stage, "events.parquet"), (1_000_000, 1_000_000))
+    os.symlink(os.path.abspath(src), os.path.join(stage, "events.parquet"))
     if isinstance(max_ts, int):  # epoch-nano LONG fixture
         flush_ts = max_ts + 365 * 86_400 * 10**9
     else:  # timestamp fixture → datetime.datetime
@@ -155,14 +159,16 @@ def session_counts_to_batch(
         os.path.join(stage, "sentinel")
     )
     # the sentinel must land in a LATER micro-batch: the file source orders
-    # by modification time, and the staged copy is pinned to the epoch
+    # by modification time, so future-date it past the source's mtime
+    import time as _time
+
+    sentinel_path = os.path.join(stage, "zz_sentinel.parquet")
     for fn in os.listdir(os.path.join(stage, "sentinel")):
         if fn.endswith(".parquet"):
-            shutil.move(
-                os.path.join(stage, "sentinel", fn),
-                os.path.join(stage, "zz_sentinel.parquet"),
-            )
+            shutil.move(os.path.join(stage, "sentinel", fn), sentinel_path)
     shutil.rmtree(os.path.join(stage, "sentinel"))
+    future = int(_time.time()) + 365 * 86_400
+    os.utime(sentinel_path, (future, future))
 
     stream = (
         spark.readStream.schema(batch.schema)
