@@ -260,6 +260,24 @@ def minhash_lsh_pairs(
         df, id_col, text_col,
         n_hashes=n_hashes, shingle_k=shingle_k, stop_df_cap=stop_df_cap,
     )
+    return _self_pairs_from_index(
+        index, n_hashes=n_hashes, bands=bands,
+        jaccard_threshold=jaccard_threshold, bucket_cap=bucket_cap,
+    )
+
+
+def _self_pairs_from_index(
+    index: DataFrame,
+    *,
+    n_hashes: int,
+    bands: int,
+    jaccard_threshold: float,
+    bucket_cap: int | None,
+) -> DataFrame:
+    """In-corpus near-dup pairs from an existing MinHash index frame —
+    the bucket-grouped pair expansion + exact verify of
+    :func:`minhash_lsh_pairs`, reusable over a persisted index (see
+    :func:`incremental_minhash_pairs`)."""
     hs = index.select("id", "shingles")
     banded = band_keys(index, n_hashes=n_hashes, bands=bands)
     # ONE shuffle forms the buckets; the old banded SELF-join shuffled both
@@ -371,6 +389,115 @@ def cross_corpus_minhash_pairs(
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("a_id", "b_id", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash index maintenance (append-only corpora)
+# ---------------------------------------------------------------------------
+
+
+def write_minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    *,
+    n_hashes: int = 16,
+    shingle_k: int = 5,
+    mode: str = "append",
+) -> None:
+    """Materialize the per-doc MinHash index as a parquet TABLE — the
+    100 TB form (minhash_index's session persist is the dev form).  The
+    index is ~(16 longs + shingle set) per doc: a tiny fraction of corpus
+    bytes, and the only thing incremental dedup ever re-reads."""
+    idx = minhash_index(df, id_col, text_col, n_hashes=n_hashes, shingle_k=shingle_k)
+    idx.write.mode(mode).parquet(path)
+    idx.unpersist()
+
+
+def incremental_minhash_pairs(
+    spark,
+    index_path: str,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.5,
+    bucket_cap: int | None = 1000,
+    update_index: bool = True,
+) -> DataFrame:
+    """Near-dup pairs for an INCREMENTAL ingest batch against an append-only
+    corpus: index only the new docs, emit every pair the batch introduces,
+    and append the batch's index rows to the store.
+
+    At 100 TB an ingest increment must not re-read (let alone re-shingle)
+    the corpus: the corpus side here is its persisted index — band keys are
+    recomputed from the 16 signature longs per doc (cheap), text is never
+    touched.  Two candidate sources, both bucketed equi-joins:
+
+    - new×corpus: band_keys(store) ⋈ band_keys(new) on the 64-bit band key
+      (exactly the cross-corpus shape, no broadcast of either side);
+    - new×new: the standard in-bucket expansion over the batch alone.
+
+    Pair ids are normalized a_id < b_id, so the UNION of emitted pairs
+    across all increments equals a full :func:`minhash_lsh_pairs` rebuild
+    of the final corpus (pinned in tests/test_incremental_minhash.py) —
+    assuming globally unique doc ids (dedup-at-the-door, i6, is upstream's
+    job) and no ``stop_df_cap`` (document frequencies are corpus-global, so
+    df-capping is a rebuild-only concept).
+
+    Returns (a_id, b_id, jaccard); with ``update_index=False`` the store is
+    left untouched (dry-run / what-if mode).
+    """
+    import os
+
+    new_idx = minhash_index(
+        new_docs, id_col, text_col, n_hashes=n_hashes, shingle_k=shingle_k
+    )
+    new_new = _self_pairs_from_index(
+        new_idx, n_hashes=n_hashes, bands=bands,
+        jaccard_threshold=jaccard_threshold, bucket_cap=bucket_cap,
+    )
+    store_exists = os.path.exists(index_path)
+    if store_exists:
+        old_idx = spark.read.parquet(index_path)
+        bo = band_keys(old_idx, n_hashes=n_hashes, bands=bands).select(
+            F.col("id").alias("a_id"), "bkey"
+        )
+        bn = band_keys(new_idx, n_hashes=n_hashes, bands=bands).select(
+            F.col("id").alias("b_id"), "bkey"
+        )
+        cand = bo.join(bn, "bkey").select("a_id", "b_id").distinct()
+        a = old_idx.select(F.col("id").alias("a_id"), F.col("shingles").alias("a_sh"))
+        b = new_idx.select(F.col("id").alias("b_id"), F.col("shingles").alias("b_sh"))
+        joined = cand.join(a, "a_id").join(b, "b_id")
+        inter = F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
+        union = F.size(F.array_union("a_sh", "b_sh")).cast("double")
+        cross = (
+            joined.withColumn("jaccard", F.round(inter / union, 6))
+            .where(F.col("jaccard") >= jaccard_threshold)
+            .select(
+                F.least("a_id", "b_id").alias("a_id"),
+                F.greatest("a_id", "b_id").alias("b_id"),
+                "jaccard",
+            )
+        )
+        pairs = new_new.unionByName(cross)
+    else:
+        pairs = new_new
+    if update_index:
+        # pairs must be computed BEFORE the append lands, and Spark plans
+        # are lazy — materialize them first so the new rows aren't seen
+        # twice through the store read
+        pairs = pairs.localCheckpoint(eager=True)
+        new_idx.write.mode("append" if store_exists else "overwrite").parquet(
+            index_path
+        )
+    new_idx.unpersist()
+    return pairs
 
 
 # ---------------------------------------------------------------------------
