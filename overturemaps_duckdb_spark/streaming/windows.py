@@ -355,6 +355,49 @@ def replayed_dedup_stream(
     return stream.dropDuplicates(["event_id"])
 
 
+def replayed_dedup_within_watermark(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    root: str,
+    n_copies: int = 2,
+    delay: str = "3650 days",
+) -> DataFrame:
+    """The 100 TB form of :func:`replayed_dedup_stream`: state bounded by a
+    watermark instead of growing forever.
+
+    ``dropDuplicatesWithinWatermark`` evicts seen-keys once the watermark
+    passes their event time + delay — the state store holds only the
+    redelivery horizon, not the corpus's full key history.  Delivery
+    semantics: a duplicate arriving within `delay` of the first copy is
+    dropped (exactly-once inside the horizon); one arriving later is a new
+    row — so `delay` must dominate the upstream's maximum redelivery lag.
+    The bounded replay here redelivers everything inside one horizon, so
+    the output equals the batch table exactly (pinned in
+    test_streaming_stateful)."""
+    import os
+    import shutil
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(src).schema
+    stage = os.path.join(root, "stage")
+    os.makedirs(stage, exist_ok=True)
+    for i in range(n_copies):
+        dst = os.path.join(stage, f"{i:02d}_events.parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    ev = with_event_time(stream).withWatermark("event_time", delay)
+    return ev.dropDuplicatesWithinWatermark(["event_id"])
+
+
 def run_to_batch(
     sdf: DataFrame,
     name: str,

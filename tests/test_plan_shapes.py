@@ -1,0 +1,89 @@
+"""Structural plan assertions for the headline queries — the physical-plan
+properties EXPLAIN.md documents, pinned as tests so a refactor that
+silently degrades a plan (drops a pushdown, loses a broadcast, introduces
+a cartesian) fails here instead of only showing up in bench numbers.
+
+All assertions are on the PRE-EXECUTION physical plan (driver-side only,
+no jobs) at sf0.001 — plan shape is scale-independent.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def q(spark):
+    from overturemaps_duckdb_spark import queries as _q
+
+    _q.load_all()
+    return _q.QUERIES
+
+
+def test_q1_pushdown_and_partial_agg(spark, q):
+    plan = _plan(q["q1_pricing_summary"](spark, SF_SMOKE))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+    assert plan.count("Exchange hashpartitioning") == 1  # ONE shuffle
+    # column pruning: the scan must not read unused columns like l_comment
+    scan = plan.split("FileScan parquet", 1)[1]
+    assert "l_shipdate" in scan.split("ReadSchema", 1)[0]
+
+
+def test_q3_broadcasts_both_dims(spark, q):
+    plan = _plan(q["q3_shipping_priority"](spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan  # the fact side never shuffles
+    assert "TakeOrderedAndProject" in plan  # top-k, not global sort
+
+
+def test_d2_no_cartesian_or_bnlj(spark, q):
+    from overturemaps_duckdb_spark.queries import t
+    from overturemaps_duckdb_spark.operators.dedup import minhash_lsh_pairs
+
+    df = t(spark, SF_SMOKE, "documents")
+    plan = _plan(minhash_lsh_pairs(df, "doc_id", "text"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_e1_partial_final_agg(spark, q):
+    plan = _plan(q["e1_tumbling_window"](spark, SF_SMOKE))
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_mx1_corpus_side_no_exchange(spark, q):
+    """The token-budget mixture joins a dozens-row rate table: the rate
+    side broadcasts; the corpus side must reach the join from its scan
+    without any Exchange."""
+    plan = _plan(q["mx1_token_budget_mix"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    bhj_subtree = plan.split("BroadcastHashJoin", 1)[1]
+    probe_side = bhj_subtree.split("BroadcastExchange", 1)[0]
+    assert "Exchange hashpartitioning" not in probe_side
+
+
+def test_x11_exact_vs_approx_shapes(spark, q):
+    """The registered x11 (exact verification twin) carries the per-lang
+    Window; the approx operator must not (its plan is pinned in detail in
+    test_quality_prune, asserted coarsely here beside its siblings)."""
+    from overturemaps_duckdb_spark.functions.text import quality_score
+    from overturemaps_duckdb_spark.operators.textprep import (
+        quality_percentile_prune,
+    )
+    from overturemaps_duckdb_spark.queries import t
+
+    exact_plan = _plan(q["x11_quality_percentile_filter"](spark, SF_SMOKE))
+    assert "Window" in exact_plan
+    d = t(spark, SF_SMOKE, "documents").select(
+        "doc_id", "lang", quality_score("text").alias("quality")
+    )
+    approx_plan = _plan(quality_percentile_prune(d))
+    assert "Window" not in approx_plan

@@ -87,3 +87,36 @@ def test_state_carries_across_batches(spark, tmp_path):
     assert f_rows == e_rows
     # at least one user must have been updated in BOTH batches (state carry)
     assert any(r["update_count"] == 2 for r in final.collect())
+
+
+def test_dedup_within_watermark_bounded_state(spark, tmp_path):
+    """Watermark-bounded streaming dedup (the 100 TB form of i6): a
+    redelivered payload inside the watermark horizon emits exactly once —
+    the per-type aggregate of the deduped stream equals the single-copy
+    batch table."""
+    from overturemaps_duckdb_spark.queries import t
+    from overturemaps_duckdb_spark.queries.events import cents
+    from overturemaps_duckdb_spark.streaming.windows import (
+        replayed_dedup_within_watermark,
+        run_to_batch,
+    )
+
+    sf = SF_SMOKE
+    deduped = replayed_dedup_within_watermark(
+        spark, sf, root=str(tmp_path), n_copies=2
+    )
+    out = run_to_batch(deduped, "wm_dedup", output_mode="append")
+    got = {
+        r["event_type"]: (r["n"], r["value_cents"])
+        for r in out.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum(cents("value")).alias("value_cents"))
+        .collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], r["value_cents"])
+        for r in t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum(cents("value")).alias("value_cents"))
+        .collect()
+    }
+    assert got == want
