@@ -106,3 +106,68 @@ def write_bucketed(
     if path is not None:
         writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering — the flat-directory dual of grid partitioning
+# ---------------------------------------------------------------------------
+
+
+def _spread_bits_16(x):
+    """Spread a 16-bit int's bits to even positions (classic Morton magic
+    masks — public bit-twiddling identity)."""
+    x = x.bitwiseAND(F.lit(0xFFFF))
+    x = (x.bitwiseOR(F.shiftleft(x, 8))).bitwiseAND(F.lit(0x00FF00FF))
+    x = (x.bitwiseOR(F.shiftleft(x, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+    x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(0x33333333))
+    x = (x.bitwiseOR(F.shiftleft(x, 1))).bitwiseAND(F.lit(0x55555555))
+    return x
+
+
+def morton_key(
+    lon_col: str = "centroid_lon",
+    lat_col: str = "centroid_lat",
+    *,
+    lon_range: tuple[float, float] = (-180.0, 180.0),
+    lat_range: tuple[float, float] = (-90.0, 90.0),
+):
+    """32-bit Morton (z-curve) key: each coordinate quantized to 16 bits
+    over its range, bits interleaved — points close on the plane get close
+    keys, so range-partitioning on the key yields files with tight bbox
+    spans.  Pure native column expressions (whole-stage codegen)."""
+    def quant(col, lo, hi):
+        scaled = (F.col(col) - F.lit(lo)) / F.lit(hi - lo) * F.lit(65535.0)
+        q = F.floor(scaled).cast("long")
+        return F.greatest(F.lit(0), F.least(F.lit(65535), q))
+
+    zx = _spread_bits_16(quant(lon_col, *lon_range))
+    zy = _spread_bits_16(quant(lat_col, *lat_range))
+    return zx.bitwiseOR(F.shiftleft(zy, 1))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    *,
+    lon_col: str = "centroid_lon",
+    lat_col: str = "centroid_lat",
+    n_files: int = 8,
+) -> None:
+    """Write a FLAT directory of parquet files clustered on the z-curve:
+    range-partition on the Morton key (sampled range boundaries — balanced
+    file sizes even under spatial skew), sort within each file.
+
+    The complement of :func:`write_grid_partitioned`: no directory scheme
+    (no small-file explosion at fine grids, no partition-column coupling) —
+    instead every file covers a tight bbox, so the footer-stats manifest
+    (sources/manifest.py) prunes most files for any small query box, and
+    row-group min/max stats prune within the survivors.  This is how you
+    lay out the 100 TB table whose query pattern is arbitrary small bboxes."""
+    z = df.withColumn("_z", morton_key(lon_col, lat_col))
+    (
+        z.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
