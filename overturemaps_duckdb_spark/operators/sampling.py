@@ -129,3 +129,37 @@ def deterministic_shuffle(df: DataFrame, id_col: str, seed: int = 42) -> DataFra
     return keyed.repartitionByRange(
         df.sparkSession.sparkContext.defaultParallelism, "_shuffle_key"
     ).sortWithinPartitions("_shuffle_key")
+
+
+def temperature_weights(
+    df: DataFrame,
+    stratum_col: str,
+    token_col: str,
+    tau: float = 0.7,
+) -> dict[str, int]:
+    """Temperature-smoothed mixture weights from the corpus's own token
+    mass: p(s) ∝ tokens(s)^tau — the standard multilingual/multi-source
+    sampling rule (tau=1 → proportional to the data, tau=0 → uniform over
+    strata; 0.3-0.7 up-weights low-resource strata without drowning the
+    head).  Feed the result straight into :func:`mixture_sample` /
+    :func:`mixture_rates` as ``weights_permille``.
+
+    The per-stratum totals are one row per source (dozens) — the ONLY
+    thing collected; the corpus never moves.  Permilles are rounded by
+    largest remainder so they sum to exactly 1000.
+    """
+    totals = df.groupBy(stratum_col).agg(
+        F.sum(token_col).cast("double").alias("_t")
+    ).collect()
+    powed = {r[0]: float(r["_t"]) ** tau for r in totals if r["_t"] and r["_t"] > 0}
+    z = sum(powed.values())
+    if not z:
+        return {}
+    raw = {s: 1000.0 * v / z for s, v in powed.items()}
+    floors = {s: int(v) for s, v in raw.items()}
+    short = 1000 - sum(floors.values())
+    # deterministic largest-remainder: break ties on stratum name
+    by_frac = sorted(raw, key=lambda s: (-(raw[s] - floors[s]), s))
+    for s in by_frac[:short]:
+        floors[s] += 1
+    return floors

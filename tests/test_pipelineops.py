@@ -175,3 +175,47 @@ def test_canonical_per_cluster_argmax_and_ties(spark):
     assert out[1]["keep_id"] == 2 and out[1]["keep_quality"] == 90
     assert out[1]["n_members"] == 3
     assert out[4]["keep_id"] == 4 and out[4]["n_members"] == 2
+
+
+def test_temperature_weights_properties(spark):
+    """tau=1 → proportional to token mass; tau=0 → uniform; permilles sum
+    to exactly 1000; integrates with mixture_sample end-to-end."""
+    import pyspark.sql.functions as F
+
+    from overturemaps_duckdb_spark.operators.sampling import (
+        mixture_sample,
+        temperature_weights,
+    )
+
+    rows = (
+        [(i, "web", 100) for i in range(800)]
+        + [(10_000 + i, "code", 100) for i in range(150)]
+        + [(20_000 + i, "ref", 100) for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+
+    w1 = temperature_weights(df, "source", "n_tokens", tau=1.0)
+    assert sum(w1.values()) == 1000
+    assert w1 == {"web": 800, "code": 150, "ref": 50}
+
+    w0 = temperature_weights(df, "source", "n_tokens", tau=0.0)
+    assert sum(w0.values()) == 1000
+    assert max(w0.values()) - min(w0.values()) <= 1  # uniform ± rounding
+
+    wt = temperature_weights(df, "source", "n_tokens", tau=0.5)
+    assert sum(wt.values()) == 1000
+    # smoothing: tail strata gain vs proportional, head loses
+    assert wt["ref"] > w1["ref"] and wt["web"] < w1["web"]
+
+    # end-to-end: the smoothed recipe drives the budgeted sampler
+    out = mixture_sample(df, "doc_id", "source", "n_tokens", wt, 40_000)
+    got = {
+        r["source"]: r["tok"]
+        for r in out.groupBy("source")
+        .agg(F.sum("n_tokens").alias("tok"))
+        .collect()
+    }
+    for s in wt:
+        assert got.get(s, 0) <= 100 * 1000  # never exceeds stratum mass
+    # each stratum lands within sampling noise of its share of the budget
+    assert abs(got["web"] - wt["web"] * 40) < 8_000
