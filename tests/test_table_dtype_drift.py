@@ -16,9 +16,14 @@ from tests.conftest import SF_SMOKE
 
 
 def _link_other_tables(d: str, except_table: str) -> None:
-    """Queries may read sibling tables from sf_dir — symlink the originals."""
+    """Queries may read sibling tables from sf_dir — symlink the originals
+    (skipping any variant file the fixture already wrote)."""
     for fn in os.listdir(SF_SMOKE):
-        if fn.endswith(".parquet") and fn != f"{except_table}.parquet":
+        if (
+            fn.endswith(".parquet")
+            and fn != f"{except_table}.parquet"
+            and not os.path.exists(os.path.join(d, fn))
+        ):
             os.symlink(os.path.join(SF_SMOKE, fn), os.path.join(d, fn))
 
 
@@ -90,3 +95,32 @@ def test_embedding_queries_survive_double_vectors(spark, emb_variant_dir, qname)
     base = _rows(q.QUERIES[qname](spark, SF_SMOKE))
     got = _rows(q.QUERIES[qname](spark, emb_variant_dir))
     assert got == base, f"{qname} drifted under list<double>/int32 vec_id"
+
+
+@pytest.fixture(scope="module")
+def date_variant_dir(tmp_path_factory):
+    """lineitem/orders with their timestamp date columns narrowed to
+    date32 — the other plausible regeneration of the TPC-H family."""
+    d = tmp_path_factory.mktemp("dates32")
+    for t_, col in (("lineitem", "l_shipdate"), ("orders", "o_orderdate")):
+        src = pq.read_table(f"{SF_SMOKE}/{t_}.parquet")
+        i = src.schema.get_field_index(col)
+        tbl = src.set_column(i, col, src[col].cast(pa.date32()))
+        pq.write_table(tbl, os.path.join(str(d), f"{t_}.parquet"), store_schema=False)
+    _link_other_tables(str(d), "lineitem")
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
+     "q6_forecast_revenue", "q10_returned_items", "q14_promo_revenue_ratio"],
+)
+def test_tpch_queries_survive_date32(spark, date_variant_dir, qname):
+    from overturemaps_duckdb_spark import queries as q
+
+    q.load_all()
+    base = _rows(q.QUERIES[qname](spark, SF_SMOKE))
+    got = _rows(q.QUERIES[qname](spark, date_variant_dir))
+    assert len(base) > 0
+    assert got == base, f"{qname} drifted under date32 date columns"
