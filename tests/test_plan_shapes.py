@@ -87,3 +87,21 @@ def test_x11_exact_vs_approx_shapes(spark, q):
     )
     approx_plan = _plan(quality_percentile_prune(d))
     assert "Window" not in approx_plan
+
+
+@pytest.mark.parametrize(
+    "qname,max_exchanges",
+    [("q5_nation_revenue", 1), ("q9_product_type_profit", 1),
+     ("q18_large_orders", 2), ("q21_waiting_suppliers", 3)],
+)
+def test_heavy_tpch_all_joins_broadcast(spark, q, qname, max_exchanges):
+    """The multi-join TPC-H shapes: every dimension broadcasts onto the
+    fact (no fact-side shuffle for any join), no plan ever degenerates to
+    SMJ/nested-loop/cartesian, and aggregation shuffles stay at the
+    pinned count."""
+    plan = _plan(q[qname](spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("Exchange hashpartitioning") <= max_exchanges
