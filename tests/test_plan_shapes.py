@@ -105,3 +105,12 @@ def test_heavy_tpch_all_joins_broadcast(spark, q, qname, max_exchanges):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
     assert plan.count("Exchange hashpartitioning") <= max_exchanges
+
+
+def test_j8_grid_join_is_equi_join(spark, q):
+    """The 100 TB spatial path: the grid banded join must plan as a real
+    equi-join on cell ids (hash exchanges on both sides at most), never a
+    nested-loop or cartesian."""
+    plan = _plan(q["j8_grid_banded_join"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
