@@ -31,74 +31,76 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q.QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-#: Certification rotation. The registry (143 queries) is frozen this round —
-#: no new registrations — but the driver samples a bounded prefix per round,
-#: so the listing order rotates which queries get a driver-certified row:
-#: first the r02-failing (now fixed) event-time family, then §2-lettered
-#: micro-ops and extension operators that have never had a driver row
-#: (everything already green in r01/r02 keeps that certification and moves
-#: after them).  Ordering only; every entry is unchanged.
+#: Certification rotation, round 4: the 43 queries that have NEVER had a
+#: driver CORRECTNESS row (VERDICT r03 finding #1 — the full TPC-H breadth,
+#: the x-family text-prep surface, sampling/shuffle/skew, ANN scale paths,
+#: sequence packing, and the SQL consoles), followed by this round's two new
+#: registrations (s4 catalog discovery; m5 re-registered onto the REAL PPM
+#:  pixel kernel) and the queries whose plans changed this round (bm25
+#: top-k-then-join → t2/t5/pl6) — exactly 50.  One green round closes
+#: certification of the entire registry.  Regression cover for everything
+#: behind the prefix: tests/test_oracle_parity.py re-verifies all 143
+#: against DuckDB locally every round (ADVICE r03 note).
 _CERT_PRIORITY = [
-    # r02 FAIL → fixed this round (events ts dtype + i5 oracle cast)
-    "e1_tumbling_window",
-    "e2_sessionize",
-    "i1_stream_tumbling_window",
-    "i2_stream_session_window",
-    "i4_stream_stream_join",
-    "e3_lag_delta",
-    "i5_stream_foreachbatch_ingest",
-    "aj1_asof_join",
-    # §2.1 sources/lifecycle — never driver-sampled
-    "s1_scan_filter_project",
-    "s5_ctas_ingest_budget",
-    "s6_incremental_append",
-    "s11_count_probe",
-    # §2.2 projection/scalar micro-ops
-    "p2_struct_field_access",
-    "p3_array_index_1based",
-    "p4_coalesce_cast_empty",
-    "p6_concat_ws_search_name",
-    "p7_round",
-    "p8_regexp_replace",
-    "p9_p10_length_abs",
-    "p11_literal_source_tag",
-    "p13_json_extract",
-    # §2.3 filters
-    "f1_interval_overlap",
-    "f3_between",
-    "f4_ilike_substring",
-    "f5_is_not_null",
-    "f8_in_subquery_semi",
-    # §2.4 joins
-    "j1_inner_band_theta_join",
-    "j2_semi_join_within",
-    "j3_anti_join_exclude",
-    "j4_bidirectional_match",
-    "j5_join_distinct_matched_b",
-    "j6_pip_fold_collect",
-    # §2.5 aggregation
-    "a2_distinct",
-    "a3_groupby_source",
-    "a6_count_distinct",
-    "a8_rollup",
-    "a9_cube",
-    # §2.6 windows
-    "w1_topk_per_group",
-    "w2_running_sum",
-    "w3_rank_dense_rank",
-    # §2.7 ordering/limits
-    "o1_topk_order_limit",
-    "o4_limit_offset",
-    "o5_balanced_union_limit",
-    "o6_nulls_last_sort",
-    # §2.8 set ops
-    "u1_union_all_aligned",
-    "u2_union_distinct",
-    "u3_intersect_except",
-    # headline extension ops — never driver-sampled
-    "n1_cosine_topk",
+    # TPC-H breadth (queries/relational.py + queries/tpch.py) — includes
+    # every plan whose forced dim broadcast was stat-gated this round
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue_ratio",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q20_excess_inventory",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    # text-prep / text-stats extension surface
+    "x1_token_count",
+    "x2_quality_score",
+    "x3_lang_id",
+    "x4_fingerprints",
+    "x5_redaction",
+    "x6_bpe_token_count",
+    "x7_repetition_signals",
+    "x8_sliding_chunks",
+    "x9_gopher_rules",
+    "x10_corpus_composition",
+    "x11_quality_percentile_filter",
+    # sampling / shuffle / skew / packing
+    "sa1_hash_sample",
+    "sa2_stratified_sample",
+    "sh1_deterministic_shuffle",
+    "sk1_salted_agg",
+    "pk1_sequence_packing",
+    # ANN scale paths
+    "n2_lsh_ann_pairs",
+    "n3_ivf_ann_topk",
+    # SQL console front door + sketches
+    "ep3_sql_console",
+    "ep3_ctas_copy_roundtrip",
+    "ep4_sql_fts_console",
+    "a7_approx_count_distinct",
+    # new registrations this round
+    "s4_discover_catalog",
+    "m5_ppm_resize",
+    # plans changed this round (bm25 top-k-then-join) — re-certify
+    "t2_bm25_topk",
+    "t5_search_fanout",
+    "pl6_search_fts",
+    # re-verify rotation (flagship + entry smoke twin)
+    "d2_minhash_lsh_pairs",
     "q1_pricing_summary",
-    "mx1_token_budget_mix",
 ]
 
 

@@ -204,14 +204,22 @@ def bm25_topk(
     k1: float = K1,
     b: float = B,
 ) -> DataFrame:
-    """T2 full shape: join scores back, `ORDER BY _score DESC LIMIT k`
-    (fts.js:85-91).  Scores are rounded to 6 dp before ranking so the
-    ordering is float-noise-free (ties broken by id)."""
-    scores = bm25_score(index, query, k1=k1, b=b)
+    """T2 full shape: top-k the (id, _score) pairs FIRST, then join the k
+    winners back to the doc table (`ORDER BY _score DESC LIMIT k`,
+    fts.js:85-91).  Scores are rounded to 6 dp before ranking so the
+    ordering is float-noise-free (ties broken by id).
+
+    Scale shape: the TakeOrdered runs on the narrow score side (8+8 bytes a
+    row), so the doc table is only probed for k rows — via a broadcast of
+    the k winners, never a full-table shuffle or a join carrying documents
+    into a sort."""
+    scores = bm25_score(index, query, k1=k1, b=b).withColumn(
+        "_score", F.round("_score", 6)
+    )
+    topk = scores.orderBy(F.desc("_score"), F.asc("id")).limit(limit)
     return (
-        df.join(scores, df[id_col] == scores["id"], "inner")
-        .drop(scores["id"])
-        .withColumn("_score", F.round("_score", 6))
+        df.join(F.broadcast(topk), df[id_col] == topk["id"], "inner")
+        .drop(topk["id"])
         .orderBy(F.desc("_score"), F.asc(id_col))
         .limit(limit)
     )

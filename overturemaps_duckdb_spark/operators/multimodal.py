@@ -166,7 +166,11 @@ def decode_ppm(payload: bytes):
     hdr = _ppm_parse_header(payload)
     if hdr is None:
         raise ValueError("not a binary PPM (P6) payload")
-    width, height, _maxval, off = hdr
+    width, height, maxval, off = hdr
+    if maxval > 255:
+        # legal P6 with maxval > 255 uses 2-byte big-endian samples — decoding
+        # them as uint8 would silently halve/garble the image
+        raise ValueError(f"P6 maxval {maxval} > 255 (16-bit samples) unsupported")
     n = width * height * 3
     arr = np.frombuffer(payload, dtype=np.uint8, count=n, offset=off)
     return arr.reshape(height, width, 3)

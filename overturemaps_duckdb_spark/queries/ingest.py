@@ -65,6 +65,51 @@ def s9_s10_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "table_name string, still_registered boolean")
 
 
+_S4_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+@query(
+    "s4_discover_catalog",
+    oracle="\n    UNION ALL\n".join(
+        f"""SELECT '{name}' AS theme_type,
+           CAST(1 AS BIGINT) AS n_files,
+           (SELECT CAST(count(*) AS BIGINT) FROM {name}) AS n_rows"""
+        for name in _S4_TABLES
+    ),
+)
+def s4_discover_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 — catalog discovery (worker/index.js:53-128): stage the fixture
+    tables into the reference's `base/release/theme_type/*.parquet` prefix
+    layout (symlinks — no data copied), run the driver-side prefix walk
+    (sources/manifest.discover_catalog), then count each discovered
+    theme_type's rows FROM THE DISCOVERED FILE LIST — so every output value
+    flows through the discovery result, not the original paths."""
+    import os
+
+    from overturemaps_duckdb_spark.sources.manifest import discover_catalog
+
+    release = os.path.basename(sf_dir.rstrip("/")) or "release"
+    base = tempfile.mkdtemp(prefix="omds_s4_")
+    for name in _S4_TABLES:
+        d = os.path.join(base, release, name)
+        os.makedirs(d, exist_ok=True)
+        os.symlink(
+            os.path.join(sf_dir, f"{name}.parquet"),
+            os.path.join(d, f"{name}-0.parquet"),
+        )
+    catalog = discover_catalog(base)
+    rows = [
+        (theme_type, len(files), spark.read.parquet(*files).count())
+        for theme_type, files in catalog[release].items()
+    ]
+    return spark.createDataFrame(
+        rows, "theme_type string, n_files bigint, n_rows bigint"
+    )
+
+
 @query(
     "t4_search_name_composition",
     oracle="""

@@ -7,6 +7,7 @@ oracles state the same byte math over the text column."""
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -149,16 +150,78 @@ def m6_audio_modality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: m5 target dims; the resized header is "P6\n16 16\n255\n" (13 bytes)
+_PPM_TARGET = 16
+
+
+def _ppm_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture adapter: deterministic binary-PPM (P6) payloads derived from
+    doc_id — dims (4 + id%13) × (3 + id%7), every pixel of row r valued
+    (r*7 + 13) % 256 — so the REAL resample output is header-math statable
+    in SQL (each resized row contributes rowval(src_row) * 16 * 3 bytes)."""
+    d = t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        from overturemaps_duckdb_spark.operators.multimodal import encode_ppm
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 13, 3 + did % 7
+                arr = np.repeat(
+                    ((np.arange(h) * 7 + 13) % 256).astype("uint8"), w * 3
+                ).reshape(h, w, 3)
+                payloads.append(encode_ppm(arr))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"].astype("int64"),
+                    "modality": "image",
+                    "payload": payloads,
+                }
+            )
+
+    return d.mapInPandas(
+        build, schema="asset_id long, modality string, payload binary"
+    )
+
+
 @query(
-    "m5_resize_stub",
+    "m5_ppm_resize",
     oracle=f"""
     SELECT doc_id AS asset_id,
-           CAST({_HDR} + length('64x64:') + least(length(text), 64) AS BIGINT) AS out_bytes
+           CAST(13 + {_PPM_TARGET} * {_PPM_TARGET} * 3 AS BIGINT) AS out_bytes,
+           CAST(list_sum(list_transform(range(0, {_PPM_TARGET}), r ->
+                ((least((r * (3 + doc_id % 7)) // {_PPM_TARGET},
+                        (3 + doc_id % 7) - 1) * 7 + 13) % 256)
+                * {_PPM_TARGET} * 3
+           )) AS BIGINT) AS out_pixel_sum
     FROM documents
     """,
 )
-def m5_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize kernel plumbing (payload→payload map, schema-preserving); the
-    fake path re-headers and truncates, the real path is the marked STUB."""
-    r = resize_images(_assets(spark, sf_dir), 64, 64)
-    return r.select("asset_id", F.length("payload").cast("bigint").alias("out_bytes"))
+def m5_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image kernel, certified: binary-PPM decode → numpy
+    nearest-neighbor resample → P6 re-encode (operators/multimodal.py
+    `_real_resize_payload`/`_resize_nearest` — actual pixel work, no image
+    libs needed).  The oracle restates the resample arithmetic: output row r
+    samples source row min(r·src_h/16, src_h−1), whose constant pixel value
+    the fixture adapter fixed as (row·7+13)%256.  (Supersedes the retired
+    m5_resize_stub, which measured the fake re-header path.)"""
+    from overturemaps_duckdb_spark.operators.multimodal import decode_ppm
+
+    resized = resize_images(
+        _ppm_assets(spark, sf_dir), _PPM_TARGET, _PPM_TARGET, use_real_codec=True
+    )
+
+    @F.pandas_udf("long")
+    def pixel_sum(payloads: pd.Series) -> pd.Series:
+        return payloads.map(lambda p: int(decode_ppm(bytes(p)).sum()))
+
+    return resized.select(
+        "asset_id",
+        F.length("payload").cast("bigint").alias("out_bytes"),
+        pixel_sum("payload").alias("out_pixel_sum"),
+    )

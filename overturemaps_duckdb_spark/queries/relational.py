@@ -16,6 +16,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from overturemaps_duckdb_spark.plans.hints import dim
 from overturemaps_duckdb_spark.queries import query, t
 
 
@@ -512,14 +513,16 @@ def j6_pip_fold_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-join chain + agg + top-k (TPC-H Q3 shape) — the hash-join surface
     the reference lacks (SURVEY §2.4 note) but the engine must have.
-    customer is the small side after the segment filter → broadcast."""
+    customer is the small side after the segment filter, but grows with
+    scale factor → stat-gated broadcast (plans.hints.dim), so the plan
+    degrades to a shuffle join instead of OOMing past the threshold."""
     c = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING").alias("c")
     o = t(spark, sf_dir, "orders").alias("o")
     li = t(spark, sf_dir, "lineitem").alias("l")
     rev = cents(F.col("l.l_extendedprice") * (1 - F.col("l.l_discount")))
     return (
         li.join(o, F.col("l.l_orderkey") == F.col("o.o_orderkey"))
-        .join(F.broadcast(c), F.col("c.c_custkey") == F.col("o.o_custkey"))
+        .join(dim(c), F.col("c.c_custkey") == F.col("o.o_custkey"))
         .groupBy("l.l_orderkey", "o.o_orderdate")
         .agg(F.sum(rev).alias("revenue_cents"))
         .select(
@@ -548,8 +551,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Six-way join + group-agg (TPC-H Q5 shape).  Dim tables broadcast;
-    the orders⋈lineitem fact join shuffles on the order key only."""
+    """Six-way join + group-agg (TPC-H Q5 shape).  Constant dims
+    (nation/region) broadcast; SF-proportional customer/supplier are
+    stat-gated; the orders⋈lineitem fact join shuffles on the order key."""
     c = t(spark, sf_dir, "customer").alias("c")
     o = t(spark, sf_dir, "orders").alias("o")
     li = t(spark, sf_dir, "lineitem").alias("l")
@@ -559,9 +563,9 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = cents(F.col("l.l_extendedprice") * (1 - F.col("l.l_discount")))
     return (
         li.join(o, F.col("l.l_orderkey") == F.col("o.o_orderkey"))
-        .join(F.broadcast(c), F.col("c.c_custkey") == F.col("o.o_custkey"))
+        .join(dim(c), F.col("c.c_custkey") == F.col("o.o_custkey"))
         .join(
-            F.broadcast(s),
+            dim(s),
             (F.col("l.l_suppkey") == F.col("s.s_suppkey"))
             & (F.col("s.s_nationkey") == F.col("c.c_nationkey")),
         )
@@ -802,8 +806,9 @@ def a8_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: returned-item revenue per customer — the returnflag
-    filter is pushed into the lineitem scan, dims broadcast, top-20 via
-    TakeOrderedAndProject (never a full sort)."""
+    filter is pushed into the lineitem scan, nation broadcast, customer
+    stat-gated (SF-proportional), top-20 via TakeOrderedAndProject (never a
+    full sort)."""
     c = t(spark, sf_dir, "customer").alias("c")
     o = t(spark, sf_dir, "orders").alias("o")
     li = t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R").alias("l")
@@ -811,7 +816,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = cents(F.col("l.l_extendedprice") * (1 - F.col("l.l_discount")))
     return (
         li.join(o, F.col("l.l_orderkey") == F.col("o.o_orderkey"))
-        .join(F.broadcast(c), F.col("c.c_custkey") == F.col("o.o_custkey"))
+        .join(dim(c), F.col("c.c_custkey") == F.col("o.o_custkey"))
         .join(F.broadcast(n), F.col("c.c_nationkey") == F.col("n.n_nationkey"))
         .groupBy("c.c_custkey", "c.c_name", "n.n_name")
         .agg(F.sum(rev).alias("revenue_cents"))
@@ -859,13 +864,13 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape: conditional-sum ratio over a broadcast dim join —
+    """TPC-H Q14 shape: conditional-sum ratio over a stat-gated dim join —
     one scalar from one pass, cents-exact numerator and denominator."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part")
     rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0))
-    joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    joined = li.join(dim(p), li["l_partkey"] == p["p_partkey"])
     return joined.agg(
         F.round(100.0 * F.sum(promo) / F.sum(rev), 6).alias("promo_pct")
     )

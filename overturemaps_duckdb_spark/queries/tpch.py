@@ -26,6 +26,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from overturemaps_duckdb_spark.queries import query, t
+from overturemaps_duckdb_spark.plans.hints import dim
 from overturemaps_duckdb_spark.queries.relational import cents
 
 _REV_CENTS_SQL = "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
@@ -73,8 +74,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(mn, (li["l_partkey"] == mn["_mk"])
                 & (cents("l_extendedprice") == F.col("min_price_cents")))
-        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(dim(p), li["l_partkey"] == p["p_partkey"])
+        .join(dim(s), li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .select("p_partkey", "p_brand", "s_name", "n_name", "min_price_cents")
@@ -122,8 +123,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         li.join(o, F.col("l.l_orderkey") == F.col("o.o_orderkey"))
-        .join(F.broadcast(c), F.col("c.c_custkey") == F.col("o.o_custkey"))
-        .join(F.broadcast(s), F.col("s.s_suppkey") == F.col("l.l_suppkey"))
+        .join(dim(c), F.col("c.c_custkey") == F.col("o.o_custkey"))
+        .join(dim(s), F.col("s.s_suppkey") == F.col("l.l_suppkey"))
         .join(F.broadcast(n1), F.col("n1.n_nationkey") == F.col("s.s_nationkey"))
         .join(F.broadcast(n2), F.col("n2.n_nationkey") == F.col("c.c_nationkey"))
         .select(
@@ -186,9 +187,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _rev_cents("l")
     return (
         li.join(o, F.col("l.l_orderkey") == F.col("o.o_orderkey"))
-        .join(F.broadcast(p), F.col("p.p_partkey") == F.col("l.l_partkey"))
-        .join(F.broadcast(c), F.col("c.c_custkey") == F.col("o.o_custkey"))
-        .join(F.broadcast(s), F.col("s.s_suppkey") == F.col("l.l_suppkey"))
+        .join(dim(p), F.col("p.p_partkey") == F.col("l.l_partkey"))
+        .join(dim(c), F.col("c.c_custkey") == F.col("o.o_custkey"))
+        .join(dim(s), F.col("s.s_suppkey") == F.col("l.l_suppkey"))
         .join(F.broadcast(n1), F.col("n1.n_nationkey") == F.col("c.c_nationkey"))
         .join(F.broadcast(r), F.col("r.r_regionkey") == F.col("n1.n_regionkey"))
         .join(F.broadcast(n2), F.col("n2.n_nationkey") == F.col("s.s_nationkey"))
@@ -235,8 +236,8 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = t(spark, sf_dir, "nation").alias("n")
     profit = _rev_cents("l") - cents(F.col("p.p_retailprice") * F.col("l.l_quantity"))
     return (
-        li.join(F.broadcast(p), F.col("p.p_partkey") == F.col("l.l_partkey"))
-        .join(F.broadcast(s), F.col("s.s_suppkey") == F.col("l.l_suppkey"))
+        li.join(dim(p), F.col("p.p_partkey") == F.col("l.l_partkey"))
+        .join(dim(s), F.col("s.s_suppkey") == F.col("l.l_suppkey"))
         .join(o, F.col("o.o_orderkey") == F.col("l.l_orderkey"))
         .join(F.broadcast(n), F.col("n.n_nationkey") == F.col("s.s_nationkey"))
         .groupBy(
@@ -278,7 +279,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
     )
     v = (
-        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        li.join(dim(s), li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .groupBy("l_partkey")
         .agg(F.sum(cents("l_extendedprice")).alias("value_cents"))
@@ -352,8 +353,8 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s_suppkey").alias("_bad_sk"))
     )
     return (
-        li.join(F.broadcast(bad), li["l_suppkey"] == F.col("_bad_sk"), "left_anti")
-        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(dim(bad), li["l_suppkey"] == F.col("_bad_sk"), "left_anti")
+        .join(dim(p), li["l_partkey"] == p["p_partkey"])
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -391,7 +392,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("_n"),
     )
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(dim(p), li["l_partkey"] == p["p_partkey"])
         .join(avgq, li["l_partkey"] == F.col("_ak"))
         .where(cents("l_quantity") * F.col("_n") * 5 < F.col("_sum_qc"))
         .agg(
@@ -432,7 +433,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cond = b("Brand#12", 5, 1, 11) | b("Brand#23", 10, 10, 20) | b("Brand#33", 15, 20, 30)
     return (
-        li.join(F.broadcast(p), F.col("p.p_partkey") == F.col("l.l_partkey"))
+        li.join(dim(p), F.col("p.p_partkey") == F.col("l.l_partkey"))
         .where(cond)
         .agg(
             F.sum(_rev_cents("l")).alias("revenue_cents"),
@@ -472,7 +473,7 @@ def q20_excess_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").isin("NATION_1", "NATION_4", "NATION_7")
     )
     pq = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(dim(p), li["l_partkey"] == p["p_partkey"])
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(cents("l_quantity")).alias("_qc"))
         .where(F.col("_qc") > 5000)
@@ -538,7 +539,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (l1["l_orderkey"] == F.col("_ok3")) & (l1["l_suppkey"] != F.col("_sk3")),
             "left_anti",
         )
-        .join(F.broadcast(s), l1["l_suppkey"] == s["s_suppkey"])
+        .join(dim(s), l1["l_suppkey"] == s["s_suppkey"])
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
@@ -633,7 +634,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(mx))
         .where(F.col("total_revenue_cents") == F.col("_mx"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(dim(s), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue_cents")
         .orderBy("s_suppkey")
     )

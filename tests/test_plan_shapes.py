@@ -107,6 +107,32 @@ def test_heavy_tpch_all_joins_broadcast(spark, q, qname, max_exchanges):
     assert plan.count("Exchange hashpartitioning") <= max_exchanges
 
 
+@pytest.mark.parametrize(
+    "qname,forced_const_dims",
+    # nation/region (constant 25/5 rows) keep their forced broadcast at any
+    # threshold; only those may appear as BroadcastHashJoin above it
+    [("q3_shipping_priority", 0), ("q5_nation_revenue", 2)],
+)
+def test_dim_gate_degrades_above_threshold(spark, q, qname, forced_const_dims):
+    """The stat-gated dim() hint (plans.hints): below the broadcast
+    threshold the plan is the forced-broadcast plan (pinned by
+    test_q3_broadcasts_both_dims / test_heavy_tpch_all_joins_broadcast);
+    with the threshold forced down, the SF-proportional dims
+    (customer/supplier/part) must NOT be broadcast — the plan degrades to
+    shuffle joins instead of OOMing at scale — and results are identical
+    either way."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+        df_big = q[qname](spark, SF_SMOKE)
+        assert _plan(df_big).count("BroadcastHashJoin") == forced_const_dims
+        rows_big = {tuple(r) for r in df_big.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    rows_bcast = {tuple(r) for r in q[qname](spark, SF_SMOKE).collect()}
+    assert rows_big == rows_bcast
+
+
 def test_j8_grid_join_is_equi_join(spark, q):
     """The 100 TB spatial path: the grid banded join must plan as a real
     equi-join on cell ids (hash exchanges on both sides at most), never a
