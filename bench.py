@@ -107,7 +107,10 @@ def main() -> None:
         "sf": sf,
     }
     if errors:
+        # a total over a subset is not comparable across rounds — flag it
+        # (ADVICE r03) so consumers never read a partial sum as a full one
         payload["errors"] = errors
+        payload["partial"] = True
     print(json.dumps(payload))
     spark.stop()
 

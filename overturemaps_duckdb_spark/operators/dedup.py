@@ -446,8 +446,18 @@ def incremental_minhash_pairs(
     across all increments equals a full :func:`minhash_lsh_pairs` rebuild
     of the final corpus (pinned in tests/test_incremental_minhash.py) —
     assuming globally unique doc ids (dedup-at-the-door, i6, is upstream's
-    job) and no ``stop_df_cap`` (document frequencies are corpus-global, so
-    df-capping is a rebuild-only concept).
+    job), no ``stop_df_cap`` (document frequencies are corpus-global, so
+    df-capping is a rebuild-only concept), and ``bucket_cap`` never binding
+    (a capped hot band key drops candidates on both paths; the rebuild and
+    the increments may then drop *different* ones, exactly as two rebuilds
+    with different row orders would).
+
+    ``bucket_cap`` guards BOTH candidate sources: the new×new in-bucket
+    expansion (as in the rebuild) and the old×new band-key join, where one
+    hot band key would otherwise contribute |old_bucket|×|new_bucket| join
+    rows.  Each join side keeps its first ``bucket_cap`` members per band
+    key (sorted by id — deterministic); drops are counted via
+    ``DataFrame.observe`` on ``incremental_minhash_pairs.last_cap_observations``.
 
     Returns (a_id, b_id, jaccard); with ``update_index=False`` the store is
     left untouched (dry-run / what-if mode).
@@ -470,6 +480,35 @@ def incremental_minhash_pairs(
         bn = band_keys(new_idx, n_hashes=n_hashes, bands=bands).select(
             F.col("id").alias("b_id"), "bkey"
         )
+        if bucket_cap is not None:
+            from pyspark.sql import Observation, Window
+
+            # per-band-key membership cap on BOTH join sides — the window's
+            # hash partitioning on bkey is the join's own distribution, so
+            # the cap adds no extra exchange
+            obs_pairs = []
+            capped = []
+            for frame, side in ((bo, "a_id"), (bn, "b_id")):
+                rn = F.row_number().over(
+                    Window.partitionBy("bkey").orderBy(side)
+                )
+                obs = Observation(f"incr_band_cap_{side}")
+                frame = (
+                    frame.withColumn("_rn", rn)
+                    .observe(
+                        obs,
+                        F.coalesce(
+                            F.sum((F.col("_rn") > bucket_cap).cast("long")),
+                            F.lit(0),
+                        ).alias("dropped_ids"),
+                    )
+                    .where(F.col("_rn") <= bucket_cap)
+                    .drop("_rn")
+                )
+                obs_pairs.append(obs)
+                capped.append(frame)
+            bo, bn = capped
+            incremental_minhash_pairs.last_cap_observations = obs_pairs
         cand = bo.join(bn, "bkey").select("a_id", "b_id").distinct()
         a = old_idx.select(F.col("id").alias("a_id"), F.col("shingles").alias("a_sh"))
         b = new_idx.select(F.col("id").alias("b_id"), F.col("shingles").alias("b_sh"))

@@ -189,6 +189,22 @@ def compile_pipeline(
                     raise FtsScoringError(
                         f"match_bm25 scoring failed for {n.table!r}: {exc}"
                     ) from exc
+                # Balanced-limit mode: the per-source top-k commutes through
+                # the inner score join (ids are unique and the ordering key —
+                # rounded score desc, id asc — is the same on both sides), so
+                # rank the narrow (id, score) relation FIRST and broadcast
+                # the k winners: the source table is probed for k rows via a
+                # broadcast hash join instead of shuffling into the join.
+                # Same shape as operators.fts.bm25_topk; suppressed under
+                # spatial ops where the full scored base is a correctness
+                # requirement (pipeline.js:51-53).
+                if per_source_limit:
+                    scores = F.broadcast(
+                        scores.orderBy(
+                            F.desc_nulls_last(F.round("_score", 6)),
+                            F.asc("_sid"),
+                        ).limit(per_source_limit)
+                    )
                 # the join touches the SOURCE relation too — errors there are
                 # not FTS failures and must stay unwrapped
                 out = out.join(scores, out["id"] == F.col("_sid"), "inner")

@@ -85,20 +85,21 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``events.parquet`` has carried different physical `ts` types across
     fixture regenerations — TIMESTAMP(NANOS) (readable only as a LONG of
     epoch-nanos behind the legacy flag) and plain TIMESTAMP[us] (read as
-    TIMESTAMP_NTZ).  Set both confs defensively (the driver's session may
-    not have them) and let :func:`us_col` adapt to whichever type actually
+    TIMESTAMP_NTZ).  Set the read conf defensively (the driver's session may
+    not have it) and let :func:`us_col` adapt to whichever type actually
     loaded — probe-then-adapt, the reference's own schema handling pattern
     (/root/reference/src/lib/themes.js:294-297, query.js:10-45 builds
     against whatever columns/types exist).
 
-    Session TZ is pinned to UTC so a TIMESTAMP_NTZ → TIMESTAMP cast is the
-    identity on the epoch scale: DuckDB's `epoch_us(ts)` treats the naive
-    wall time as-is, and so do we.
+    This function deliberately does NOT touch ``spark.sql.session.timeZone``
+    (ADVICE r03: a load-time TZ mutation leaked into unrelated timestamp
+    rendering for the rest of the session): :func:`us_col` is
+    TZ-independent by construction, and the streaming layer pins the TZ
+    itself where window alignment genuinely needs it (streaming/windows).
     """
     _ship_package(spark)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -107,15 +108,22 @@ def us_col(df: DataFrame, col: str = "ts") -> Column:
     physical type the fixture carries.
 
     - LONG (TIMESTAMP(NANOS) under `nanosAsLong`) → integer `DIV 1000`;
-    - TIMESTAMP / TIMESTAMP_NTZ → `unix_micros` (NTZ goes through a cast
-      that is exact because :func:`t` pins the session TZ to UTC).
+    - TIMESTAMP_NTZ → `timestampdiff(MICROSECOND, epoch, ts)` — pure
+      wall-clock arithmetic, no session-TZ-dependent cast (DuckDB's
+      `epoch_us(ts)` treats the naive wall time as-is, and so does this);
+    - TIMESTAMP (LTZ, already an absolute instant) → `unix_micros`.
 
-    Matches the oracle's `epoch_us(ts)` bit-for-bit in both cases.
+    Matches the oracle's `epoch_us(ts)` bit-for-bit in all three cases,
+    whatever the session time zone is set to.
     """
     dt = df.schema[col].dataType
     if isinstance(dt, T.LongType):
         return F.expr(f"{col} DIV 1000")
-    return F.unix_micros(F.col(col).cast("timestamp"))
+    if isinstance(dt, T.TimestampNTZType):
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+        )
+    return F.unix_micros(F.col(col))
 
 
 def load_all() -> None:

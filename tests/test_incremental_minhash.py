@@ -76,6 +76,42 @@ def test_dry_run_leaves_store_untouched(spark):
     assert spark.read.parquet(store).count() == before
 
 
+def test_cross_band_key_join_is_capped(spark):
+    """ADVICE r03: the old×new band-key join must honor bucket_cap too — a
+    hot band key (here: identical texts on both sides) must contribute at
+    most cap×cap join rows per key, with drops observable."""
+    dup = [(i, DUP_A) for i in range(1, 9)]
+    store = tempfile.mkdtemp(prefix="omds_mhidx_") + "/index"
+    write_minhash_index(
+        spark.createDataFrame(dup, "doc_id long, text string"),
+        "doc_id", "text", store, mode="overwrite",
+    )
+    new = spark.createDataFrame(
+        [(i, DUP_A) for i in range(101, 109)], "doc_id long, text string"
+    )
+    out = incremental_minhash_pairs(
+        spark, store, new, "doc_id", "text",
+        jaccard_threshold=0.3, bucket_cap=3, update_index=False,
+    )
+    pairs = _pairset(out.collect())
+    # capped: per band key only 3 old × 3 new survive; identical docs share
+    # all 4 band keys, so cross pairs ≤ 3×3 (and new×new ≤ C(3,2))
+    cross = {(a, b) for a, b, _ in pairs if a <= 8 and b >= 101}
+    assert 0 < len(cross) <= 9
+    total_dropped = sum(
+        o.get["dropped_ids"]
+        for o in incremental_minhash_pairs.last_cap_observations
+    )
+    assert total_dropped > 0
+
+    # uncapped finds the full 8x8 cross set
+    full = incremental_minhash_pairs(
+        spark, store, new, "doc_id", "text",
+        jaccard_threshold=0.3, bucket_cap=None, update_index=False,
+    )
+    assert len({(a, b) for a, b, _ in _pairset(full.collect()) if a <= 8 and b >= 101}) == 64
+
+
 def test_pairs_computed_before_append_lands(spark):
     """The returned frame must not see the new batch through the store (the
     lazy-plan double-count hazard): re-collecting after the append must
