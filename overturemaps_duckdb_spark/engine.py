@@ -68,6 +68,10 @@ class Engine:
         self.catalog = Catalog(tables={}, fields={}, fts={})
         self.pipeline = PipelineRunner(self.catalog)
         self.loads: dict[str, LoadResult] = {}
+        #: bumps on every load_area — the memo-signature stand-in for the
+        #: reference's release key (intersections.js:22-27): new data ⇒
+        #: every cached intersection result is stale
+        self._load_gen = 0
 
     # -- catalog ----------------------------------------------------------
 
@@ -108,6 +112,7 @@ class Engine:
             )
             results[key] = res
             self.loads[key] = res
+            self._load_gen += 1
             self.catalog.tables[spec.table] = res.df
             if spec.build_fts:
                 # catalog indexes live for the session — materialize once
@@ -144,13 +149,16 @@ class Engine:
         bbox: tuple[float, float, float, float],
     ):
         """Point-in-polygon fold over the loaded tables, memoized by
-        (tables, rounded bbox) signature exactly like the reference
-        (intersections.js:22-44: recompute only when the signature moves)."""
+        (release-generation, tables, rounded bbox) signature exactly like
+        the reference (intersections.js:22-44: release + enabled keys +
+        rounded bbox; recompute only when the signature moves — and a new
+        area load invalidates every cached result)."""
         from overturemaps_duckdb_spark.operators.spatial_join import (
             intersection_fold,
         )
 
         sig = (
+            self._load_gen,  # release twin (ref :23)
             points_table,
             tuple(sorted(polygon_tables)),
             tuple(round(v, 3) for v in bbox),  # rounded-bbox key (ref :28)

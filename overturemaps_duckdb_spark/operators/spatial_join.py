@@ -33,6 +33,16 @@ from overturemaps_duckdb_spark.functions.geo import (
 #: 0.2° (~22 km) band prefilter, analysisQueries.js:29 / pipeline.js:131-132
 DEFAULT_BAND_DEG = 0.2
 
+#: Auto-route budget for the broadcast theta-join form, as a product of the
+#: two sides' Catalyst size estimates (bytes²).  A broadcast band join is a
+#: nested loop: it evaluates ~|A|·|B| candidate pairs no matter how small
+#: the broadcast side is, so the routing cost model must be the PRODUCT of
+#: the sides, not B's size alone (measured: j1 at sf0.1 grid 1.1 s vs
+#: broadcast 3.9 s, at sf1 grid 1.1 s vs broadcast 9.7 s — the grid
+#: equi-join's two hash shuffles only lose on interactive micro-tier
+#: inputs).  1e8 B² ≈ two ~10 KB sides ≈ the reference's viewport tier.
+BNLJ_PAIR_BUDGET_BYTES2 = 100_000_000
+
 
 def _parse_size_bytes(v: str) -> int:
     """Spark size-conf string ('10485760', '10MB', '-1') → bytes."""
@@ -123,11 +133,15 @@ def spatial_join(
     filter over the banded candidate set; semi/anti are derived from the
     matched-id set of the filtered inner join.
 
-    `broadcast_b`: None (default) auto-routes — broadcast theta join while
-    B's Catalyst size estimate fits spark.sql.autoBroadcastJoinThreshold,
-    else the grid-cell equi-join (:func:`spatial_join_grid`), which shuffles
-    both sides on cell id instead of degenerating to a nested-loop shuffle.
-    True forces the broadcast form, False forces the grid form; results are
+    `broadcast_b`: None (default) auto-routes on a nested-loop cost model —
+    the broadcast theta join evaluates ~|A|·|B| band candidates, so it is
+    chosen only while BOTH (i) B's Catalyst size estimate fits
+    spark.sql.autoBroadcastJoinThreshold and (ii) the PRODUCT of the two
+    sides' size estimates stays inside :data:`BNLJ_PAIR_BUDGET_BYTES2`
+    (the interactive micro tier).  Everything larger takes the grid-cell
+    equi-join (:func:`spatial_join_grid`), which shuffles both sides on
+    cell id instead of degenerating to a quadratic nested loop.  True
+    forces the broadcast form, False forces the grid form; results are
     identical either way (pytest-asserted).
     """
     if broadcast_b is None:
@@ -136,7 +150,12 @@ def spatial_join(
                 "spark.sql.autoBroadcastJoinThreshold", "10485760"
             )
         )
-        broadcast_b = thr > 0 and _plan_size_bytes(b) <= thr
+        broadcast_b = (
+            thr > 0
+            and _plan_size_bytes(b) <= thr
+            and _plan_size_bytes(a) * _plan_size_bytes(b)
+            <= BNLJ_PAIR_BUDGET_BYTES2
+        )
     if not broadcast_b:
         return spatial_join_grid(
             a, b, how=how, predicate=predicate, distance_m=distance_m,

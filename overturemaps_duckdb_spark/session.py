@@ -48,6 +48,15 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
+        # --- heap: local mode puts ALL executor work in the driver JVM,
+        #     whose 1g default is sized for a cluster driver, not for 32
+        #     worker threads (observed: d2's shingle-array verify join OOMs
+        #     the JVM at ~6M-row scale under the default).  JVM-level: only
+        #     effective for the process that first creates the session.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+        )
         # --- correctness-critical for oracle parity ---
         .config("spark.sql.session.timeZone", "UTC")
         # --- runtime re-planning: coalesce small / split skewed shuffle

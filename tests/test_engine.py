@@ -99,13 +99,22 @@ def test_engine_end_to_end(spark, tmp_path):
 
     # memoized intersection pass: same signature → no recomputation
     # (points against their own theme's boxes is degenerate but exercises
-    # the signature memo; intersections.js:22-44)
+    # the signature memo; intersections.js:22-44 — release generation +
+    # tables + rounded bbox)
     bbox = (-180.0, -90.0, 0.0, 90.0)
     r1 = eng.intersections("places_customer", ["places_customer"], bbox)
-    assert ("places_customer", ("places_customer",),
+    assert (eng._load_gen, "places_customer", ("places_customer",),
             tuple(round(v, 3) for v in bbox)) in eng._pip_memo
     r2 = eng.intersections("places_customer", ["places_customer"], bbox)
     assert r1 is r2  # memo hit returns the same object
+
+    # a new area load bumps the generation — the memo must miss (the
+    # reference's release component of the signature, intersections.js:23)
+    gen_before = eng._load_gen
+    eng.load_area(["places/customer"], bbox=(-180.0, -90.0, 0.0, 90.0))
+    assert eng._load_gen > gen_before
+    r3 = eng.intersections("places_customer", ["places_customer"], bbox)
+    assert r3 is not r1
 
 
 def test_scale_scenario_grid_layout_banded_fold_no_bnlj(spark, tmp_path):

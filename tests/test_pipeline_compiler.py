@@ -175,3 +175,30 @@ def test_spatial_join_auto_degrades_and_grid_parity(spark):
         assert "BroadcastNestedLoopJoin" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_spatial_auto_route_pair_budget(spark, monkeypatch):
+    """The auto route costs the broadcast form as a nested loop (~|A|·|B|
+    pairs): even a tiny B side must route to the grid equi-join once the
+    product of the sides' size estimates exceeds BNLJ_PAIR_BUDGET_BYTES2
+    (measured at sf1: grid 1.1 s vs broadcast 9.7 s for j1)."""
+    from overturemaps_duckdb_spark.operators import spatial_join as sj
+    from overturemaps_duckdb_spark.queries.spatial import (
+        customer_points,
+        supplier_boxes,
+    )
+
+    pts = customer_points(spark, SF_SMOKE)
+    boxes = supplier_boxes(spark, SF_SMOKE)
+    # micro tier (sf0.001): inside the budget → broadcast BNLJ form
+    auto = sj.spatial_join(pts, boxes, how="inner", predicate="intersects")
+    assert "BroadcastNestedLoopJoin" in auto._jdf.queryExecution().toString()
+    # shrink the budget below this input's product → must route to grid
+    monkeypatch.setattr(sj, "BNLJ_PAIR_BUDGET_BYTES2", 1)
+    auto2 = sj.spatial_join(pts, boxes, how="inner", predicate="intersects")
+    plan2 = auto2._jdf.queryExecution().toString()
+    assert "BroadcastNestedLoopJoin" not in plan2
+    # identical results on both routes
+    a = sorted(r["id"] for r in auto.select(pts["id"]).collect())
+    b = sorted(r["id"] for r in auto2.select(pts["id"]).collect())
+    assert a == b
