@@ -98,6 +98,25 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"timed: {exc}"[:300]
 
+    # Non-headline extras: measured and reported, NOT in the round-over-round
+    # headline total (the headline set is frozen for comparability).
+    # s14 is the bucketed-layout demo (NOTES backlog #3): customer/orders
+    # written hash-bucketed on the join key, then join+agg with zero
+    # Exchange operators — the query itself asserts the plan.  Its time
+    # INCLUDES the one-time bucketed write (the honest end-to-end cost; the
+    # 100 TB claim is that this write is paid once and every later join is
+    # shuffle-free).
+    extras: dict[str, float] = {}
+    for name in ("s14_bucketed_join",):
+        t0 = time.monotonic()
+        try:
+            _q.QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            extras[name] = round(time.monotonic() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"extras: {exc}"[:300]
+
     total = round(sum(times.values()), 3)
     payload = {
         "metric": "headline_total",
@@ -106,11 +125,15 @@ def main() -> None:
         "queries": times,
         "sf": sf,
     }
+    if extras:
+        payload["extras"] = extras
     if errors:
         # a total over a subset is not comparable across rounds — flag it
-        # (ADVICE r03) so consumers never read a partial sum as a full one
+        # (ADVICE r03) so consumers never read a partial sum as a full one.
+        # extras failures don't taint the headline total.
         payload["errors"] = errors
-        payload["partial"] = True
+        if any(n in HEADLINE for n in errors):
+            payload["partial"] = True
     print(json.dumps(payload))
     spark.stop()
 
