@@ -117,6 +117,38 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"extras: {exc}"[:300]
 
+    # FTS amortization split (NOTES r4 backlog #4): fts_index_write is the
+    # one-time ingest-side build+persist of the term-sorted postings
+    # tables; t2_bm25_persisted is the same BM25 top-k t2 runs, but over
+    # the persisted index — the steady-state per-query cost once the
+    # index is a table, vs t2's headline number which pays the inline
+    # build on first touch.
+    try:
+        import tempfile
+
+        from overturemaps_duckdb_spark.operators.fts import (
+            bm25_topk,
+            build_fts_index,
+            read_fts_index,
+            write_fts_index,
+        )
+        from overturemaps_duckdb_spark.queries import t as _t
+        from overturemaps_duckdb_spark.queries.fts import QUERY_TEXT
+
+        d = _t(spark, sf_dir, "documents")
+        root = tempfile.mkdtemp(prefix="omds_bench_fts_")
+        t0 = time.monotonic()
+        write_fts_index(build_fts_index(d, "doc_id", "text"), root)
+        extras["fts_index_write"] = round(time.monotonic() - t0, 3)
+        stored = read_fts_index(spark, root)
+        t0 = time.monotonic()
+        bm25_topk(stored, d, "doc_id", QUERY_TEXT, limit=10).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        extras["t2_bm25_persisted"] = round(time.monotonic() - t0, 3)
+    except Exception as exc:  # noqa: BLE001
+        errors["fts_persisted"] = f"extras: {exc}"[:300]
+
     total = round(sum(times.values()), 3)
     payload = {
         "metric": "headline_total",

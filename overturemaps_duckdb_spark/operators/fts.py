@@ -120,6 +120,46 @@ def build_fts_index(df: DataFrame, id_col: str, text_col: str) -> FtsIndex:
     return FtsIndex(postings, docstats, stats, termstats)
 
 
+def write_fts_index(index: FtsIndex, path: str, *, mode: str = "overwrite") -> None:
+    """Materialize the index as parquet TABLES — the 100 TB form (the
+    in-session persist is the dev/interactive form; the reference's
+    equivalent is that `fts_main_t` tables survive as real DuckDB tables,
+    fts.js:51-68).
+
+    Postings land hash-distributed by term and term-sorted WITHIN files,
+    so every file's row groups carry tight term min/max stats: a query's
+    `term IN (...)` predicate prunes at row-group level and touches only
+    the matching slices — the flat-file stand-in for true per-term
+    partitioning (100k+ terms make one-directory-per-term layouts
+    pathological; sorted row groups give the same pruning without the
+    namespace blowup)."""
+    (
+        index.postings.repartition("term")
+        .sortWithinPartitions("term", "id")
+        .write.mode(mode)
+        .parquet(f"{path}/postings")
+    )
+    index.docstats.write.mode(mode).parquet(f"{path}/docstats")
+    index.stats.write.mode(mode).parquet(f"{path}/stats")
+    ts = index.termstats
+    if ts is None:
+        ts = index.postings.groupBy("term").agg(F.count("*").alias("df"))
+    ts.write.mode(mode).parquet(f"{path}/termstats")
+
+
+def read_fts_index(spark, path: str) -> FtsIndex:
+    """Open a persisted index.  Lazy: scoring a query reads only the
+    pruned term slices of the postings plus the two broadcast stat
+    tables — an ingest-time build amortizes across every later query
+    (first-query latency drops from build+score to score alone)."""
+    return FtsIndex(
+        postings=spark.read.parquet(f"{path}/postings"),
+        docstats=spark.read.parquet(f"{path}/docstats"),
+        stats=spark.read.parquet(f"{path}/stats"),
+        termstats=spark.read.parquet(f"{path}/termstats"),
+    )
+
+
 def tokenize_query(q: str) -> list[str]:
     """Same normalization as the index (deduplicated query terms)."""
     import re

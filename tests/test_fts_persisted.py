@@ -1,0 +1,56 @@
+"""Persisted FTS index (write_fts_index/read_fts_index): the ingest-time
+materialized form must score identically to the in-session index, and the
+postings scan must push the term predicate down to the parquet reader."""
+
+from __future__ import annotations
+
+import tempfile
+
+from overturemaps_duckdb_spark.operators.fts import (
+    bm25_score,
+    bm25_topk,
+    build_fts_index,
+    read_fts_index,
+    write_fts_index,
+)
+from overturemaps_duckdb_spark.queries import t
+from tests.conftest import SF_CORRECTNESS
+
+QUERY = "shuffle partition"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_persisted_index_scores_identically(spark):
+    docs = t(spark, SF_CORRECTNESS, "documents")
+    live = build_fts_index(docs, "doc_id", "text")
+    root = tempfile.mkdtemp(prefix="omds_fts_")
+    write_fts_index(live, root)
+    stored = read_fts_index(spark, root)
+
+    assert _rows(bm25_score(live, QUERY)) == _rows(bm25_score(stored, QUERY))
+    assert _rows(
+        bm25_topk(live, docs, "doc_id", QUERY, limit=10).select("doc_id", "_score")
+    ) == _rows(
+        bm25_topk(stored, docs, "doc_id", QUERY, limit=10).select(
+            "doc_id", "_score"
+        )
+    )
+
+
+def test_persisted_postings_scan_prunes_terms(spark):
+    docs = t(spark, SF_CORRECTNESS, "documents")
+    root = tempfile.mkdtemp(prefix="omds_fts_")
+    write_fts_index(build_fts_index(docs, "doc_id", "text"), root)
+    stored = read_fts_index(spark, root)
+    plan = (
+        bm25_score(stored, QUERY)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the term IN predicate must reach the parquet scan (row-group pruning
+    # over the term-sorted files — the flat-file form of term partitioning)
+    assert "PushedFilters: [In(term" in plan

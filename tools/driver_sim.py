@@ -65,6 +65,10 @@ for name in sample:
     sdf = qs[name](spark, SF)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
+    if name not in os_:
+        # the driver's weaker rows-only check for no-oracle queries
+        print(f"  {name}: spark={len(srows)} rows-only (no oracle) OK")
+        continue
     cur = con.execute(os_[name])
     dcols = [c[0] for c in cur.description]
     drows = cur.fetchall()
