@@ -356,7 +356,25 @@ def spatial_join_grid(
 
     Same semantics as `spatial_join` — compile_pipeline picks this
     implementation when neither side is broadcastable (spatial_impl='grid').
+
+    Cell sizing: for `within_distance` the grid discretizes at the
+    DISTANCE, not the 0.2° UI band, whenever the distance is tighter —
+    `dist < d` implies `|Δlon|,|Δlat| < d`, so the tighter cells change
+    nothing about the result while cutting in-cell candidate density by
+    (band/d)² (a 250 m query on 0.2° cells was carrying ~8000× the
+    necessary candidates; measured at sf1 this was j2/j4's superlinear
+    term).
     """
+    if predicate == "within_distance":
+        deg = (
+            distance_deg
+            if distance_deg is not None
+            else meters_to_degrees(distance_m)
+            if distance_m is not None
+            else None
+        )
+        if deg is not None and 0 < deg < band_deg:
+            band_deg = deg
     extra = None
     if exclude_self:
         extra = a["id"] != b["id"]
