@@ -98,9 +98,10 @@ _CERT_PRIORITY = [
     "t2_bm25_topk",
     "t5_search_fanout",
     "pl6_search_fts",
-    # re-verify rotation (flagship + entry smoke twin)
+    # changed this round: d2 gained the signature pre-verify gate + exact
+    # collapse; d5's oracle now mirrors the banded LSH (non-vacuous rows)
     "d2_minhash_lsh_pairs",
-    "q1_pricing_summary",
+    "d5_embedding_neardup",
 ]
 
 

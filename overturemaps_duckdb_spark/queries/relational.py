@@ -312,15 +312,17 @@ def f3_between(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "f4_ilike_substring",
     oracle="""
-    SELECT p_partkey, p_type FROM part WHERE p_type ILIKE '%brass%'
+    SELECT p_partkey, p_type FROM part WHERE p_type ILIKE '%econ%'
     """,
 )
 def f4_ilike_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Case-insensitive substring search `ILIKE '%q%'` (fts.js:24,106);
-    native ILIKE in Spark ≥3.3."""
+    native ILIKE in Spark ≥3.3.  The lowercase pattern against the
+    fixture's uppercase p_type values makes the case fold load-bearing
+    (the r3 '%brass%' pattern certified on 0 = 0 rows — vacuous)."""
     return (
         t(spark, sf_dir, "part")
-        .where(F.col("p_type").ilike("%brass%"))
+        .where(F.col("p_type").ilike("%econ%"))
         .select("p_partkey", "p_type")
     )
 

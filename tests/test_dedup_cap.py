@@ -151,8 +151,10 @@ def test_minhash_bucket_cap_hot_bucket(spark):
     df = spark.createDataFrame(
         [(i, same) for i in range(30)], "id long, text string"
     )
+    # doc-level path: the cap binds on the monster bucket
     out = minhash_lsh_pairs(
-        df, "id", "text", jaccard_threshold=0.5, bucket_cap=10
+        df, "id", "text", jaccard_threshold=0.5, bucket_cap=10,
+        collapse_exact=False,
     ).collect()
     pairs = {(r["a_id"], r["b_id"]) for r in out}
     # ids are sorted before the slice, so the kept members are 0..9
@@ -162,9 +164,18 @@ def test_minhash_bucket_cap_hot_bucket(spark):
     assert obs["dropped_ids"] >= 20  # ≥ (30-10) per hot bucket
     # uncapped twin on the same corpus: full 30-choose-2
     full = minhash_lsh_pairs(
-        df, "id", "text", jaccard_threshold=0.5, bucket_cap=None
+        df, "id", "text", jaccard_threshold=0.5, bucket_cap=None,
+        collapse_exact=False,
     ).collect()
     assert len(full) == 30 * 29 // 2
+    # default collapse path: 30 identical docs are ONE distinct text, so
+    # no hot bucket ever forms and the cap cannot bind — the full pair set
+    # comes out of the intra-group expansion even with a tiny cap
+    collapsed = minhash_lsh_pairs(
+        df, "id", "text", jaccard_threshold=0.5, bucket_cap=10
+    ).collect()
+    assert len(collapsed) == 30 * 29 // 2
+    assert all(r["jaccard"] == 1.0 for r in collapsed)
 
 
 def test_minhash_bucket_cap_default_noop_on_small_buckets(spark):

@@ -1,0 +1,100 @@
+"""Round-4 d2 scale features: exact-duplicate collapse and the
+signature-agreement pre-verify gate must never change the operator's
+output — only its cost."""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+
+from overturemaps_duckdb_spark.operators.dedup import (
+    _sig_gate_k,
+    cross_corpus_minhash_pairs,
+    minhash_lsh_pairs,
+)
+
+
+def _corpus(spark, replicas: int = 3):
+    """20 base docs (2 of them a true near-dup pair), each replicated
+    `replicas` times with distinct ids — exact-dup groups AND cross-group
+    near-dups, the shape collapse_exact exists for."""
+    rng = random.Random(11)
+    base = []
+    for i in range(18):
+        body = " ".join(
+            "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(6))
+            for _ in range(10)
+        )
+        base.append(body)
+    near = "the quick brown fox jumps over the lazy dog again and again"
+    base.append(near)
+    base.append(near + " once more")
+    rows = []
+    for rep in range(replicas):
+        for i, text in enumerate(base):
+            rows.append((rep * 1000 + i, text))
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def _pairs(df, **kw):
+    return {
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in minhash_lsh_pairs(df, "id", "text", **kw).collect()
+    }
+
+
+def test_collapse_matches_doc_level(spark):
+    """collapse_exact=True must reproduce the per-document pipeline's pairs
+    and values exactly on a duplicated corpus: intra-group Jaccard-1.0
+    pairs, cross-group near-dups at the representatives' score, and
+    nothing else."""
+    df = _corpus(spark)
+    collapsed = _pairs(df, collapse_exact=True)
+    doc_level = _pairs(df, collapse_exact=False)
+    assert collapsed == doc_level
+    # structure sanity: every doc has 3 exact copies -> C(3,2)*20 intra
+    # pairs at jaccard 1.0, plus the near-dup pair across all 3x3 replicas
+    ones = {(a, b) for a, b, j in collapsed if j == 1.0}
+    assert len(ones) == 3 * 20
+    cross = {(a, b) for a, b, j in collapsed if j < 1.0}
+    assert len(cross) == 9  # 3 copies of doc 18 x 3 copies of doc 19
+
+
+def test_collapse_unique_corpus_identity(spark):
+    """On an all-unique corpus the collapse path degenerates to the
+    doc-level result (all groups singleton, no intra pairs)."""
+    df = _corpus(spark, replicas=1)
+    assert _pairs(df, collapse_exact=True) == _pairs(df, collapse_exact=False)
+
+
+def test_sig_gate_never_drops_band_guaranteed(spark):
+    """Gate at or below one band's row count is vacuous and must be
+    skipped; an active gate keeps every pair whose signatures agree."""
+    assert _sig_gate_k(0.5, 0.0625, 16, 4) == 7
+    assert _sig_gate_k(0.5, None, 16, 4) is None
+    # threshold - margin at or below rows/n_hashes -> gate can never fire
+    assert _sig_gate_k(0.25, 0.0625, 16, 4) is None
+    df = _corpus(spark, replicas=2)
+    gated = _pairs(df, sig_gate_margin=0.0625)
+    ungated = _pairs(df, sig_gate_margin=None)
+    # exact dups agree on 16/16 hashes; the true near-dup pair here is far
+    # above threshold - the gate must not change this corpus's output
+    assert gated == ungated
+
+
+def test_cross_corpus_gate_matches_ungated(spark):
+    df = _corpus(spark, replicas=2)
+    corpus = df.where(F.col("id") < 1000)
+    probe = df.where(F.col("id") >= 1000)
+
+    def run(margin):
+        return {
+            (r["a_id"], r["b_id"], r["jaccard"])
+            for r in cross_corpus_minhash_pairs(
+                corpus, probe, "id", "text", sig_gate_margin=margin
+            ).collect()
+        }
+
+    gated, ungated = run(0.0625), run(None)
+    assert gated == ungated and len(gated) >= 20
