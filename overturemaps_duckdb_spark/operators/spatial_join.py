@@ -69,6 +69,24 @@ def _plan_size_bytes(df: DataFrame) -> int:
         return 1 << 62
 
 
+def bnlj_affordable(a: DataFrame, b: DataFrame) -> bool:
+    """True when the broadcast nested-loop form of an A×B theta join fits
+    the interactive micro tier: B's Catalyst size estimate under
+    ``spark.sql.autoBroadcastJoinThreshold`` AND the pair product of both
+    sides' estimates inside :data:`BNLJ_PAIR_BUDGET_BYTES2` (a BNLJ
+    evaluates ~|A|·|B| candidates regardless of which side broadcasts).
+    The shared routing gate for every theta-join family (spatial band,
+    numeric interval band)."""
+    thr = _parse_size_bytes(
+        a.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    )
+    return (
+        thr > 0
+        and _plan_size_bytes(b) <= thr
+        and _plan_size_bytes(a) * _plan_size_bytes(b) <= BNLJ_PAIR_BUDGET_BYTES2
+    )
+
+
 def band_condition(
     a: DataFrame, b: DataFrame, band_deg: float = DEFAULT_BAND_DEG
 ) -> Column:
@@ -145,17 +163,7 @@ def spatial_join(
     identical either way (pytest-asserted).
     """
     if broadcast_b is None:
-        thr = _parse_size_bytes(
-            a.sparkSession.conf.get(
-                "spark.sql.autoBroadcastJoinThreshold", "10485760"
-            )
-        )
-        broadcast_b = (
-            thr > 0
-            and _plan_size_bytes(b) <= thr
-            and _plan_size_bytes(a) * _plan_size_bytes(b)
-            <= BNLJ_PAIR_BUDGET_BYTES2
-        )
+        broadcast_b = bnlj_affordable(a, b)
     if not broadcast_b:
         return spatial_join_grid(
             a, b, how=how, predicate=predicate, distance_m=distance_m,

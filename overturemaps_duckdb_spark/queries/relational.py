@@ -16,6 +16,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from overturemaps_duckdb_spark.operators.interval_join import interval_band_join
 from overturemaps_duckdb_spark.plans.hints import dim
 from overturemaps_duckdb_spark.queries import query, t
 
@@ -387,16 +388,17 @@ def f8_in_subquery_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def j1_inner_band_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inner theta join: band condition + self-exclusion
-    (analysisQueries.js:29-33, pipeline.js:130-132).  supplier is the small
-    side → broadcast, so the theta condition never becomes a shuffle-cartesian."""
-    c = t(spark, sf_dir, "customer").alias("c")
-    s = t(spark, sf_dir, "supplier").alias("s")
-    cond = (F.abs(F.col("c.c_acctbal") - F.col("s.s_acctbal")) < 1.5) & (
-        F.col("c.c_custkey") != F.col("s.s_suppkey")
-    )
-    return c.join(F.broadcast(s), cond, "inner").select(
-        "c.c_custkey", "s.s_suppkey", "c.c_acctbal", "s.s_acctbal"
-    )
+    (analysisQueries.js:29-33, pipeline.js:130-132).  Routed through
+    operators/interval_join.interval_band_join: broadcast BNL only while
+    the pair product fits the micro tier (supplier grows with SF — a
+    forced broadcast would OOM at the 100 TB target), the value-bucket
+    equi-join otherwise."""
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    return interval_band_join(
+        c, s, "c_acctbal", "s_acctbal", width=1.5,
+        extra_cond=F.col("c_custkey") != F.col("s_suppkey"),
+    ).select("c_custkey", "s_suppkey", "c_acctbal", "s_acctbal")
 
 
 @query(
@@ -411,11 +413,13 @@ def j1_inner_band_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def j2_semi_join_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`within` mode: EXISTS(band AND dist<d) → left-semi join, no row
-    duplication (analysisQueries.js:34-35, pipeline.js:141-157)."""
-    c = t(spark, sf_dir, "customer").alias("c")
-    s = t(spark, sf_dir, "supplier").alias("s")
-    cond = F.abs(F.col("c.c_acctbal") - F.col("s.s_acctbal")) < 0.5
-    return c.join(F.broadcast(s), cond, "left_semi").select("c_custkey")
+    duplication (analysisQueries.js:34-35, pipeline.js:141-157); auto-routed
+    interval band join (see j1)."""
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    return interval_band_join(
+        c, s, "c_acctbal", "s_acctbal", width=0.5, how="left_semi"
+    ).select("c_custkey")
 
 
 @query(
@@ -430,11 +434,13 @@ def j2_semi_join_within(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def j3_anti_join_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`exclude` mode: NOT EXISTS → left-anti join
-    (analysisQueries.js:36-37, pipeline.js:159-165)."""
-    c = t(spark, sf_dir, "customer").alias("c")
-    s = t(spark, sf_dir, "supplier").alias("s")
-    cond = F.abs(F.col("c.c_acctbal") - F.col("s.s_acctbal")) < 0.5
-    return c.join(F.broadcast(s), cond, "left_anti").select("c_custkey")
+    (analysisQueries.js:36-37, pipeline.js:159-165); auto-routed interval
+    band join (see j1)."""
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    return interval_band_join(
+        c, s, "c_acctbal", "s_acctbal", width=0.5, how="left_anti"
+    ).select("c_custkey")
 
 
 @query(
@@ -451,12 +457,17 @@ def j3_anti_join_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def j4_bidirectional_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bidirectional matched-id set: ids of base rows hitting B UNION ids of
-    B rows hit by base (pipeline.js:141-157) — two semi-joins + distinct union."""
-    c = t(spark, sf_dir, "customer").alias("c")
-    s = t(spark, sf_dir, "supplier").alias("s")
-    cond = F.abs(F.col("c.c_acctbal") - F.col("s.s_acctbal")) < 0.5
-    a_hits = c.join(F.broadcast(s), cond, "left_semi").select(F.col("c_custkey").alias("id"))
-    b_hits = s.join(F.broadcast(c), cond, "left_semi").select(F.col("s_suppkey").alias("id"))
+    B rows hit by base (pipeline.js:141-157) — two semi-joins + distinct
+    union, each auto-routed (see j1; the reverse direction probes customer,
+    so the forced broadcast it used to carry was the worst of the family)."""
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    a_hits = interval_band_join(
+        c, s, "c_acctbal", "s_acctbal", width=0.5, how="left_semi"
+    ).select(F.col("c_custkey").alias("id"))
+    b_hits = interval_band_join(
+        s, c, "s_acctbal", "c_acctbal", width=0.5, how="left_semi"
+    ).select(F.col("s_suppkey").alias("id"))
     return a_hits.union(b_hits).distinct()
 
 
@@ -469,11 +480,14 @@ def j4_bidirectional_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def j5_join_distinct_matched_b(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matched-B overlay `SELECT DISTINCT b.* FROM A JOIN B ON ...`
-    (analysisQueries.js:43-56)."""
-    c = t(spark, sf_dir, "customer").alias("c")
-    s = t(spark, sf_dir, "supplier").alias("s")
-    cond = F.abs(F.col("c.c_acctbal") - F.col("s.s_acctbal")) < 0.5
-    return c.join(F.broadcast(s), cond, "inner").select("s.s_suppkey", "s.s_name").distinct()
+    (analysisQueries.js:43-56); auto-routed interval band join (see j1)."""
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    return (
+        interval_band_join(c, s, "c_acctbal", "s_acctbal", width=0.5)
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
 
 
 @query(

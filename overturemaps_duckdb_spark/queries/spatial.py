@@ -317,12 +317,22 @@ def j4_spatial_bidirectional(spark: SparkSession, sf_dir: str) -> DataFrame:
 def g5_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_Distance values over the banded candidate set
     (analysisQueries.js:28-29); the kernel computes sqrt(dx²+dy²) exactly as
-    the oracle states it."""
+    the oracle states it.  Candidate generation auto-routes like every
+    theta join: broadcast band BNL only while the pair product fits the
+    micro tier (supplier points grow with SF), grid-cell equi-join
+    otherwise."""
     pts = customer_points(spark, sf_dir)
     spts = supplier_points(spark, sf_dir)
-    from overturemaps_duckdb_spark.operators.spatial_join import band_condition
+    from overturemaps_duckdb_spark.operators.spatial_join import (
+        band_condition,
+        banded_join,
+        bnlj_affordable,
+    )
 
-    joined = pts.join(F.broadcast(spts), band_condition(pts, spts), "inner")
+    if bnlj_affordable(pts, spts):
+        joined = pts.join(F.broadcast(spts), band_condition(pts, spts), "inner")
+    else:
+        joined = banded_join(pts, spts, how="inner")
     return joined.select(
         pts["id"].alias("point_id"),
         spts["id"].alias("supp_id"),
@@ -363,7 +373,9 @@ def g6_intersection_area(spark: SparkSession, sf_dir: str) -> DataFrame:
         "geometry",
         st_box(F.col("lon") - 0.125, F.col("lat") - 0.125, F.col("lon") + 0.125, F.col("lat") + 0.125),
     ).alias("sb")
-    joined = cb.join(F.broadcast(sb), F.col("cb.id") == F.col("sb.id"))
+    # plain equi-join on id — no forced broadcast (both sides grow with
+    # SF; AQE picks broadcast-hash itself whenever stats allow)
+    joined = cb.join(sb, F.col("cb.id") == F.col("sb.id"))
     inter = st_intersection(F.col("cb.geometry"), F.col("sb.geometry"))
     return joined.select(
         F.col("cb.id").alias("id"),
