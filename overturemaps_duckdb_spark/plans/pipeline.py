@@ -262,10 +262,16 @@ def compile_pipeline(
             & (F.col("centroid_lat") >= ymin)
             & (F.col("centroid_lat") <= ymax)
         )
-    # -- `id IN (SELECT id FROM matched_i)` per filter (pipeline.js:157)
+    # -- `id IN (SELECT id FROM matched_i)` per filter (pipeline.js:157).
+    #    The matched-id set is O(|base|) in the worst case, so the
+    #    broadcast hint is stat-gated (hints.dim): forced broadcast of a
+    #    scale-proportional id set is the same OOM class as the TPC-H dim
+    #    hints; above the threshold it falls back to a shuffled semi join.
+    from overturemaps_duckdb_spark.plans.hints import dim as _dim
+
     for matched in matched_sets:
         m = matched.withColumnRenamed("id", "_mid")
-        base = base.join(F.broadcast(m), base["id"] == m["_mid"], "left_semi")
+        base = base.join(_dim(m), base["id"] == m["_mid"], "left_semi")
     # -- `NOT EXISTS` exclude filters are per-row predicates: applying them
     #    to the narrowed base is equivalent and cheaper (pipeline.js:159-165)
     from overturemaps_duckdb_spark.operators.spatial_join import spatial_join_grid

@@ -64,3 +64,32 @@ def test_shared_column_names_rejected(spark):
     a, _ = _frames(spark)
     with pytest.raises(ValueError):
         interval_band_join(a, a, "x", "x", width=0.1)
+
+
+def test_bucket_coverage_property():
+    """The ±1-neighbor-bucket expansion must cover every true pair:
+    |x − y| < w ⟹ floor(y/w) ∈ {floor(x/w) − 1, .., + 1}.  Pure IEEE-754
+    double math — identical rounding to the JVM columns — over widths and
+    magnitudes spanning money-style and geo-style values."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    vals = st.floats(
+        min_value=-1e7, max_value=1e7, allow_nan=False, allow_infinity=False
+    )
+    widths = st.sampled_from([0.5, 1.5, 0.25, 0.2, 0.001, 3.0, 7.25])
+    deltas = st.floats(min_value=-1.0, max_value=1.0, exclude_min=True,
+                       allow_nan=False, allow_infinity=False)
+
+    @given(vals, deltas, widths)
+    @settings(max_examples=2000, deadline=None)
+    def check(x, frac, w):
+        y = x + frac * w
+        if not abs(x - y) < w:  # float rounding can push |Δ| to exactly w
+            return
+        bx, by = math.floor(x / w), math.floor(y / w)
+        assert abs(bx - by) <= 1
+
+    check()
