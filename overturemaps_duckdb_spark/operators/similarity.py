@@ -253,6 +253,59 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def ivf_write(assigned: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """Materialize the inverted lists as a parquet table PARTITIONED BY
+    `_list` — the 100 TB form of the IVF index that ivf_build's docstring
+    promises: each coarse cluster is its own partition directory, so a
+    probe reads n_probe/n_lists of the corpus bytes via static partition
+    pruning and everything else is never opened."""
+    assigned.write.mode(mode).partitionBy("_list").parquet(path)
+
+
+def ivf_topk_from_store(
+    spark,
+    path: str,
+    centroids,
+    queries: DataFrame,
+    *,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+    k: int = 10,
+) -> DataFrame:
+    """:func:`ivf_topk` over a persisted :func:`ivf_write` store.
+
+    The probed list ids are applied as a STATIC `_list IN (...)` filter
+    before the candidate join, so the parquet scan's PartitionFilters
+    prune every unprobed partition at planning time (pinned in
+    tests/test_similarity_ivf.py) — no reliance on runtime DPP.  Results
+    are identical to the in-memory form."""
+    import numpy as np
+
+    q_rows = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).collect()
+    probes = []
+    for r in q_rows:
+        qv = np.asarray(r["q_vec"], dtype="float64")
+        d = ((centroids - qv) ** 2).sum(axis=1)
+        for lst in np.argsort(d)[:n_probe]:
+            probes.append((r["query_id"], list(map(float, r["q_vec"])), int(lst)))
+    probe_df = spark.createDataFrame(
+        probes, "query_id long, q_vec array<double>, _list int"
+    )
+    probed_lists = sorted({p[2] for p in probes})
+    store = spark.read.parquet(path).where(F.col("_list").isin(probed_lists))
+    cand = store.join(F.broadcast(probe_df), "_list")
+    scored = cand.select(
+        "query_id",
+        F.col("id").alias("vec_id"),
+        F.round(cosine_expr(F.col("q_vec"), F.col("v")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def lsh_bucket_neighbors(
     corpus: DataFrame,
     *,

@@ -103,9 +103,12 @@ def n3_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: k-means coarse quantizer (seeded, 16 lists), probe the 4
     nearest lists per query, exact cosine within candidates.  The inverted
     lists are the partition key at 100 TB — a probe scans n_probe/n_lists
-    of the corpus.  Recall vs brute force is pytest-asserted
-    (tests/test_similarity_ivf.py); no SQL oracle by design (driver records
-    the rows-only check)."""
+    of the corpus; that claim is implemented (ivf_write → `_list`-
+    partitioned parquet + ivf_topk_from_store with a static partition
+    filter) and the pruned PartitionFilters plan is pinned in
+    tests/test_similarity_ivf.py.  Recall vs brute force is also
+    pytest-asserted there; no SQL oracle by design (driver records the
+    rows-only check)."""
     e = t(spark, sf_dir, "embeddings")
     assigned, centroids = ivf_build(
         e, id_col="vec_id", vec_col="embedding", n_lists=16, seed=42

@@ -92,3 +92,38 @@ def test_embedding_neardup_lsh_matches_bruteforce(spark):
     }
     assert len(brute) == 20  # every planted dup found by brute force
     assert lsh == brute
+
+
+def test_ivf_store_partition_pruned(spark, tmp_path):
+    """The persisted IVF form: probes over an ivf_write store must (1)
+    return exactly the in-memory ivf_topk results and (2) plan a parquet
+    scan whose PartitionFilters prune the unprobed `_list` partitions —
+    the n_probe/n_lists byte-read claim, verified on the physical plan."""
+    from overturemaps_duckdb_spark.operators.similarity import (
+        ivf_topk_from_store,
+        ivf_write,
+    )
+
+    e = spark.read.parquet(f"{SF_CORRECTNESS}/embeddings.parquet")
+    queries = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assigned, centroids = ivf_build(e, n_lists=16, seed=42)
+    path = str(tmp_path / "ivf_store")
+    ivf_write(assigned, path)
+
+    mem = ivf_topk(assigned, centroids, queries, n_probe=4, k=10)
+    store = ivf_topk_from_store(
+        spark, path, centroids, queries, n_probe=4, k=10
+    )
+    key = lambda r: (r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+    assert sorted(map(key, store.collect())) == sorted(map(key, mem.collect()))
+
+    plan = store._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_list" in plan
+    # static pruning: at most n_probe lists per query survive, strictly
+    # fewer than n_lists overall for 3 clustered queries
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), "partition filter must be non-empty"
