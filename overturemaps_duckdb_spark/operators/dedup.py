@@ -513,12 +513,20 @@ def cross_corpus_minhash_pairs(
     shingle_k: int = 5,
     jaccard_threshold: float = 0.5,
     sig_gate_margin: float | None = 0.0625,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """A×B near-duplicate pairs: which training-corpus docs near-match a
     held-out/benchmark set — LSH-bucketed decontamination for when the
     benchmark side is itself too large to broadcast (the n-gram broadcast
     path in operators/textprep.ngram_decontaminate covers the small-probe
     case; this covers probe sets that are corpora in their own right).
+
+    `collapse_exact` (see :func:`minhash_lsh_pairs`): each side's
+    exact-duplicate texts collapse to one representative before
+    shingling/banding, and (rep_a, rep_b) result pairs fan back out to
+    |G_a|×|G_b| member pairs at the end — side identity preserved, scores
+    inherited verbatim.  Output-equivalent; a d×-duplicated pair of
+    corpora sheds d² from the band-join candidate volume.
 
     Both sides get independent MinHash indexes (same hash family, so equal
     texts produce equal band keys), then candidates come from ONE equi-join
@@ -537,6 +545,24 @@ def cross_corpus_minhash_pairs(
     numerically across the two corpora; they are namespaced by side.
     """
     gate_k = _sig_gate_k(jaccard_threshold, sig_gate_margin, n_hashes, bands)
+    groups_a = groups_b = None
+    if collapse_exact:
+        def _side_groups(side: DataFrame):
+            norm_df = side.select(
+                F.col(id_col).alias("id"), normalize(text_col).alias("_n")
+            ).where(F.col("_n").isNotNull())
+            return (
+                norm_df.groupBy(F.md5(F.encode("_n", "UTF-8")).alias("_th"))
+                .agg(
+                    F.sort_array(F.collect_set("id")).alias("gids"),
+                    F.first("_n").alias("_n"),
+                )
+                .persist()
+            )
+
+        groups_a, groups_b = _side_groups(corpus), _side_groups(probe)
+        corpus = groups_a.select(F.element_at("gids", 1).alias(id_col), F.col("_n").alias(text_col))
+        probe = groups_b.select(F.element_at("gids", 1).alias(id_col), F.col("_n").alias(text_col))
     idx_a = minhash_index(
         corpus, id_col, text_col, n_hashes=n_hashes, shingle_k=shingle_k
     )
@@ -567,10 +593,27 @@ def cross_corpus_minhash_pairs(
     inter = F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
     union = F.size(F.array_union("a_sh", "b_sh")).cast("double")
     jac = F.round(inter / union, 6)
-    return (
+    rep_pairs = (
         joined.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("a_id", "b_id", "jaccard")
+    )
+    if groups_a is None:
+        return rep_pairs
+    # fan (rep_a, rep_b) back out to member pairs — sides stay namespaced
+    # (a ids always from corpus, b ids always from probe; no least/greatest)
+    ga = groups_a.select(F.element_at("gids", 1).alias("a_id"), F.col("gids").alias("a_gids"))
+    gb = groups_b.select(F.element_at("gids", 1).alias("b_id"), F.col("gids").alias("b_gids"))
+    return (
+        rep_pairs.join(ga, "a_id")
+        .join(gb, "b_id")
+        .select(F.explode("a_gids").alias("a_id2"), "b_gids", "jaccard")
+        .select("a_id2", F.explode("b_gids").alias("b_id2"), "jaccard")
+        .select(
+            F.col("a_id2").alias("a_id"),
+            F.col("b_id2").alias("b_id"),
+            "jaccard",
+        )
     )
 
 
@@ -883,6 +926,7 @@ def embedding_neardup_pairs(
     n_bands: int = 8,
     planes_per_band: int = 4,
     dim: int = 64,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """(a_id, b_id, cosine) for pairs with cosine ≥ threshold.
 
@@ -893,6 +937,23 @@ def embedding_neardup_pairs(
     recall only, 1-(1-p^r)^b per pair — ~0.98 at cosine 0.8 with the
     defaults, →1 for tighter dups).  `exact=True` opts into the old
     broadcast all-pairs form for small corpora.
+
+    Scale shapes (both r4; each output-equivalent, pinned in tests):
+
+    - Candidates are deduped on BARE id pairs before any vector-carrying
+      join: the (band, bucket) equi-join emits 16-byte rows, `distinct`
+      collapses multi-band duplicates, and only surviving pairs join back
+      to the two vectors.  The prior shape (vectors carried through the
+      candidate join into a groupBy(a_id, b_id) first() agg) shuffled
+      ~candidates × 2×dim×8 B — a 100 GB shuffle on a 10×-duplicated
+      200 k-vector corpus, where this one moves ~1.6 GB.
+    - `collapse_exact`: bit-identical vectors are grouped first (one
+      GROUP BY on the vector value), LSH runs once per distinct vector,
+      and member pairs fan back out at the end — intra-group pairs score
+      cosine(v, v) (1.0 for any normal vector; zero-norm/NaN vectors drop
+      exactly as the per-document path drops them) and cross-group pairs
+      inherit their representatives' cosine verbatim.  A corpus duplicated
+      d× sheds d² from every bucket quadratic.
     """
     from overturemaps_duckdb_spark.operators.similarity import (
         banded_signature_frame,
@@ -904,35 +965,85 @@ def embedding_neardup_pairs(
         a = v.select(F.col("id").alias("a_id"), F.col("v").alias("a_v"))
         b = v.select(F.col("id").alias("b_id"), F.col("v").alias("b_v"))
         pairs = a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
-    else:
-        sig = banded_signature_frame(
-            v,
-            id_col="id",
-            vec_col="v",
-            n_bands=n_bands,
-            planes_per_band=planes_per_band,
-            dim=dim,
+        cos = F.round(cosine_expr(F.col("a_v"), F.col("b_v")), 6)
+        return (
+            pairs.withColumn("cosine", cos)
+            .where(F.col("cosine") >= threshold)
+            .select("a_id", "b_id", "cosine")
         )
-        a = sig.select(
-            F.col("id").alias("a_id"), F.col("v").alias("a_v"), "band", "bucket"
+
+    groups = None
+    if collapse_exact:
+        groups = (
+            v.groupBy("v")
+            .agg(F.sort_array(F.collect_set("id")).alias("gids"))
+            .persist()
         )
-        b = sig.select(
-            F.col("id").alias("b_id"), F.col("v").alias("b_v"), "band", "bucket"
-        )
-        # a pair colliding in several bands must score once: one shuffle on
-        # (a_id, b_id) dedups candidates and carries the vectors along
-        pairs = (
-            a.join(b, ["band", "bucket"])
-            .where(F.col("a_id") < F.col("b_id"))
-            .groupBy("a_id", "b_id")
-            .agg(F.first("a_v").alias("a_v"), F.first("b_v").alias("b_v"))
-        )
+        v = groups.select(F.element_at("gids", 1).alias("id"), "v")
+    sig = banded_signature_frame(
+        v,
+        id_col="id",
+        vec_col="v",
+        n_bands=n_bands,
+        planes_per_band=planes_per_band,
+        dim=dim,
+    )
+    ka = sig.select(F.col("id").alias("a_id"), "band", "bucket")
+    kb = sig.select(F.col("id").alias("b_id"), "band", "bucket")
+    cand = (
+        ka.join(kb, ["band", "bucket"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    av = v.select(F.col("id").alias("a_id"), F.col("v").alias("a_v"))
+    bv = v.select(F.col("id").alias("b_id"), F.col("v").alias("b_v"))
+    pairs = cand.join(av, "a_id").join(bv, "b_id")
     cos = F.round(cosine_expr(F.col("a_v"), F.col("b_v")), 6)
-    return (
+    rep_pairs = (
         pairs.withColumn("cosine", cos)
         .where(F.col("cosine") >= threshold)
         .select("a_id", "b_id", "cosine")
     )
+    if groups is None:
+        return rep_pairs
+    # intra-group: identical vectors — score computed, not assumed, so
+    # zero-norm/NaN vectors drop exactly like the per-document path
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("gids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("gids"), i + F.lit(2), F.size(F.col("gids"))),
+                lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
+            ),
+        )
+    )
+    intra = (
+        groups.where(F.size("gids") > 1)
+        .withColumn("cosine", F.round(cosine_expr(F.col("v"), F.col("v")), 6))
+        .where(F.col("cosine") >= threshold)
+        .select(F.explode(pair_structs).alias("p"), "cosine")
+        .select("p.a_id", "p.b_id", "cosine")
+    )
+    gmap = groups.select(F.element_at("gids", 1).alias("rid"), "gids")
+    cross = (
+        rep_pairs.join(
+            gmap.select(F.col("rid").alias("a_id"), F.col("gids").alias("a_gids")),
+            "a_id",
+        )
+        .join(
+            gmap.select(F.col("rid").alias("b_id"), F.col("gids").alias("b_gids")),
+            "b_id",
+        )
+        .select(F.explode("a_gids").alias("xa"), "b_gids", "cosine")
+        .select("xa", F.explode("b_gids").alias("xb"), "cosine")
+        .select(
+            F.least("xa", "xb").alias("a_id"),
+            F.greatest("xa", "xb").alias("b_id"),
+            "cosine",
+        )
+    )
+    return intra.unionByName(cross)
 
 
 def dedup_clusters(

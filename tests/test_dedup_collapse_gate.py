@@ -98,3 +98,58 @@ def test_cross_corpus_gate_matches_ungated(spark):
 
     gated, ungated = run(0.0625), run(None)
     assert gated == ungated and len(gated) >= 20
+
+
+def test_embedding_collapse_matches_doc_level(spark):
+    """d5's vector collapse: identical embeddings grouped before LSH must
+    reproduce the per-vector pipeline exactly (intra pairs at cosine(v,v),
+    cross pairs at the representatives' score)."""
+    import math
+    import random
+
+    from overturemaps_duckdb_spark.operators.dedup import embedding_neardup_pairs
+
+    rng = random.Random(3)
+    base = []
+    for _ in range(30):
+        v = [rng.gauss(0, 1) for _ in range(16)]
+        n = math.sqrt(sum(x * x for x in v))
+        base.append([x / n for x in v])
+    rows = []
+    vid = 0
+    for rep in range(3):  # replicate every vector bit-identically
+        for v in base:
+            rows.append((vid, v))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def run(ce):
+        return sorted(
+            (r["a_id"], r["b_id"], r["cosine"])
+            for r in embedding_neardup_pairs(
+                df, "vec_id", "embedding", threshold=0.3, dim=16,
+                collapse_exact=ce,
+            ).collect()
+        )
+
+    a, b = run(True), run(False)
+    assert a == b and len(a) >= 3 * 30  # at least every intra pair
+
+
+def test_cross_corpus_collapse_matches_doc_level(spark):
+    from overturemaps_duckdb_spark.operators.dedup import cross_corpus_minhash_pairs
+
+    df = _corpus(spark, replicas=3)
+    corpus = df.where(F.col("id") < 2000)
+    probe = df.where(F.col("id") >= 2000)
+
+    def run(ce):
+        return sorted(
+            (r["a_id"], r["b_id"], r["jaccard"])
+            for r in cross_corpus_minhash_pairs(
+                corpus, probe, "id", "text", collapse_exact=ce
+            ).collect()
+        )
+
+    a, b = run(True), run(False)
+    assert a == b and len(a) >= 20
