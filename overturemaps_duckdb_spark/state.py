@@ -70,7 +70,13 @@ class SessionState:
 
     The reference keeps a DuckDB table and hydrates tolerantly — unknown
     keys ignored, corrupt JSON skipped (sessionState.js:77-122).  Same here;
-    the parquet file is the engine-side artifact a cluster restart reads."""
+    the parquet file is the engine-side artifact a cluster restart reads.
+
+    The KV is driver-side session METADATA (a handful of rows), so reads
+    and writes go through pyarrow directly — launching a Spark job per
+    `set()` cost ~5 s of scheduler round-trips for a 3-row file.  The
+    artifact stays a plain parquet directory that `spark.read.parquet`
+    (and the reference's DuckDB) can open; tests pin that round-trip."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -81,8 +87,13 @@ class SessionState:
     def _hydrate(self) -> None:
         if not os.path.isdir(self.path):
             return
-        for row in self.spark.read.parquet(self.path).collect():
-            self._kv[row["key"]] = row["value"]
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(self.path)
+        for k, v in zip(
+            table.column("key").to_pylist(), table.column("value").to_pylist()
+        ):
+            self._kv[k] = v
 
     def get(self, key: str, default=None):
         raw = self._kv.get(key)
@@ -108,11 +119,22 @@ class SessionState:
         self._flush()
 
     def _flush(self) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         rows = [(k, v) for k, v in sorted(self._kv.items())]
-        df = self.spark.createDataFrame(rows or [("", "")], "key string, value string")
-        if not rows:
-            df = df.where(F.lit(False))
-        df.coalesce(1).write.mode("overwrite").parquet(self.path)
+        table = pa.table(
+            {
+                "key": pa.array([k for k, _ in rows], type=pa.string()),
+                "value": pa.array([v for _, v in rows], type=pa.string()),
+            }
+        )
+        os.makedirs(self.path, exist_ok=True)
+        # overwrite semantics: one part file, stale parts removed
+        for name in os.listdir(self.path):
+            if name.endswith(".parquet"):
+                os.remove(os.path.join(self.path, name))
+        pq.write_table(table, os.path.join(self.path, "part-00000.parquet"))
 
 
 # ---------------------------------------------------------------------------
@@ -205,13 +227,38 @@ def append_load_history(
     file_count: int = 0,
     load_time_ms: float = 0.0,
 ) -> None:
-    """Append one `_load_history` row with `current_timestamp()`
-    (themes.js:419-436) — append-mode parquet, the classic telemetry log."""
-    row = [(key, release, bbox, lim, cached, row_count, file_count, load_time_ms)]
-    df = spark.createDataFrame(row, _HISTORY_SCHEMA).withColumn(
-        "ts", F.current_timestamp()
+    """Append one `_load_history` row with the current timestamp
+    (themes.js:419-436) — append-mode parquet, the classic telemetry log.
+
+    Telemetry rows are driver-side metadata, so the append is a direct
+    pyarrow part-file write (a Spark job per 1-row append cost ~1-2 s of
+    scheduler round-trips per micro-batch in the foreachBatch sink); the
+    directory stays a plain parquet table `spark.read.parquet` opens."""
+    import datetime
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(root, "_load_history")
+    os.makedirs(path, exist_ok=True)
+    table = pa.table(
+        {
+            "key": pa.array([key], type=pa.string()),
+            "release": pa.array([release], type=pa.string()),
+            "bbox": pa.array([bbox], type=pa.string()),
+            "lim": pa.array([lim], type=pa.int64()),
+            "cached": pa.array([cached], type=pa.bool_()),
+            "row_count": pa.array([row_count], type=pa.int64()),
+            "file_count": pa.array([file_count], type=pa.int64()),
+            "load_time_ms": pa.array([load_time_ms], type=pa.float64()),
+            "ts": pa.array(
+                [datetime.datetime.now(datetime.timezone.utc)],
+                type=pa.timestamp("us", tz="UTC"),
+            ),
+        }
     )
-    df.coalesce(1).write.mode("append").parquet(os.path.join(root, "_load_history"))
+    pq.write_table(table, os.path.join(path, f"part-{uuid.uuid4().hex}.parquet"))
 
 
 def read_load_history(spark: SparkSession, root: str) -> DataFrame | None:

@@ -108,6 +108,11 @@ def test_session_state_roundtrip(spark):
     assert s3.get("bbox") is None
     s3.clear()
     assert SessionState(spark, root).get("pipeline") is None
+    # the pyarrow-written artifact must stay a Spark-readable parquet dir
+    # (the engine-side contract the class docstring claims)
+    s3.set("k", 7)
+    got = {r["key"]: r["value"] for r in spark.read.parquet(s3.path).collect()}
+    assert got == {"k": "7"}
 
 
 def test_session_state_tolerates_corrupt_json(spark):
