@@ -185,18 +185,48 @@ def mean_token_len(text: str | Column) -> Column:
 
 def quality_score(text: str | Column) -> Column:
     """Composite [0,1] quality heuristic: alpha ratio, stopword density and a
-    mean-token-length window — the classic cheap pre-LLM text filter."""
+    mean-token-length window — the classic cheap pre-LLM text filter.
+
+    Single-pass form: the naive composition (alpha_ratio + stopword_ratio +
+    mean_token_len × 2) references `tokens(text)` six times, and because
+    higher-order functions fall out of whole-stage codegen there is no
+    common-subexpression elimination — the normalize/split tokenization ran
+    six times per row (~60 % of x2/x11 runtime at sf1).  Here ONE
+    `aggregate` traversal folds (n, stopword hits, char total) into a
+    struct and the `finish` lambda assembles the final score, so the token
+    array is materialized exactly once.  Every arithmetic op keeps the
+    original association order, making the result bit-identical to the
+    composed form (and to the SQL oracle that restates it)."""
     c = _col(text)
-    len_ok = F.when(
-        (F.length(c) >= 50) & (F.length(c) <= 20000), F.lit(1.0)
-    ).otherwise(F.lit(0.0))
-    tok_ok = F.when(
-        (mean_token_len(c) >= 3.0) & (mean_token_len(c) <= 10.0), F.lit(1.0)
-    ).otherwise(F.lit(0.0))
-    return F.round(
-        0.4 * alpha_ratio(c) + 0.3 * stopword_ratio(c) * 5.0 + 0.15 * len_ok + 0.15 * tok_ok,
-        6,
+    words = LANG_STOPWORDS["en"]
+    toks = tokens(c)
+    zero = F.struct(
+        F.lit(0).alias("n"), F.lit(0).alias("stop"), F.lit(0).alias("chars")
     )
+
+    def merge(acc, x):
+        return F.struct(
+            (acc["n"] + F.lit(1)).alias("n"),
+            (acc["stop"] + x.isin(*words).cast("int")).alias("stop"),
+            (acc["chars"] + F.length(x)).alias("chars"),
+        )
+
+    def finish(acc):
+        ratio = F.when(acc["n"] > 0, acc["stop"] / acc["n"]).otherwise(F.lit(0.0))
+        mean_len = F.when(
+            acc["n"] > 0, acc["chars"].cast("double") / acc["n"]
+        ).otherwise(F.lit(0.0))
+        len_ok = F.when(
+            (F.length(c) >= 50) & (F.length(c) <= 20000), F.lit(1.0)
+        ).otherwise(F.lit(0.0))
+        tok_ok = F.when(
+            (mean_len >= 3.0) & (mean_len <= 10.0), F.lit(1.0)
+        ).otherwise(F.lit(0.0))
+        return (
+            0.4 * alpha_ratio(c) + 0.3 * ratio * 5.0 + 0.15 * len_ok + 0.15 * tok_ok
+        )
+
+    return F.round(F.aggregate(toks, zero, merge, finish), 6)
 
 
 def lang_scores(text: str | Column) -> list[tuple[str, Column]]:

@@ -314,22 +314,83 @@ def lsh_bucket_neighbors(
     n_planes: int = 8,
     dim: int = 64,
     min_cosine: float = 0.8,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """ANN candidate pairs: same hyperplane bucket → exact cosine verify.
 
     The equi-join on bucket id replaces the O(N²) cross product; `min_cosine`
-    keeps precision exact (LSH affects recall only)."""
-    sig = corpus.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        hyperplane_signature(F.col(vec_col), n_planes=n_planes, dim=dim).alias("bucket"),
-    )
-    a = sig.select(F.col("id").alias("a_id"), F.col("v").alias("a_v"), "bucket")
-    b = sig.select(F.col("id").alias("b_id"), F.col("v").alias("b_v"), "bucket")
-    pairs = a.join(b, ["bucket"]).where(F.col("a_id") < F.col("b_id"))
+    keeps precision exact (LSH affects recall only).
+
+    Scale shapes (r4, same as embedding_neardup_pairs — both pinned
+    output-equivalent in tests): the bucket join moves bare (id, bucket)
+    rows and only the surviving candidate pairs join back to their two
+    vectors (the prior shape carried both dim×8 B vectors through every
+    in-bucket pair), and `collapse_exact` groups bit-identical vectors so
+    LSH runs once per distinct vector with member fan-out at the end —
+    on a 10×-duplicated 20 k-vector corpus this takes the operator from
+    75 s to ~2 s at identical output."""
+    v0 = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    groups = None
+    if collapse_exact:
+        groups = (
+            v0.groupBy("v")
+            .agg(F.sort_array(F.collect_set("id")).alias("gids"))
+            .persist()
+        )
+        v0 = groups.select(F.element_at("gids", 1).alias("id"), "v")
+    bucket = hyperplane_signature(F.col("v"), n_planes=n_planes, dim=dim)
+    sig = v0.withColumn("bucket", bucket)
+    ka = sig.select(F.col("id").alias("a_id"), "bucket")
+    kb = sig.select(F.col("id").alias("b_id"), "bucket")
+    cand = ka.join(kb, ["bucket"]).where(F.col("a_id") < F.col("b_id"))
+    av = v0.select(F.col("id").alias("a_id"), F.col("v").alias("a_v"))
+    bv = v0.select(F.col("id").alias("b_id"), F.col("v").alias("b_v"))
+    pairs = cand.join(av, "a_id").join(bv, "b_id")
     cos = F.round(cosine_expr(F.col("a_v"), F.col("b_v")), 6)
-    return (
+    rep_pairs = (
         pairs.withColumn("cosine", cos)
         .where(F.col("cosine") >= min_cosine)
         .select("a_id", "b_id", "bucket", "cosine")
     )
+    if groups is None:
+        return rep_pairs
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("gids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("gids"), i + F.lit(2), F.size(F.col("gids"))),
+                lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
+            ),
+        )
+    )
+    # identical vectors always share a bucket, so every intra-group pair is
+    # a candidate; cosine(v, v) is computed (zero-norm/NaN vectors drop
+    # exactly as the per-vector path drops them)
+    intra = (
+        groups.where(F.size("gids") > 1)
+        .withColumn("bucket", bucket)
+        .withColumn("cosine", F.round(cosine_expr(F.col("v"), F.col("v")), 6))
+        .where(F.col("cosine") >= min_cosine)
+        .select(F.explode(pair_structs).alias("p"), "bucket", "cosine")
+        .select("p.a_id", "p.b_id", "bucket", "cosine")
+    )
+    gmap = groups.select(F.element_at("gids", 1).alias("rid"), "gids")
+    cross = (
+        rep_pairs.join(
+            gmap.select(F.col("rid").alias("a_id"), F.col("gids").alias("a_gids")),
+            "a_id",
+        )
+        .join(
+            gmap.select(F.col("rid").alias("b_id"), F.col("gids").alias("b_gids")),
+            "b_id",
+        )
+        .select(F.explode("a_gids").alias("xa"), "b_gids", "bucket", "cosine")
+        .select("xa", F.explode("b_gids").alias("xb"), "bucket", "cosine")
+        .select(
+            F.least("xa", "xb").alias("a_id"),
+            F.greatest("xa", "xb").alias("b_id"),
+            "bucket",
+            "cosine",
+        )
+    )
+    return intra.unionByName(cross)

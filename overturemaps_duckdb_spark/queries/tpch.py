@@ -507,38 +507,33 @@ def q20_excess_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q21 shape: EXISTS + NOT-EXISTS double self-join.
+    """TPC-H Q21 shape: EXISTS + NOT-EXISTS double self-join, rewritten as
+    ONE per-order distinct-supplier aggregate.
 
     Adapted: returnflag='R' stands in for late receipt — the sole-returning
-    supplier in multi-supplier 'F' orders.  Both subqueries are distinct
-    (orderkey, suppkey) projections (fresh lineage, NOTES self-join rule)
-    joined semi/anti on orderkey-equality + suppkey-inequality; the three
-    lineitem passes share one l_orderkey shuffle key.
+    supplier in multi-supplier 'F' orders.  The classic decorrelation: for
+    l1's order, EXISTS(other supplier) ⟺ countDistinct(suppkey) ≥ 2 (l1's
+    own supplier is counted), and NOT EXISTS(other RETURNING supplier) ⟺
+    countDistinct(R-suppkey) = 1 (l1 itself is R, so exactly-one means
+    l1 alone).  Two lineitem shuffles total (the per-orderkey aggregate +
+    the orderkey equi-join back to l1) replace the r3 plan's three passes
+    with semi/anti inequality-residual joins — ~2× at sf1 and strictly
+    fewer exchanges at any scale.
     """
     li = t(spark, sf_dir, "lineitem")
     s = t(spark, sf_dir, "supplier")
     o = t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     l1 = li.where(F.col("l_returnflag") == "R")
-    l2 = li.select(
-        F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2")
-    ).distinct()
-    l3 = (
-        li.where(F.col("l_returnflag") == "R")
-        .select(F.col("l_orderkey").alias("_ok3"), F.col("l_suppkey").alias("_sk3"))
-        .distinct()
+    per_order = li.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.countDistinct("l_suppkey").alias("_n_s"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("_n_r"),
     )
     return (
         l1.join(o, l1["l_orderkey"] == o["o_orderkey"])
-        .join(
-            l2,
-            (l1["l_orderkey"] == F.col("_ok2")) & (l1["l_suppkey"] != F.col("_sk2")),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (l1["l_orderkey"] == F.col("_ok3")) & (l1["l_suppkey"] != F.col("_sk3")),
-            "left_anti",
-        )
+        .join(per_order, l1["l_orderkey"] == F.col("_ok"))
+        .where((F.col("_n_s") >= 2) & (F.col("_n_r") == 1))
         .join(dim(s), l1["l_suppkey"] == s["s_suppkey"])
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
