@@ -65,10 +65,7 @@ def test_spatial_routes_grid_at_sf1(spark, q):
 
 def test_headline_queries_complete_at_sf1(spark, q):
     """A representative slice must simply finish at 10× — covers the
-    candidate-duplication and heap classes of defect.  d2 itself is
-    deliberately absent (minutes-scale on the 10×-dup corpus — its scale
-    behavior is measured in bench/BENCH_COMPARE.md); d3 stands in for the
-    dedup family here."""
+    candidate-duplication and heap classes of defect."""
     for name in (
         "q1_pricing_summary",
         "j1_spatial_intersect_join",
@@ -78,3 +75,52 @@ def test_headline_queries_complete_at_sf1(spark, q):
     ):
         df = q[name](spark, SF1)
         df.write.format("noop").mode("overwrite").save()
+
+
+def test_dedup_ann_family_completes_at_sf1(spark, q):
+    """r4 second-half defect classes: d5/n2 previously carried full
+    vectors through every in-bucket candidate pair (d5 was unfinishable
+    at this fixture) and d2/d8 re-shingled every exact duplicate.  With
+    the bare-id candidate dedup + exact collapse these all complete in
+    seconds at the 10×-duplicated corpus — a hang here means a
+    candidate-shape regression."""
+    import time
+
+    budget_s = 180  # generous vs the ~5-10 s each takes post-fix
+    for name in (
+        "d2_minhash_lsh_pairs",
+        "d5_embedding_neardup",
+        "d8_cross_corpus_neardup",
+        "n2_lsh_ann_pairs",
+    ):
+        t0 = time.time()
+        q[name](spark, SF1).write.format("noop").mode("overwrite").save()
+        assert time.time() - t0 < budget_s, f"{name} exceeded {budget_s}s at sf1"
+
+
+def test_no_vector_payload_in_candidate_join(spark, q):
+    """Plan pin for the n2/d5 shape: the bucket candidate join carries
+    bare (id, bucket) rows — the vector column may only enter the plan at
+    the two survivor join-backs, never on both sides of the bucket join."""
+    from overturemaps_duckdb_spark.operators.similarity import lsh_bucket_neighbors
+
+    e = spark.read.parquet(f"{SF1}/embeddings.parquet")
+    df = lsh_bucket_neighbors(
+        e, id_col="vec_id", vec_col="embedding", min_cosine=0.35,
+        collapse_exact=False,
+    )
+    import re
+
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # the candidate join's OUTPUT must be exactly {a_id, b_id, bucket} —
+    # the vector is consumed computing the bucket but never carried
+    # through the pair expansion (the r4 defect shipped ~1 KB per pair)
+    bare = [
+        m.group(1)
+        for m in re.finditer(r"Project \[([^\]]+)\]", plan)
+        if sorted(c.split("#")[0].strip() for c in m.group(1).split(","))
+        == ["a_id", "b_id", "bucket"]
+    ]
+    assert bare, "expected a bare (a_id, b_id, bucket) candidate projection"
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
