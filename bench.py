@@ -149,6 +149,41 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["fts_persisted"] = f"extras: {exc}"[:300]
 
+    # IVF amortization split (same shape as FTS): ivf_build_write is the
+    # one-time train + `_list`-partitioned store write; ivf_store_probe is
+    # the steady-state ANN probe over the persisted store, reading only
+    # the probed partitions (n_probe/n_lists of the bytes).
+    try:
+        import tempfile as _tf
+
+        import pyspark.sql.functions as F
+
+        from overturemaps_duckdb_spark.operators.similarity import (
+            ivf_build,
+            ivf_topk_from_store,
+            ivf_write,
+        )
+        from overturemaps_duckdb_spark.queries import t as _t
+
+        e = _t(spark, sf_dir, "embeddings")
+        root = _tf.mkdtemp(prefix="omds_bench_ivf_") + "/store"
+        t0 = time.monotonic()
+        assigned, centroids = ivf_build(
+            e, id_col="vec_id", vec_col="embedding", n_lists=16, seed=42
+        )
+        ivf_write(assigned, root)
+        extras["ivf_build_write"] = round(time.monotonic() - t0, 3)
+        queries_df = e.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        t0 = time.monotonic()
+        ivf_topk_from_store(
+            spark, root, centroids, queries_df, n_probe=4, k=10
+        ).write.format("noop").mode("overwrite").save()
+        extras["ivf_store_probe"] = round(time.monotonic() - t0, 3)
+    except Exception as exc:  # noqa: BLE001
+        errors["ivf_persisted"] = f"extras: {exc}"[:300]
+
     total = round(sum(times.values()), 3)
     payload = {
         "metric": "headline_total",

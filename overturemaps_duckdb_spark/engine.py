@@ -161,7 +161,7 @@ class Engine:
             self._load_gen,  # release twin (ref :23)
             points_table,
             tuple(sorted(polygon_tables)),
-            tuple(round(v, 3) for v in bbox),  # rounded-bbox key (ref :28)
+            tuple(round(v, 6) for v in bbox),  # rounded-bbox key (ref :28, toFixed(6))
         )
         if not hasattr(self, "_pip_memo"):
             self._pip_memo = {}

@@ -89,10 +89,16 @@ class SessionState:
             return
         import pyarrow.parquet as pq
 
-        table = pq.read_table(self.path)
-        for k, v in zip(
-            table.column("key").to_pylist(), table.column("value").to_pylist()
-        ):
+        try:
+            table = pq.read_table(self.path)
+            keys = table.column("key").to_pylist()
+            values = table.column("value").to_pylist()
+        except Exception:
+            # tolerant hydration (sessionState.js:77-122): a corrupt or
+            # foreign-schema artifact starts the session empty instead of
+            # failing the engine
+            return
+        for k, v in zip(keys, values):
             self._kv[k] = v
 
     def get(self, key: str, default=None):
