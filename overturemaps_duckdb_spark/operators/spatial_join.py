@@ -290,6 +290,8 @@ def banded_join(
     band_deg: float = DEFAULT_BAND_DEG,
     how: str = "inner",
     extra_condition: Column | None = None,
+    hot_cell_threshold: int | None = None,
+    n_salts: int = 8,
 ) -> DataFrame:
     """Equi-join on spatial grid cells — the 100 TB form of the band join.
 
@@ -298,8 +300,21 @@ def banded_join(
     replicating `a` to its 3×3 cell neighborhood turns the band condition
     into a shuffle **equi-join on cell id** (co-partitioned, AQE-skew-safe),
     with the exact band residual applied after.  Replication factor is a
-    constant 9; at planetary skew (cities) AQE's skew-join splitting keeps
-    cells balanced.
+    constant 9; at moderate skew AQE's skew-join splitting keeps partitions
+    balanced.
+
+    `hot_cell_threshold`: explicit targeted salting for PLANETARY skew
+    (a downtown cell with millions of rows on each side).  AQE splits
+    oversized shuffle partitions but cannot subdivide one cell's quadratic
+    candidate count across tasks for every join type; with a threshold set,
+    b-cells holding more than `hot_cell_threshold` rows get a deterministic
+    per-row salt in [0, n_salts) appended to the join key, and `a` rows
+    targeting a hot cell replicate across all `n_salts` shards.  One extra
+    lightweight aggregate over `b` (map-side-combined cell counts; only
+    hot cells — a handful — broadcast back).  Each (a, b) pair still meets
+    in exactly one (cell, salt), so results are identical (pytest-pinned);
+    cold cells pay nothing.  Off (None) by default: the fixture scales
+    never need it, and the extra count job would tax interactive latency.
     """
     inv = 1.0 / band_deg
     ax = F.floor(F.col("centroid_lon") * inv).cast("long")
@@ -319,14 +334,66 @@ def banded_join(
     b_cells = b.withColumn(
         "_bcx", F.floor(F.col("centroid_lon") * inv).cast("long")
     ).withColumn("_bcy", F.floor(F.col("centroid_lat") * inv).cast("long"))
+    salt_cond = None
+    if hot_cell_threshold is not None:
+        hot = (
+            b_cells.groupBy("_bcx", "_bcy")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") > hot_cell_threshold)
+            .select(
+                F.col("_bcx").alias("_hcx"),
+                F.col("_bcy").alias("_hcy"),
+                F.lit(True).alias("_hot"),
+            )
+        )
+        b_cells = (
+            b_cells.join(
+                F.broadcast(hot),
+                (b_cells["_bcx"] == F.col("_hcx"))
+                & (b_cells["_bcy"] == F.col("_hcy")),
+                "left",
+            )
+            .withColumn(
+                "_bsalt",
+                F.when(
+                    F.col("_hot"),
+                    F.pmod(F.xxhash64(F.col("id")), F.lit(n_salts)),
+                ).otherwise(F.lit(0).cast("bigint")),
+            )
+            .drop("_hcx", "_hcy", "_hot")
+        )
+        a_cells = (
+            a_cells.join(
+                F.broadcast(hot),
+                (a_cells["_cx"] == F.col("_hcx"))
+                & (a_cells["_cy"] == F.col("_hcy")),
+                "left",
+            )
+            .withColumn(
+                "_asalt",
+                F.explode(
+                    F.when(
+                        F.col("_hot"),
+                        F.sequence(F.lit(0).cast("bigint"), F.lit(n_salts - 1)),
+                    ).otherwise(F.array(F.lit(0).cast("bigint")))
+                ),
+            )
+            .drop("_hcx", "_hcy", "_hot")
+        )
+        salt_cond = a_cells["_asalt"] == b_cells["_bsalt"]
     cond = (
         (a_cells["_cx"] == b_cells["_bcx"])
         & (a_cells["_cy"] == b_cells["_bcy"])
         & (F.abs(a_cells["centroid_lon"] - b_cells["centroid_lon"]) < band_deg)
         & (F.abs(a_cells["centroid_lat"] - b_cells["centroid_lat"]) < band_deg)
     )
+    if salt_cond is not None:
+        cond = salt_cond & cond
     if extra_condition is not None:
         cond = cond & extra_condition
+    drop_cols = ["_cx", "_cy", "_bcx", "_bcy"] + (
+        ["_asalt", "_bsalt"] if salt_cond is not None else []
+    )
     if how in ("left_semi", "left_anti"):
         # `a` is replicated 9× — a direct semi join would emit each matching
         # row up to 9 times.  Reduce to the matched-id set first, then
@@ -337,9 +404,10 @@ def banded_join(
             .distinct()
         )
         return a.join(matched, a["id"] == matched["_mid"], how)
-    # inner: b lives only in its home cell, so each qualifying (a, b) pair
-    # matches in exactly one cell — no pair duplication to clean up.
-    return a_cells.join(b_cells, cond, how).drop("_cx", "_cy", "_bcx", "_bcy")
+    # inner: b lives only in its home cell (and exactly one salt shard), so
+    # each qualifying (a, b) pair matches in exactly one cell — no pair
+    # duplication to clean up.
+    return a_cells.join(b_cells, cond, how).drop(*drop_cols)
 
 
 def _ceil_div(n: int, d: int) -> int:
