@@ -226,7 +226,10 @@ def quality_score(text: str | Column) -> Column:
             0.4 * alpha_ratio(c) + 0.3 * ratio * 5.0 + 0.15 * len_ok + 0.15 * tok_ok
         )
 
-    return F.round(F.aggregate(toks, zero, merge, finish), 6)
+    # NULL text: tokens() is NULL so aggregate() is NULL — the composed
+    # form returned 0.0 (every component when/otherwise-guarded); keep
+    # that contract
+    return F.coalesce(F.round(F.aggregate(toks, zero, merge, finish), 6), F.lit(0.0))
 
 
 def lang_scores(text: str | Column) -> list[tuple[str, Column]]:

@@ -251,6 +251,102 @@ def _sig_matches(a_sig: Column, b_sig: Column) -> Column:
     )
 
 
+# ---------------------------------------------------------------------------
+# exact-duplicate collapse machinery (shared by the text + vector families)
+# ---------------------------------------------------------------------------
+
+
+def _exact_groups(
+    keyed: DataFrame,
+    value_col: str,
+    *,
+    group_cap: int | None,
+    obs_name: str,
+) -> DataFrame:
+    """(value_col, gids) — one row per DISTINCT value, member ids sorted.
+
+    `group_cap` bounds the fan-out exactly like `bucket_cap` bounds hot
+    band buckets: a value duplicated millions of times would otherwise
+    expand C(n,2) intra pairs inside one array value (and n×m cross pairs
+    per rep pair).  The sorted gids list is truncated to the first cap
+    members and the drop is counted via ``DataFrame.observe`` (exposed on
+    ``_exact_groups.last_cap_observations[obs_name]``) — never silent.
+    Fixture-scale groups sit far below the default caps.
+
+    The returned frame is session-persisted: it feeds the rep pipeline,
+    the intra expansion and the fan-out map (same policy as
+    `minhash_index`'s persist — released by Spark's LRU / context cleaner
+    when the plan objects go out of scope)."""
+    groups = keyed.groupBy(value_col).agg(
+        F.sort_array(F.collect_set("id")).alias("gids")
+    )
+    if group_cap is not None:
+        from pyspark.sql import Observation
+
+        obs = Observation(obs_name)
+        groups = groups.observe(
+            obs,
+            F.coalesce(
+                F.sum(F.greatest(F.size("gids") - group_cap, F.lit(0))), F.lit(0)
+            ).alias("dropped_ids"),
+            F.coalesce(
+                F.sum((F.size("gids") > group_cap).cast("long")), F.lit(0)
+            ).alias("capped_groups"),
+        ).withColumn("gids", F.slice("gids", 1, group_cap))
+        if not hasattr(_exact_groups, "last_cap_observations"):
+            _exact_groups.last_cap_observations = {}
+        _exact_groups.last_cap_observations[obs_name] = obs
+    return groups.persist()
+
+
+def _ordered_pair_structs(ids: Column) -> Column:
+    """array<struct<a_id,b_id>> of all ordered pairs from a sorted id
+    array — the in-group / in-bucket expansion HOF."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
+            ),
+        )
+    )
+
+
+def _fanout_members(
+    rep_pairs: DataFrame,
+    groups_a: DataFrame,
+    groups_b: DataFrame,
+    payload: list[str],
+    *,
+    normalize_order: bool,
+) -> DataFrame:
+    """Expand representative pairs to member pairs through the two group
+    maps.  `normalize_order=True` re-normalizes a_id < b_id (self-pair
+    families); False preserves side identity (cross-corpus)."""
+    ga = groups_a.select(
+        F.element_at("gids", 1).alias("a_id"), F.col("gids").alias("a_gids")
+    )
+    gb = groups_b.select(
+        F.element_at("gids", 1).alias("b_id"), F.col("gids").alias("b_gids")
+    )
+    out = (
+        rep_pairs.join(ga, "a_id")
+        .join(gb, "b_id")
+        .select(F.explode("a_gids").alias("_xa"), "b_gids", *payload)
+        .select("_xa", F.explode("b_gids").alias("_xb"), *payload)
+    )
+    if normalize_order:
+        return out.select(
+            F.least("_xa", "_xb").alias("a_id"),
+            F.greatest("_xa", "_xb").alias("b_id"),
+            *payload,
+        )
+    return out.select(
+        F.col("_xa").alias("a_id"), F.col("_xb").alias("b_id"), *payload
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -311,27 +407,25 @@ def minhash_lsh_pairs(
     DISTINCT normalized text instead of once per document — identical
     texts have identical shingle sets, so every intra-group pair is a
     Jaccard-1.0 output and every cross-group doc pair inherits its
-    representatives' Jaccard verbatim.  Output is row-for-row identical to
-    the per-document pipeline (absent md5 text-hash collisions and a
-    binding ``bucket_cap``, which under collapse counts distinct TEXTS per
-    bucket rather than documents).  Web-scale corpora are 30–60 % exact
-    duplicates, so this removes the duplicated fraction from the O(corpus)
-    shingling cost AND shrinks every bucket quadratic; on the
-    10×-duplicated scale fixture it cuts the whole operator ~5×.
-    Disabled automatically with ``stop_df_cap`` (document frequencies are
-    per-document by definition).
+    representatives' Jaccard verbatim.  Grouping is on the normalized text
+    VALUE itself (no hash, no collision caveat).  Output is row-for-row
+    identical to the per-document pipeline absent a binding cap:
+    ``bucket_cap`` bounds BOTH the band buckets (distinct texts per
+    bucket) and each exact-dup group's member list (`_exact_groups` —
+    a text duplicated millions of times would otherwise expand C(n,2)
+    intra pairs inside one array value); drops are observe()-counted,
+    never silent.  Web-scale corpora are 30–60 % exact duplicates, so
+    this removes the duplicated fraction from the O(corpus) shingling
+    cost AND shrinks every bucket quadratic; on the 10×-duplicated scale
+    fixture it cuts the whole operator ~5×.  Disabled automatically with
+    ``stop_df_cap`` (document frequencies are per-document by definition).
     """
     if collapse_exact and stop_df_cap is None:
         norm_df = df.select(
             F.col(id_col).alias("id"), normalize(text_col).alias("_n")
         ).where(F.col("_n").isNotNull())
-        groups = (
-            norm_df.groupBy(F.md5(F.encode("_n", "UTF-8")).alias("_th"))
-            .agg(
-                F.sort_array(F.collect_set("id")).alias("gids"),
-                F.first("_n").alias("_n"),
-            )
-            .persist()
+        groups = _exact_groups(
+            norm_df, "_n", group_cap=bucket_cap, obs_name="minhash_group_cap"
         )
         reps = groups.select(F.element_at("gids", 1).alias("id"), "_n")
         index = minhash_index(reps, "id", "_n", n_hashes=n_hashes, shingle_k=shingle_k)
@@ -342,45 +436,17 @@ def minhash_lsh_pairs(
         )
         # intra-group: every pair of docs sharing a normalized text is an
         # exact duplicate — Jaccard 1.0 by definition, no verify needed
-        pair_structs = F.flatten(
-            F.transform(
-                F.col("gids"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("gids"), i + F.lit(2), F.size(F.col("gids"))),
-                    lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
-                ),
-            )
-        )
         intra = (
             groups.where(F.size("gids") > 1)
-            .select(F.explode(pair_structs).alias("p"))
+            .select(F.explode(_ordered_pair_structs(F.col("gids"))).alias("p"))
             .select("p.a_id", "p.b_id", F.lit(1.0).alias("jaccard"))
         )
         if jaccard_threshold > 1.0:
             intra = intra.where(F.lit(False))
         # cross-group: representative pairs fan back out to member ids —
         # the expansion only materializes output rows (id pair + score)
-        gmap = groups.select(F.element_at("gids", 1).alias("rid"), "gids")
-        cross = (
-            rep_pairs.join(
-                gmap.select(
-                    F.col("rid").alias("a_id"), F.col("gids").alias("a_gids")
-                ),
-                "a_id",
-            )
-            .join(
-                gmap.select(
-                    F.col("rid").alias("b_id"), F.col("gids").alias("b_gids")
-                ),
-                "b_id",
-            )
-            .select(F.explode("a_gids").alias("xa"), "b_gids", "jaccard")
-            .select("xa", F.explode("b_gids").alias("xb"), "jaccard")
-            .select(
-                F.least("xa", "xb").alias("a_id"),
-                F.greatest("xa", "xb").alias("b_id"),
-                "jaccard",
-            )
+        cross = _fanout_members(
+            rep_pairs, groups, groups, ["jaccard"], normalize_order=True
         )
         return intra.unionByName(cross)
     index = minhash_index(
@@ -463,15 +529,7 @@ def _self_pairs_from_index(
             lambda p: p["k"] >= gate_k,
         )
     else:
-        pair_structs = F.flatten(
-            F.transform(
-                F.col("ids"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
-                    lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
-                ),
-            )
-        )
+        pair_structs = _ordered_pair_structs(F.col("ids"))
     cand = buckets.select(F.explode(pair_structs).alias("p")).select(
         "p.a_id", "p.b_id"
     )
@@ -525,8 +583,10 @@ def cross_corpus_minhash_pairs(
     exact-duplicate texts collapse to one representative before
     shingling/banding, and (rep_a, rep_b) result pairs fan back out to
     |G_a|×|G_b| member pairs at the end — side identity preserved, scores
-    inherited verbatim.  Output-equivalent; a d×-duplicated pair of
-    corpora sheds d² from the band-join candidate volume.
+    inherited verbatim.  Output-equivalent (group member lists capped at
+    1000 like every hot-set guard, drops observe()-counted); a
+    d×-duplicated pair of corpora sheds d² from the band-join candidate
+    volume.
 
     Both sides get independent MinHash indexes (same hash family, so equal
     texts produce equal band keys), then candidates come from ONE equi-join
@@ -547,20 +607,16 @@ def cross_corpus_minhash_pairs(
     gate_k = _sig_gate_k(jaccard_threshold, sig_gate_margin, n_hashes, bands)
     groups_a = groups_b = None
     if collapse_exact:
-        def _side_groups(side: DataFrame):
+        def _side_groups(side: DataFrame, tag: str):
             norm_df = side.select(
                 F.col(id_col).alias("id"), normalize(text_col).alias("_n")
             ).where(F.col("_n").isNotNull())
-            return (
-                norm_df.groupBy(F.md5(F.encode("_n", "UTF-8")).alias("_th"))
-                .agg(
-                    F.sort_array(F.collect_set("id")).alias("gids"),
-                    F.first("_n").alias("_n"),
-                )
-                .persist()
+            return _exact_groups(
+                norm_df, "_n", group_cap=1000, obs_name=f"cross_group_cap_{tag}"
             )
 
-        groups_a, groups_b = _side_groups(corpus), _side_groups(probe)
+        groups_a = _side_groups(corpus, "a")
+        groups_b = _side_groups(probe, "b")
         corpus = groups_a.select(F.element_at("gids", 1).alias(id_col), F.col("_n").alias(text_col))
         probe = groups_b.select(F.element_at("gids", 1).alias(id_col), F.col("_n").alias(text_col))
     idx_a = minhash_index(
@@ -602,18 +658,8 @@ def cross_corpus_minhash_pairs(
         return rep_pairs
     # fan (rep_a, rep_b) back out to member pairs — sides stay namespaced
     # (a ids always from corpus, b ids always from probe; no least/greatest)
-    ga = groups_a.select(F.element_at("gids", 1).alias("a_id"), F.col("gids").alias("a_gids"))
-    gb = groups_b.select(F.element_at("gids", 1).alias("b_id"), F.col("gids").alias("b_gids"))
-    return (
-        rep_pairs.join(ga, "a_id")
-        .join(gb, "b_id")
-        .select(F.explode("a_gids").alias("a_id2"), "b_gids", "jaccard")
-        .select("a_id2", F.explode("b_gids").alias("b_id2"), "jaccard")
-        .select(
-            F.col("a_id2").alias("a_id"),
-            F.col("b_id2").alias("b_id"),
-            "jaccard",
-        )
+    return _fanout_members(
+        rep_pairs, groups_a, groups_b, ["jaccard"], normalize_order=False
     )
 
 
@@ -974,10 +1020,8 @@ def embedding_neardup_pairs(
 
     groups = None
     if collapse_exact:
-        groups = (
-            v.groupBy("v")
-            .agg(F.sort_array(F.collect_set("id")).alias("gids"))
-            .persist()
+        groups = _exact_groups(
+            v, "v", group_cap=1000, obs_name="embedding_group_cap"
         )
         v = groups.select(F.element_at("gids", 1).alias("id"), "v")
     sig = banded_signature_frame(
@@ -1009,39 +1053,15 @@ def embedding_neardup_pairs(
         return rep_pairs
     # intra-group: identical vectors — score computed, not assumed, so
     # zero-norm/NaN vectors drop exactly like the per-document path
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("gids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("gids"), i + F.lit(2), F.size(F.col("gids"))),
-                lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
-            ),
-        )
-    )
     intra = (
         groups.where(F.size("gids") > 1)
         .withColumn("cosine", F.round(cosine_expr(F.col("v"), F.col("v")), 6))
         .where(F.col("cosine") >= threshold)
-        .select(F.explode(pair_structs).alias("p"), "cosine")
+        .select(F.explode(_ordered_pair_structs(F.col("gids"))).alias("p"), "cosine")
         .select("p.a_id", "p.b_id", "cosine")
     )
-    gmap = groups.select(F.element_at("gids", 1).alias("rid"), "gids")
-    cross = (
-        rep_pairs.join(
-            gmap.select(F.col("rid").alias("a_id"), F.col("gids").alias("a_gids")),
-            "a_id",
-        )
-        .join(
-            gmap.select(F.col("rid").alias("b_id"), F.col("gids").alias("b_gids")),
-            "b_id",
-        )
-        .select(F.explode("a_gids").alias("xa"), "b_gids", "cosine")
-        .select("xa", F.explode("b_gids").alias("xb"), "cosine")
-        .select(
-            F.least("xa", "xb").alias("a_id"),
-            F.greatest("xa", "xb").alias("b_id"),
-            "cosine",
-        )
+    cross = _fanout_members(
+        rep_pairs, groups, groups, ["cosine"], normalize_order=True
     )
     return intra.unionByName(cross)
 

@@ -211,6 +211,42 @@ def ivf_build(
     return assigned, centroids
 
 
+def _ivf_probes(
+    spark, centroids, queries: DataFrame, query_id_col: str, vec_col: str,
+    n_probe: int,
+) -> DataFrame:
+    """((query_id, q_vec, _list) frame, sorted probed list ids) — each
+    query replicated onto its `n_probe` nearest coarse lists.  Driver-side
+    against the tiny centroid table (queries are small by definition);
+    shared by the in-memory and persisted-store probe paths so they cannot
+    desynchronize."""
+    import numpy as np
+
+    q_rows = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).collect()
+    probes = []
+    for r in q_rows:
+        qv = np.asarray(r["q_vec"], dtype="float64")
+        d = ((centroids - qv) ** 2).sum(axis=1)
+        for lst in np.argsort(d)[:n_probe]:
+            probes.append((r["query_id"], list(map(float, r["q_vec"])), int(lst)))
+    df = spark.createDataFrame(
+        probes, "query_id long, q_vec array<double>, _list int"
+    )
+    return df, sorted({p[2] for p in probes})
+
+
+def _ivf_score_topk(cand: DataFrame, k: int) -> DataFrame:
+    scored = cand.select(
+        "query_id",
+        F.col("id").alias("vec_id"),
+        F.round(cosine_expr(F.col("q_vec"), F.col("v")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids,
@@ -228,29 +264,11 @@ def ivf_topk(
     Query→probe-list assignment happens driver-side against the tiny
     centroid table (queries are small by definition); everything after is
     engine-side.  Returns (query_id, vec_id, cosine, rank)."""
-    import numpy as np
-
-    q_rows = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    ).collect()
-    probes = []
-    for r in q_rows:
-        qv = np.asarray(r["q_vec"], dtype="float64")
-        d = ((centroids - qv) ** 2).sum(axis=1)
-        for lst in np.argsort(d)[:n_probe]:
-            probes.append((r["query_id"], list(map(float, r["q_vec"])), int(lst)))
-    spark = assigned.sparkSession
-    probe_df = spark.createDataFrame(
-        probes, "query_id long, q_vec array<double>, _list int"
+    probe_df, _ = _ivf_probes(
+        assigned.sparkSession, centroids, queries, query_id_col, vec_col, n_probe
     )
     cand = assigned.join(F.broadcast(probe_df), "_list")
-    scored = cand.select(
-        "query_id",
-        F.col("id").alias("vec_id"),
-        F.round(cosine_expr(F.col("q_vec"), F.col("v")), 6).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return _ivf_score_topk(cand, k)
 
 
 def ivf_write(assigned: DataFrame, path: str, *, mode: str = "overwrite") -> None:
@@ -279,31 +297,13 @@ def ivf_topk_from_store(
     before the candidate join, so the parquet scan's PartitionFilters
     prune every unprobed partition at planning time (pinned in
     tests/test_similarity_ivf.py) — no reliance on runtime DPP.  Results
-    are identical to the in-memory form."""
-    import numpy as np
-
-    q_rows = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    ).collect()
-    probes = []
-    for r in q_rows:
-        qv = np.asarray(r["q_vec"], dtype="float64")
-        d = ((centroids - qv) ** 2).sum(axis=1)
-        for lst in np.argsort(d)[:n_probe]:
-            probes.append((r["query_id"], list(map(float, r["q_vec"])), int(lst)))
-    probe_df = spark.createDataFrame(
-        probes, "query_id long, q_vec array<double>, _list int"
+    are identical to the in-memory form (shared probe/scoring helpers)."""
+    probe_df, probed_lists = _ivf_probes(
+        spark, centroids, queries, query_id_col, vec_col, n_probe
     )
-    probed_lists = sorted({p[2] for p in probes})
     store = spark.read.parquet(path).where(F.col("_list").isin(probed_lists))
     cand = store.join(F.broadcast(probe_df), "_list")
-    scored = cand.select(
-        "query_id",
-        F.col("id").alias("vec_id"),
-        F.round(cosine_expr(F.col("q_vec"), F.col("v")), 6).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return _ivf_score_topk(cand, k)
 
 
 def lsh_bucket_neighbors(
@@ -329,13 +329,17 @@ def lsh_bucket_neighbors(
     LSH runs once per distinct vector with member fan-out at the end —
     on a 10×-duplicated 20 k-vector corpus this takes the operator from
     75 s to ~2 s at identical output."""
+    from overturemaps_duckdb_spark.operators.dedup import (
+        _exact_groups,
+        _fanout_members,
+        _ordered_pair_structs,
+    )
+
     v0 = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     groups = None
     if collapse_exact:
-        groups = (
-            v0.groupBy("v")
-            .agg(F.sort_array(F.collect_set("id")).alias("gids"))
-            .persist()
+        groups = _exact_groups(
+            v0, "v", group_cap=1000, obs_name="lsh_ann_group_cap"
         )
         v0 = groups.select(F.element_at("gids", 1).alias("id"), "v")
     bucket = hyperplane_signature(F.col("v"), n_planes=n_planes, dim=dim)
@@ -354,15 +358,6 @@ def lsh_bucket_neighbors(
     )
     if groups is None:
         return rep_pairs
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("gids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("gids"), i + F.lit(2), F.size(F.col("gids"))),
-                lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
-            ),
-        )
-    )
     # identical vectors always share a bucket, so every intra-group pair is
     # a candidate; cosine(v, v) is computed (zero-norm/NaN vectors drop
     # exactly as the per-vector path drops them)
@@ -371,26 +366,10 @@ def lsh_bucket_neighbors(
         .withColumn("bucket", bucket)
         .withColumn("cosine", F.round(cosine_expr(F.col("v"), F.col("v")), 6))
         .where(F.col("cosine") >= min_cosine)
-        .select(F.explode(pair_structs).alias("p"), "bucket", "cosine")
+        .select(F.explode(_ordered_pair_structs(F.col("gids"))).alias("p"), "bucket", "cosine")
         .select("p.a_id", "p.b_id", "bucket", "cosine")
     )
-    gmap = groups.select(F.element_at("gids", 1).alias("rid"), "gids")
-    cross = (
-        rep_pairs.join(
-            gmap.select(F.col("rid").alias("a_id"), F.col("gids").alias("a_gids")),
-            "a_id",
-        )
-        .join(
-            gmap.select(F.col("rid").alias("b_id"), F.col("gids").alias("b_gids")),
-            "b_id",
-        )
-        .select(F.explode("a_gids").alias("xa"), "b_gids", "bucket", "cosine")
-        .select("xa", F.explode("b_gids").alias("xb"), "bucket", "cosine")
-        .select(
-            F.least("xa", "xb").alias("a_id"),
-            F.greatest("xa", "xb").alias("b_id"),
-            "bucket",
-            "cosine",
-        )
+    cross = _fanout_members(
+        rep_pairs, groups, groups, ["bucket", "cosine"], normalize_order=True
     )
     return intra.unionByName(cross)

@@ -237,7 +237,7 @@ def load_theme(
         store.save(table, loaded, {"bbox": list(bbox)})
     if state_root is not None:
         append_load_history(
-            spark, state_root, key=table, bbox=str(list(bbox)), lim=limit,
+            state_root, key=table, bbox=str(list(bbox)), lim=limit,
             cached=False, row_count=rows, file_count=len(survivors),
             load_time_ms=elapsed_ms,
         )

@@ -87,16 +87,20 @@ class SessionState:
     def _hydrate(self) -> None:
         if not os.path.isdir(self.path):
             return
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         try:
             table = pq.read_table(self.path)
             keys = table.column("key").to_pylist()
             values = table.column("value").to_pylist()
-        except Exception:
-            # tolerant hydration (sessionState.js:77-122): a corrupt or
+        except (pa.ArrowInvalid, KeyError, FileNotFoundError):
+            # tolerant hydration (sessionState.js:77-122): a CORRUPT or
             # foreign-schema artifact starts the session empty instead of
-            # failing the engine
+            # failing the engine.  Deliberately narrow: a transient IO
+            # failure (EACCES, network mount) must still raise — treating
+            # it as "empty" would let the next set() overwrite and lose
+            # the real store.
             return
         for k, v in zip(keys, values):
             self._kv[k] = v
@@ -214,14 +218,7 @@ class SnapviewStore:
 # load history (I3 — themes.js:417-440)
 # ---------------------------------------------------------------------------
 
-_HISTORY_SCHEMA = (
-    "key string, release string, bbox string, lim bigint, cached boolean, "
-    "row_count bigint, file_count bigint, load_time_ms double"
-)
-
-
 def append_load_history(
-    spark: SparkSession,
     root: str,
     *,
     key: str,

@@ -292,7 +292,7 @@ def foreach_batch_ingest(
         n = bdf.count()
         bdf.write.mode("append").parquet(sink)
         append_load_history(
-            spark, log_root, key=f"batch_{batch_id}", lim=n, row_count=n
+            log_root, key=f"batch_{batch_id}", lim=n, row_count=n
         )
 
     stream = (

@@ -168,14 +168,27 @@ def test_minhash_bucket_cap_hot_bucket(spark):
         collapse_exact=False,
     ).collect()
     assert len(full) == 30 * 29 // 2
-    # default collapse path: 30 identical docs are ONE distinct text, so
-    # no hot bucket ever forms and the cap cannot bind — the full pair set
-    # comes out of the intra-group expansion even with a tiny cap
+    # default collapse path: 30 identical docs are ONE distinct text — no
+    # hot band bucket forms, but the exact-dup GROUP is the same blowup in
+    # a different coat (C(n,2) intra pairs inside one array value), so
+    # bucket_cap bounds the group membership identically: first 10 sorted
+    # ids kept, drops observed, C(10,2) pairs out
+    from overturemaps_duckdb_spark.operators.dedup import _exact_groups
+
     collapsed = minhash_lsh_pairs(
         df, "id", "text", jaccard_threshold=0.5, bucket_cap=10
     ).collect()
-    assert len(collapsed) == 30 * 29 // 2
+    assert {(r["a_id"], r["b_id"]) for r in collapsed} == {
+        (a, b) for a in range(10) for b in range(a + 1, 10)
+    }
     assert all(r["jaccard"] == 1.0 for r in collapsed)
+    gobs = _exact_groups.last_cap_observations["minhash_group_cap"].get
+    assert gobs["capped_groups"] == 1 and gobs["dropped_ids"] == 20
+    # uncapped collapse: the full 30-choose-2 intra set
+    full_collapsed = minhash_lsh_pairs(
+        df, "id", "text", jaccard_threshold=0.5, bucket_cap=None
+    ).collect()
+    assert len(full_collapsed) == 30 * 29 // 2
 
 
 def test_minhash_bucket_cap_default_noop_on_small_buckets(spark):

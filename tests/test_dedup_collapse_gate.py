@@ -1,6 +1,14 @@
-"""Round-4 d2 scale features: exact-duplicate collapse and the
-signature-agreement pre-verify gate must never change the operator's
-output — only its cost."""
+"""Round-4 d2 scale features.
+
+Exact-duplicate collapse is output-equivalent by construction (identical
+inputs → identical signatures/buckets; these tests pin it).  The
+signature-agreement pre-verify gate is a DOCUMENTED bounded recall
+tradeoff, not an equivalence: a pair whose exact Jaccard sits at the
+threshold has ≈2 % probability (binomial tail on the unconstrained
+hashes) of estimating > margin below it and being dropped pre-verify —
+the oracle applies the identical gate, so both engines agree on the
+result.  The corpora here sit far from the boundary, so gated and
+ungated outputs coincide and the tests can pin set equality."""
 
 from __future__ import annotations
 

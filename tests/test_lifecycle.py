@@ -143,8 +143,8 @@ def test_snapview_roundtrip(spark):
 
 def test_load_history_appends(spark):
     root = tempfile.mkdtemp(prefix="omds_hist_")
-    append_load_history(spark, root, key="places/place", row_count=10, load_time_ms=5.0)
-    append_load_history(spark, root, key="buildings/building", cached=True)
+    append_load_history(root, key="places/place", row_count=10, load_time_ms=5.0)
+    append_load_history(root, key="buildings/building", cached=True)
     h = read_load_history(spark, root)
     assert h.count() == 2
     assert {r["key"] for r in h.collect()} == {"places/place", "buildings/building"}
