@@ -1040,10 +1040,25 @@ def embedding_neardup_pairs(
         .select("a_id", "b_id")
         .distinct()
     )
-    av = v.select(F.col("id").alias("a_id"), F.col("v").alias("a_v"))
-    bv = v.select(F.col("id").alias("b_id"), F.col("v").alias("b_v"))
+    # norms precomputed once per distinct vector, not once per pair — the
+    # fold order is identical so the cosine value is bit-for-bit the same,
+    # but the per-pair HOF work drops from 3 array traversals to 1 (the dot)
+    from overturemaps_duckdb_spark.operators.similarity import dot_expr, norm_expr
+
+    av = v.select(
+        F.col("id").alias("a_id"),
+        F.col("v").alias("a_v"),
+        norm_expr(F.col("v")).alias("_na"),
+    )
+    bv = v.select(
+        F.col("id").alias("b_id"),
+        F.col("v").alias("b_v"),
+        norm_expr(F.col("v")).alias("_nb"),
+    )
     pairs = cand.join(av, "a_id").join(bv, "b_id")
-    cos = F.round(cosine_expr(F.col("a_v"), F.col("b_v")), 6)
+    cos = F.round(
+        dot_expr(F.col("a_v"), F.col("b_v")) / (F.col("_na") * F.col("_nb")), 6
+    )
     rep_pairs = (
         pairs.withColumn("cosine", cos)
         .where(F.col("cosine") >= threshold)

@@ -60,13 +60,25 @@ def cosine_topk(
     Returns (query_id, vec_id, cosine, rank).
     """
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_expr(F.col(vec_col)).alias("_nq"),
     )
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm_expr(F.col(vec_col)).alias("_nc"),
+    )
+    # norms once per vector/query, not once per (query, vector) pair —
+    # identical fold order, so scores are bit-for-bit unchanged
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "vec_id",
-        F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+        F.round(
+            dot_expr(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("_nq") * F.col("_nc")),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -347,10 +359,20 @@ def lsh_bucket_neighbors(
     ka = sig.select(F.col("id").alias("a_id"), "bucket")
     kb = sig.select(F.col("id").alias("b_id"), "bucket")
     cand = ka.join(kb, ["bucket"]).where(F.col("a_id") < F.col("b_id"))
-    av = v0.select(F.col("id").alias("a_id"), F.col("v").alias("a_v"))
-    bv = v0.select(F.col("id").alias("b_id"), F.col("v").alias("b_v"))
+    # per-vector norms precomputed (bit-identical fold; 3 HOF traversals
+    # per pair → 1)
+    av = v0.select(
+        F.col("id").alias("a_id"), F.col("v").alias("a_v"),
+        norm_expr(F.col("v")).alias("_na"),
+    )
+    bv = v0.select(
+        F.col("id").alias("b_id"), F.col("v").alias("b_v"),
+        norm_expr(F.col("v")).alias("_nb"),
+    )
     pairs = cand.join(av, "a_id").join(bv, "b_id")
-    cos = F.round(cosine_expr(F.col("a_v"), F.col("b_v")), 6)
+    cos = F.round(
+        dot_expr(F.col("a_v"), F.col("b_v")) / (F.col("_na") * F.col("_nb")), 6
+    )
     rep_pairs = (
         pairs.withColumn("cosine", cos)
         .where(F.col("cosine") >= min_cosine)
