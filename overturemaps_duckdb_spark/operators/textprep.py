@@ -278,3 +278,77 @@ def quality_percentile_prune(
         .where(F.col(quality_col) >= F.col("_thr"))
         .drop("_thr")
     )
+
+
+def line_corpus_dedup(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_docs: int = 3,
+    delim: str = "\n",
+) -> DataFrame:
+    """Line-level corpus dedup (the C4 / RefinedWeb boilerplate pass):
+    drop every line that occurs in ≥ ``min_docs`` DISTINCT documents —
+    shared headers, footers, navigation chrome, licence blurbs — and
+    rebuild each document from its surviving lines in original order.
+
+    Returns (``id_col``, clean_text, n_kept, n_dropped).
+
+    Scale shape — the full texts are NEVER shuffled:
+    1. per-doc DISTINCT lines explode to 8-byte ``xxhash64`` keys; one
+       map-side-combined count aggregation on the hash ⇒ distinct-doc
+       frequency per line (within-doc repeats pre-collapsed by
+       ``array_distinct``, so a plain ``count(*)`` is the distinct count).
+    2. the hot set (count ≥ min_docs) joins back to the exploded lines and
+       regroups to a per-doc hot-line array — only HIT lines (boilerplate,
+       a tiny fraction of the corpus) flow through this shuffle.
+    3. the corpus joins the per-doc hot arrays on id (AQE broadcasts the
+       hit table when small — the common case) and filters the split
+       array map-side; ``filter`` preserves array order, so no positional
+       sort and no document reassembly shuffle exist anywhere.
+
+    64-bit hash caveat: two distinct lines colliding under xxhash64 would
+    count as one (≈n²/2⁶⁴ — negligible below ~10⁹ distinct lines); the
+    membership test itself compares real strings, so a collision can only
+    nudge a count, never delete an unrelated line by itself.
+
+    ``delim`` is a LITERAL separator (escaped before the regex-based
+    split), so split and re-join are exact inverses for every delimiter.
+    """
+    import re as _re
+
+    delim_re = _re.escape(delim)
+    lines = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array_distinct(F.split(F.col(text_col), delim_re, -1))
+        ).alias("_line"),
+    ).withColumn("_h", F.xxhash64("_line"))
+    hot = (
+        lines.groupBy("_h")
+        .agg(F.count("*").alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("_h")
+    )
+    doc_hot = (
+        lines.join(hot, "_h")
+        .groupBy("_id")
+        .agg(F.collect_set("_line").alias("_hot_lines"))
+    )
+    split_col = F.split(F.col(text_col), delim_re, -1)
+    hot_arr = F.coalesce(
+        F.col("_hot_lines"), F.array().cast("array<string>")
+    )
+    kept = F.filter(split_col, lambda x: ~F.array_contains(hot_arr, x))
+    return (
+        docs.join(doc_hot, docs[id_col] == doc_hot["_id"], "left")
+        .select(
+            F.col(id_col),
+            F.concat_ws(delim, kept).alias("clean_text"),
+            F.size(kept).cast("bigint").alias("n_kept"),
+            (F.size(split_col) - F.size(kept))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+    )

@@ -503,3 +503,67 @@ def dc1_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = d.where(F.col("doc_id") % 7 == 0)
     train = d.where(F.col("doc_id") % 7 != 0)
     return ngram_decontaminate(train, bench, "doc_id", "text", n=_DECONTAM_N)
+
+
+# ---------------------------------------------------------------------------
+# line-level corpus dedup (C4 / RefinedWeb boilerplate pass)
+# ---------------------------------------------------------------------------
+
+_LD1_ORACLE = """
+WITH staged AS (
+    SELECT doc_id,
+           concat_ws(chr(10),
+                     'source: ' || source,
+                     'doc: ' || CAST(doc_id AS VARCHAR),
+                     text,
+                     'footer: corpus snapshot under open licence') AS text
+    FROM documents
+),
+ln AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM staged),
+hot AS (
+    SELECT COALESCE(list(line), []) AS hot FROM (
+        SELECT line FROM (SELECT doc_id, unnest(ls) AS line FROM ln)
+        GROUP BY line HAVING count(DISTINCT doc_id) >= 3
+    )
+)
+SELECT doc_id,
+       array_to_string(kept, chr(10)) AS clean_text,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       CAST(n_total - len(kept) AS BIGINT) AS n_dropped
+FROM (
+    SELECT ln.doc_id AS doc_id, len(ls) AS n_total,
+           list_filter(ls, x -> NOT list_contains(h.hot, x)) AS kept
+    FROM ln CROSS JOIN hot h
+)
+"""
+
+
+@query("ld1_line_dedup", oracle=_LD1_ORACLE)
+def ld1_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level corpus dedup (C4 drops any line repeated ≥3× in the
+    corpus; RefinedWeb's boilerplate pass is the same idea): lines present
+    in ≥3 distinct documents are removed from every document, the rest
+    survive in original order.
+
+    The fixture's documents are single-line, so the query stages the exact
+    workload this operator exists for: each doc wrapped in a per-source
+    header + unique id line + corpus-wide footer (the oracle stages
+    identically).  Header/footer lines are shared by ≥25 docs → dropped;
+    the id line is unique → kept; body lines survive untouched.  Scale
+    shape in operators/textprep.line_corpus_dedup: full texts never
+    shuffle — an 8-byte-hash count agg, a hit-only regroup, and a map-side
+    array filter."""
+    from overturemaps_duckdb_spark.operators.textprep import line_corpus_dedup
+
+    d = t(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("source: "), F.col("source")),
+            F.concat(F.lit("doc: "), F.col("doc_id").cast("string")),
+            F.col("text"),
+            F.lit("footer: corpus snapshot under open licence"),
+        ).alias("text"),
+    )
+    return line_corpus_dedup(staged, "doc_id", "text", min_docs=3)

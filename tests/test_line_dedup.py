@@ -1,0 +1,84 @@
+"""Behavioral pins for operators/textprep.line_corpus_dedup (the C4 /
+RefinedWeb line-level boilerplate pass)."""
+
+from __future__ import annotations
+
+from overturemaps_duckdb_spark.operators.textprep import line_corpus_dedup
+
+
+def _run(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = line_corpus_dedup(df, "id", "text", **kw)
+    return {r["id"]: (r["clean_text"], r["n_kept"], r["n_dropped"]) for r in out.collect()}
+
+
+def test_threshold_is_distinct_doc_count(spark):
+    """A line in exactly min_docs distinct docs is dropped; min_docs-1 is
+    kept; within-doc repetition does NOT count toward the threshold."""
+    rows = [
+        (1, "HOT\nunique one"),
+        (2, "HOT\nunique two"),
+        (3, "HOT\nunique three"),
+        # WARM appears in 2 docs only (below min_docs=3) — kept; doc 4
+        # repeats it internally, which must not inflate the doc count.
+        (4, "WARM\nWARM\nbody four"),
+        (5, "WARM\nbody five"),
+    ]
+    got = _run(spark, rows, min_docs=3)
+    assert got[1] == ("unique one", 1, 1)
+    assert got[2] == ("unique two", 1, 1)
+    assert got[3] == ("unique three", 1, 1)
+    assert got[4] == ("WARM\nWARM\nbody four", 3, 0)
+    assert got[5] == ("WARM\nbody five", 2, 0)
+
+
+def test_order_preserved_and_all_occurrences_dropped(spark):
+    """Surviving lines keep original order; every occurrence of a hot line
+    goes, including repeats inside one document."""
+    rows = [
+        (1, "a\nFOOT\nb\nFOOT\nc"),
+        (2, "FOOT\nx"),
+        (3, "y\nFOOT"),
+    ]
+    got = _run(spark, rows, min_docs=3)
+    assert got[1] == ("a\nb\nc", 3, 2)
+    assert got[2] == ("x", 1, 1)
+    assert got[3] == ("y", 1, 1)
+
+
+def test_fully_boilerplate_doc_empties(spark):
+    rows = [
+        (1, "FOOT"),
+        (2, "FOOT"),
+        (3, "FOOT"),
+        (4, "real content"),
+    ]
+    got = _run(spark, rows, min_docs=3)
+    assert got[1] == ("", 0, 1)
+    assert got[4] == ("real content", 1, 0)
+
+
+def test_no_hot_lines_is_identity(spark):
+    rows = [(1, "a\nb"), (2, "c"), (3, "d\ne\nf")]
+    got = _run(spark, rows, min_docs=2)
+    assert got == {
+        1: ("a\nb", 2, 0),
+        2: ("c", 1, 0),
+        3: ("d\ne\nf", 3, 0),
+    }
+
+
+def test_custom_delimiter_is_literal(spark):
+    rows = [(1, "p| q| BP"), (2, "r| BP"), (3, "BP| s")]
+    got = _run(spark, rows, min_docs=3, delim="| ")
+    assert got[1] == ("p| q", 2, 1)
+    assert got[3] == ("s", 1, 1)
+
+
+def test_plan_has_no_sort_or_posexplode(spark):
+    """The reassembly-free shape: filter over the split array, no
+    positional sort anywhere in the optimized plan."""
+    df = spark.createDataFrame([(1, "a\nb")], "id long, text string")
+    plan = line_corpus_dedup(df, "id", "text")._jdf.queryExecution().optimizedPlan().toString()
+    assert "Sort" not in plan
+    assert "PosExplode" not in plan and "posexplode" not in plan
