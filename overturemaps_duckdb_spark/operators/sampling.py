@@ -163,3 +163,50 @@ def temperature_weights(
     for s in by_frac[:short]:
         floors[s] += 1
     return floors
+
+
+def per_stratum_cap(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    cap: int,
+    *,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per stratum — the per-domain contribution
+    cap every web-scale corpus applies so one giant domain cannot dominate
+    the mixture.  Deterministic winners: the ``cap`` lowest
+    ``(md5(id), id)`` per stratum, stable under task retries and
+    re-ingestion (same contract as :func:`hash_sample`).
+
+    Skew-safe two-phase shape: a naive ``row_number() OVER (PARTITION BY
+    stratum)`` puts an entire mega-domain in ONE sort partition.  Phase 1
+    ranks within ``(stratum, salt)`` — ``n_salts`` bounded sorts instead
+    of one unbounded one — keeping ≤ ``cap·n_salts`` survivors per
+    stratum; phase 2 ranks the tiny survivor set globally per stratum.
+    Provably equivalent to the single-window form: a row among the global
+    ``cap`` lowest of its stratum is also among the ``cap`` lowest of its
+    own salt bucket (a subset has fewer competitors), so phase 1 never
+    drops a final winner.  The returned columns are ``df``'s own (helper
+    rank/salt columns are internal).
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    from pyspark.sql import Window
+
+    c = F.col(id_col)
+    h = md5_long(c.cast("string"))
+    staged = df.withColumn("_cap_h", h).withColumn(
+        "_cap_salt", F.pmod(F.col("_cap_h"), F.lit(n_salts))
+    )
+    w1 = Window.partitionBy(stratum_col, "_cap_salt").orderBy(
+        "_cap_h", id_col
+    )
+    w2 = Window.partitionBy(stratum_col).orderBy("_cap_h", id_col)
+    return (
+        staged.withColumn("_cap_r1", F.row_number().over(w1))
+        .where(F.col("_cap_r1") <= cap)
+        .withColumn("_cap_r2", F.row_number().over(w2))
+        .where(F.col("_cap_r2") <= cap)
+        .drop("_cap_h", "_cap_salt", "_cap_r1", "_cap_r2")
+    )

@@ -21,6 +21,7 @@ from overturemaps_duckdb_spark.operators.sampling import (
     deterministic_shuffle,
     hash_sample,
     mixture_sample,
+    per_stratum_cap,
     stratified_sample,
 )
 from overturemaps_duckdb_spark.queries import query, t, us_col
@@ -258,3 +259,28 @@ def mx1_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_sample(
         d, "doc_id", "source", "n_tokens", _MIX_WEIGHTS, _MIX_BUDGET
     ).select("doc_id", "source", "n_tokens", "rate_pm")
+
+
+@query(
+    "sa3_source_cap",
+    oracle=f"""
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {md5_long_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+               ) AS r
+        FROM documents
+    ) WHERE r <= 10
+    """,
+)
+def sa3_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain contribution cap (≤10 docs per source): the anti-skew
+    mixture guard of web-scale corpora — one mega-domain must not dominate
+    training data.  Winners are the deterministic 10 lowest (md5(id), id)
+    per source (retry-stable, engine-portable); the operator's two-phase
+    salted ranking (operators/sampling.per_stratum_cap) bounds every sort
+    partition even when a single domain holds billions of rows, and the
+    oracle states the equivalent single-window form."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return per_stratum_cap(d, "doc_id", "source", cap=10)

@@ -219,3 +219,34 @@ def test_temperature_weights_properties(spark):
         assert got.get(s, 0) <= 100 * 1000  # never exceeds stratum mass
     # each stratum lands within sampling noise of its share of the budget
     assert abs(got["web"] - wt["web"] * 40) < 8_000
+
+
+def test_per_stratum_cap_equals_single_window(spark):
+    """The two-phase salted ranking must equal the naive one-window form on
+    a skewed corpus (one mega-stratum, several small ones, cap edges)."""
+    from pyspark.sql import Window
+
+    from overturemaps_duckdb_spark.functions.text import md5_long
+    from overturemaps_duckdb_spark.operators.sampling import per_stratum_cap
+
+    rows = (
+        [(i, "mega") for i in range(500)]
+        + [(1000 + i, "small") for i in range(7)]   # below cap → all kept
+        + [(2000 + i, "edge") for i in range(10)]   # exactly cap
+        + [(3000, "single")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    got = per_stratum_cap(df, "doc_id", "source", cap=10, n_salts=4)
+    h = md5_long(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    want = (
+        df.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= 10)
+        .drop("_r")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    sizes = {r["source"]: r["n"] for r in got.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {"mega": 10, "small": 7, "edge": 10, "single": 1}
+    # schema untouched: no helper columns escape
+    assert got.columns == ["doc_id", "source"]
