@@ -82,3 +82,31 @@ def test_plan_has_no_sort_or_posexplode(spark):
     plan = line_corpus_dedup(df, "id", "text")._jdf.queryExecution().optimizedPlan().toString()
     assert "Sort" not in plan
     assert "PosExplode" not in plan and "posexplode" not in plan
+
+
+def test_randomized_against_python_reference(spark):
+    """Seeded random corpora vs a brute-force Python implementation of the
+    same contract (drop lines in >= min_docs distinct docs, keep order)."""
+    import random
+    from collections import defaultdict
+
+    for seed, min_docs in ((7, 2), (11, 3), (13, 4)):
+        rng = random.Random(seed)
+        vocab = [f"L{i}" for i in range(12)] + ["", " ", "x y"]
+        rows = [
+            (i, "\n".join(rng.choice(vocab) for _ in range(rng.randint(1, 8))))
+            for i in range(40)
+        ]
+        docs_of = defaultdict(set)
+        for i, text in rows:
+            for ln in text.split("\n"):
+                docs_of[ln].add(i)
+        hot = {ln for ln, d in docs_of.items() if len(d) >= min_docs}
+        want = {}
+        for i, text in rows:
+            ls = text.split("\n")
+            kept = [x for x in ls if x not in hot]
+            want[i] = ("\n".join(kept), len(kept), len(ls) - len(kept))
+
+        got = _run(spark, rows, min_docs=min_docs)
+        assert got == want, f"mismatch at seed={seed} min_docs={min_docs}"
