@@ -15,6 +15,7 @@ from overturemaps_duckdb_spark.functions.text import (
     quality_score,
     shingle_fingerprint,
     token_count,
+    tokens,
 )
 from overturemaps_duckdb_spark.operators.textprep import (
     GOPHER_AWL_MAX,
@@ -393,4 +394,41 @@ def x11_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame
         d.select("doc_id", "lang", quality_score("text").alias("quality"))
         .withColumn("pr", F.round(F.percent_rank().over(w), 6))
         .where(F.col("pr") >= 0.6)
+    )
+
+
+@query(
+    "x12_vocab_topk",
+    oracle=f"""
+    SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occ
+    FROM (SELECT doc_id, unnest({tokens_sql('text')}) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n_occ DESC, token ASC
+    LIMIT 20
+    """,
+)
+def x12_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: the 20 most frequent normalized tokens with
+    occurrence and document-frequency counts — the frequency table behind
+    vocabulary building, stopword derivation, and df-based shingle
+    pruning (the stop_df_cap input of the MinHash family).
+
+    Scale shape: one explode → one groupBy(token) with map-side partial
+    aggregation (each partition emits each distinct token once, so the
+    shuffle carries the vocabulary, not the corpus), then
+    TakeOrderedAndProject for the top-k — no global sort materializes.
+    The boundary is deterministic: ties at rank 20 break on the token
+    string itself."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    )
+    return (
+        d.groupBy("token")
+        .agg(
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+        )
+        .orderBy(F.desc("n_occ"), F.asc("token"))
+        .limit(20)
     )
