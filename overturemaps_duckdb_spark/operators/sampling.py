@@ -192,6 +192,11 @@ def per_stratum_cap(
     """
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
+    if n_salts < 1:
+        # pmod(h, 0) yields NULL salts: results would still be correct but
+        # phase 1 silently degrades to the unbounded one-partition sort
+        # this function exists to avoid — fail loudly instead.
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
     from pyspark.sql import Window
 
     c = F.col(id_col)

@@ -308,10 +308,13 @@ def line_corpus_dedup(
        array map-side; ``filter`` preserves array order, so no positional
        sort and no document reassembly shuffle exist anywhere.
 
-    64-bit hash caveat: two distinct lines colliding under xxhash64 would
-    count as one (≈n²/2⁶⁴ — negligible below ~10⁹ distinct lines); the
-    membership test itself compares real strings, so a collision can only
-    nudge a count, never delete an unrelated line by itself.
+    64-bit hash caveat: hotness is decided on the xxhash64 of the line, so
+    two distinct lines colliding merge their document counts — which can
+    both over-drop (an under-threshold line riding a hot hash) and, in
+    principle, promote two sub-threshold lines into joint hotness.  The
+    collision rate is ≈n²/2⁶⁴ (negligible below ~10⁹ distinct lines); for
+    larger corpora widen the key (e.g. xxhash64 of line ‖ reversed line)
+    or count on the line string itself at a higher shuffle cost.
 
     ``delim`` is a LITERAL separator (escaped before the regex-based
     split), so split and re-join are exact inverses for every delimiter.
@@ -341,11 +344,17 @@ def line_corpus_dedup(
         F.col("_hot_lines"), F.array().cast("array<string>")
     )
     kept = F.filter(split_col, lambda x: ~F.array_contains(hot_arr, x))
+    # NULL text propagates as (NULL, NULL, NULL) — a missing document must
+    # stay distinguishable from a genuinely emptied one (concat_ws would
+    # otherwise collapse the NULL array to '').  size(NULL) is already NULL.
+    clean = F.when(
+        F.col(text_col).isNotNull(), F.concat_ws(delim, kept)
+    )
     return (
         docs.join(doc_hot, docs[id_col] == doc_hot["_id"], "left")
         .select(
             F.col(id_col),
-            F.concat_ws(delim, kept).alias("clean_text"),
+            clean.alias("clean_text"),
             F.size(kept).cast("bigint").alias("n_kept"),
             (F.size(split_col) - F.size(kept))
             .cast("bigint")

@@ -85,7 +85,15 @@ def get_spark(
     #     this state size never uses).  At 100 TB-scale state (join state
     #     or dedup watermarks larger than executor heap) flip to RocksDB:
     #     SPARK_GRAFT_STATE_STORE=rocksdb, incremental checkpointing on.
-    if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == "rocksdb":
+    state_store = os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower()
+    if state_store not in ("", "default", "rocksdb"):
+        # a typo must not silently fall back to the in-heap store — that is
+        # exactly the OOM-at-scale misconfiguration the env var prevents.
+        raise ValueError(
+            f"SPARK_GRAFT_STATE_STORE={state_store!r}: expected 'rocksdb' "
+            "or 'default'"
+        )
+    if state_store == "rocksdb":
         builder = builder.config(
             "spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state."

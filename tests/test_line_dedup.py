@@ -110,3 +110,17 @@ def test_randomized_against_python_reference(spark):
 
         got = _run(spark, rows, min_docs=min_docs)
         assert got == want, f"mismatch at seed={seed} min_docs={min_docs}"
+
+
+def test_null_text_propagates_null(spark):
+    """NULL document → (NULL, NULL, NULL), matching DuckDB list-function
+    semantics (string_split(NULL) is NULL) — never an empty document."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, "a")], "id long, text string"
+    )
+    got = {
+        r["id"]: (r["clean_text"], r["n_kept"], r["n_dropped"])
+        for r in line_corpus_dedup(df, "id", "text", min_docs=3).collect()
+    }
+    assert got[2] == (None, None, None)
+    assert got[1] == ("", 0, 1)  # genuinely emptied stays ''

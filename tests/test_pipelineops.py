@@ -250,3 +250,15 @@ def test_per_stratum_cap_equals_single_window(spark):
     assert sizes == {"mega": 10, "small": 7, "edge": 10, "single": 1}
     # schema untouched: no helper columns escape
     assert got.columns == ["doc_id", "source"]
+
+
+def test_per_stratum_cap_validates_args(spark):
+    import pytest
+
+    from overturemaps_duckdb_spark.operators.sampling import per_stratum_cap
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError, match="cap"):
+        per_stratum_cap(df, "doc_id", "source", cap=0)
+    with pytest.raises(ValueError, match="n_salts"):
+        per_stratum_cap(df, "doc_id", "source", cap=1, n_salts=0)

@@ -17,6 +17,10 @@ import os
 import subprocess
 import sys
 
+import pytest
+
+from tests.conftest import SF_SMOKE
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _CHILD = r"""
@@ -28,31 +32,34 @@ _q.load_all()
 spark = get_spark("rocksdb-test", cpus=4)
 spark.sparkContext.setLogLevel("ERROR")
 rows = (
-    _q.QUERIES["i1_stream_tumbling_window"](spark, "/root/testdata/sf0.001")
+    _q.QUERIES["i1_stream_tumbling_window"](spark, %(sf)r)
     .collect()
 )
 print(json.dumps({
     "provider": spark.conf.get(
         "spark.sql.streaming.stateStore.providerClass"),
-    "n": len(rows),
-    "total": sum(r["n"] for r in rows),
-}))
+    "rows": sorted([r.asDict() for r in rows],
+                   key=lambda d: sorted(d.items())),
+}, default=str))
 """
 
 
 def test_rocksdb_gate_installs_provider_and_matches(spark):
-    """Same i1 tumbling-window answer under RocksDB as under the default
-    provider of the suite session."""
+    """Identical i1 tumbling-window ROWS under RocksDB as under the default
+    provider of the suite session (full-value equivalence, not counts)."""
     from overturemaps_duckdb_spark import queries as _q
 
     _q.load_all()
-    base = _q.QUERIES["i1_stream_tumbling_window"](
-        spark, "/root/testdata/sf0.001"
-    ).collect()
+    base = [
+        {k: str(v) for k, v in r.asDict().items()}
+        for r in _q.QUERIES["i1_stream_tumbling_window"](
+            spark, SF_SMOKE
+        ).collect()
+    ]
 
     env = dict(os.environ, SPARK_GRAFT_STATE_STORE="rocksdb")
     out = subprocess.run(
-        [sys.executable, "-c", _CHILD % {"repo": REPO}],
+        [sys.executable, "-c", _CHILD % {"repo": REPO, "sf": SF_SMOKE}],
         capture_output=True,
         text=True,
         env=env,
@@ -61,5 +68,34 @@ def test_rocksdb_gate_installs_provider_and_matches(spark):
     )
     got = json.loads(out.stdout.strip().splitlines()[-1])
     assert got["provider"].endswith("RocksDBStateStoreProvider")
-    assert got["n"] == len(base)
-    assert got["total"] == sum(r["n"] for r in base)
+    key = lambda d: sorted(d.items())  # noqa: E731
+    got_rows = sorted(
+        ({k: str(v) for k, v in d.items()} for d in got["rows"]), key=key
+    )
+    assert got_rows == sorted(base, key=key)
+
+
+def test_unknown_state_store_value_raises():
+    """A typo'd provider name must fail at session build, not silently run
+    on the in-heap store."""
+    child = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from overturemaps_duckdb_spark.session import get_spark\n"
+        "try:\n"
+        "    get_spark('typo-test', cpus=2)\n"
+        "except ValueError as e:\n"
+        "    print('RAISED', e)\n"
+        "else:\n"
+        "    print('NO-RAISE')\n" % REPO
+    )
+    env = dict(os.environ, SPARK_GRAFT_STATE_STORE="rockdb")
+    out = subprocess.run(
+        [sys.executable, "-c", child],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=120,
+        check=True,
+    )
+    assert "RAISED" in out.stdout
+    assert "rockdb" in out.stdout
