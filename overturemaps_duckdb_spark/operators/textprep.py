@@ -319,23 +319,50 @@ def line_corpus_dedup(
     ``delim`` is a LITERAL separator (escaped before the regex-based
     split), so split and re-join are exact inverses for every delimiter.
     """
-    import re as _re
-
-    delim_re = _re.escape(delim)
-    lines = docs.select(
-        F.col(id_col).alias("_id"),
-        F.explode(
-            F.array_distinct(F.split(F.col(text_col), delim_re, -1))
-        ).alias("_line"),
-    ).withColumn("_h", F.xxhash64("_line"))
     hot = (
-        lines.groupBy("_h")
+        _doc_lines(docs, id_col, text_col, delim)
+        .groupBy("_h")
         .agg(F.count("*").alias("_nd"))
         .where(F.col("_nd") >= min_docs)
         .select("_h")
     )
+    return _clean_against_hot(docs, id_col, text_col, hot, delim)
+
+
+def _doc_lines(
+    docs: DataFrame, id_col: str, text_col: str, delim: str
+) -> DataFrame:
+    """(_id, _line, _h) — each document's DISTINCT lines with their
+    xxhash64 keys (within-doc repeats pre-collapsed, so a plain count over
+    this frame is a distinct-doc count)."""
+    import re as _re
+
+    return docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array_distinct(
+                F.split(F.col(text_col), _re.escape(delim), -1)
+            )
+        ).alias("_line"),
+    ).withColumn("_h", F.xxhash64("_line"))
+
+
+def _clean_against_hot(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    hot: DataFrame,
+    delim: str,
+) -> DataFrame:
+    """Rebuild every document without its lines whose hash appears in
+    ``hot`` (a 1-column `_h` frame) — the shared cleaning tail of the
+    batch and persisted-index line-dedup paths."""
+    import re as _re
+
+    delim_re = _re.escape(delim)
     doc_hot = (
-        lines.join(hot, "_h")
+        _doc_lines(docs, id_col, text_col, delim)
+        .join(hot.select("_h"), "_h")
         .groupBy("_id")
         .agg(F.collect_set("_line").alias("_hot_lines"))
     )
@@ -361,3 +388,56 @@ def line_corpus_dedup(
             .alias("n_dropped"),
         )
     )
+
+
+def write_line_counts(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    *,
+    delim: str = "\n",
+    mode: str = "append",
+) -> None:
+    """Materialize a batch's per-line distinct-doc counts as an append-only
+    parquet table (`_h` bigint, `n_docs` bigint) — the incremental form of
+    line dedup's frequency pass.  Counts are ADDITIVE across disjoint
+    batches (each document is counted in exactly one batch), so readers
+    re-aggregate with a SUM over the appended rows; no batch ever re-reads
+    or re-splits previously ingested text.  The store carries 16 bytes per
+    distinct (batch, line) — a sliver of corpus bytes."""
+    (
+        _doc_lines(docs, id_col, text_col, delim)
+        .groupBy("_h")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def line_dedup_from_counts(
+    spark,
+    counts_path: str,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_docs: int = 3,
+    delim: str = "\n",
+) -> DataFrame:
+    """:func:`line_corpus_dedup` against a persisted
+    :func:`write_line_counts` store: the hot set comes from summing the
+    store's appended batch counts, so cleaning any slice of the corpus
+    (or a fresh increment) costs one scan of that slice plus one scan of
+    the 16-byte-per-line index — the full corpus text is never re-read.
+    Cleaning the whole corpus against its own complete store is
+    row-identical to the one-shot batch operator (pinned in
+    tests/test_line_dedup.py)."""
+    hot = (
+        spark.read.parquet(counts_path)
+        .groupBy("_h")
+        .agg(F.sum("n_docs").alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("_h")
+    )
+    return _clean_against_hot(docs, id_col, text_col, hot, delim)

@@ -124,3 +124,37 @@ def test_null_text_propagates_null(spark):
     }
     assert got[2] == (None, None, None)
     assert got[1] == ("", 0, 1)  # genuinely emptied stays ''
+
+
+def test_incremental_counts_equal_full_rebuild(spark, tmp_path):
+    """write_line_counts over two disjoint batches + line_dedup_from_counts
+    == one-shot line_corpus_dedup of the full corpus; hotness may only be
+    reachable ACROSS batches (the additive-merge property under test)."""
+    from overturemaps_duckdb_spark.operators.textprep import (
+        line_dedup_from_counts,
+        write_line_counts,
+    )
+
+    # FOOT: 2 docs in batch1 + 1 in batch2 → hot only after the merge.
+    b1 = spark.createDataFrame(
+        [(1, "a\nFOOT"), (2, "FOOT\nb"), (3, "c")], "id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(4, "d\nFOOT"), (5, "e")], "id long, text string"
+    )
+    store = str(tmp_path / "line_counts")
+    write_line_counts(b1, "id", "text", store)
+    write_line_counts(b2, "id", "text", store)
+
+    full = b1.unionByName(b2)
+    got = sorted(
+        map(tuple, line_dedup_from_counts(
+            spark, store, full, "id", "text", min_docs=3
+        ).collect())
+    )
+    want = sorted(
+        map(tuple, line_corpus_dedup(full, "id", "text", min_docs=3).collect())
+    )
+    assert got == want
+    # and FOOT really went hot across batches
+    assert (1, "a", 1, 1) in got and (4, "d", 1, 1) in got
