@@ -170,8 +170,6 @@ def per_stratum_cap(
     id_col: str,
     stratum_col: str,
     cap: int,
-    *,
-    n_salts: int = 16,
 ) -> DataFrame:
     """Keep at most ``cap`` rows per stratum — the per-domain contribution
     cap every web-scale corpus applies so one giant domain cannot dominate
@@ -179,39 +177,29 @@ def per_stratum_cap(
     ``(md5(id), id)`` per stratum, stable under task retries and
     re-ingestion (same contract as :func:`hash_sample`).
 
-    Skew-safe two-phase shape: a naive ``row_number() OVER (PARTITION BY
-    stratum)`` puts an entire mega-domain in ONE sort partition.  Phase 1
-    ranks within ``(stratum, salt)`` — ``n_salts`` bounded sorts instead
-    of one unbounded one — keeping ≤ ``cap·n_salts`` survivors per
-    stratum; phase 2 ranks the tiny survivor set globally per stratum.
-    Provably equivalent to the single-window form: a row among the global
-    ``cap`` lowest of its stratum is also among the ``cap`` lowest of its
-    own salt bucket (a subset has fewer competitors), so phase 1 never
-    drops a final winner.  The returned columns are ``df``'s own (helper
-    rank/salt columns are internal).
+    Skew note — this is deliberately the PLAIN single-window form.
+    Catalyst's rank-limit pushdown (``WindowGroupLimit``, on by default)
+    inserts a *Partial* group-limit below the shuffle: every map task
+    emits at most ``cap`` rows per stratum BEFORE the exchange, so a
+    mega-domain contributes ≤ cap·n_map_tasks rows to its final sort
+    partition — bounded — and the shuffle never carries the domain's
+    bulk.  A hand-rolled salted two-phase ranking (tried first) produced
+    the identical pruning plus one extra full exchange; the plan shape
+    (Partial WindowGroupLimit under the Exchange) is pinned in
+    tests/test_pipelineops.py so a regression in that optimization would
+    fail loudly rather than silently un-bounding the sort.  Helper
+    hash/rank columns are internal; the returned columns are ``df``'s own.
     """
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
-    if n_salts < 1:
-        # pmod(h, 0) yields NULL salts: results would still be correct but
-        # phase 1 silently degrades to the unbounded one-partition sort
-        # this function exists to avoid — fail loudly instead.
-        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
     from pyspark.sql import Window
 
     c = F.col(id_col)
     h = md5_long(c.cast("string"))
-    staged = df.withColumn("_cap_h", h).withColumn(
-        "_cap_salt", F.pmod(F.col("_cap_h"), F.lit(n_salts))
-    )
-    w1 = Window.partitionBy(stratum_col, "_cap_salt").orderBy(
-        "_cap_h", id_col
-    )
-    w2 = Window.partitionBy(stratum_col).orderBy("_cap_h", id_col)
+    w = Window.partitionBy(stratum_col).orderBy("_cap_h", id_col)
     return (
-        staged.withColumn("_cap_r1", F.row_number().over(w1))
-        .where(F.col("_cap_r1") <= cap)
-        .withColumn("_cap_r2", F.row_number().over(w2))
-        .where(F.col("_cap_r2") <= cap)
-        .drop("_cap_h", "_cap_salt", "_cap_r1", "_cap_r2")
+        df.withColumn("_cap_h", h)
+        .withColumn("_cap_r", F.row_number().over(w))
+        .where(F.col("_cap_r") <= cap)
+        .drop("_cap_h", "_cap_r")
     )

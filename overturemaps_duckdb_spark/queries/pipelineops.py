@@ -278,9 +278,10 @@ def sa3_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain contribution cap (≤10 docs per source): the anti-skew
     mixture guard of web-scale corpora — one mega-domain must not dominate
     training data.  Winners are the deterministic 10 lowest (md5(id), id)
-    per source (retry-stable, engine-portable); the operator's two-phase
-    salted ranking (operators/sampling.per_stratum_cap) bounds every sort
-    partition even when a single domain holds billions of rows, and the
-    oracle states the equivalent single-window form."""
+    per source (retry-stable, engine-portable).  Skew safety is Catalyst's
+    own rank-limit pushdown: WindowGroupLimit(Partial) under the exchange
+    caps every map task's emission at 10 rows per stratum, so a
+    billion-row domain never floods the shuffle or the final sort (plan
+    shape pinned in tests/test_pipelineops.py)."""
     d = t(spark, sf_dir, "documents").select("doc_id", "source")
     return per_stratum_cap(d, "doc_id", "source", cap=10)

@@ -221,11 +221,9 @@ def test_temperature_weights_properties(spark):
     assert abs(got["web"] - wt["web"] * 40) < 8_000
 
 
-def test_per_stratum_cap_equals_single_window(spark):
-    """The two-phase salted ranking must equal the naive one-window form on
-    a skewed corpus (one mega-stratum, several small ones, cap edges)."""
-    from pyspark.sql import Window
-
+def test_per_stratum_cap_behavior(spark):
+    """Cap winners are the md5-lowest per stratum, small strata survive
+    whole, cap edges are exact, and no helper columns escape."""
     from overturemaps_duckdb_spark.functions.text import md5_long
     from overturemaps_duckdb_spark.operators.sampling import per_stratum_cap
 
@@ -237,19 +235,41 @@ def test_per_stratum_cap_equals_single_window(spark):
     )
     df = spark.createDataFrame(rows, "doc_id long, source string")
 
-    got = per_stratum_cap(df, "doc_id", "source", cap=10, n_salts=4)
-    h = md5_long(F.col("doc_id").cast("string"))
-    w = Window.partitionBy("source").orderBy(h, "doc_id")
-    want = (
-        df.withColumn("_r", F.row_number().over(w))
-        .where(F.col("_r") <= 10)
-        .drop("_r")
-    )
-    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    got = per_stratum_cap(df, "doc_id", "source", cap=10)
     sizes = {r["source"]: r["n"] for r in got.groupBy("source").agg(F.count("*").alias("n")).collect()}
     assert sizes == {"mega": 10, "small": 7, "edge": 10, "single": 1}
+    # winners = the 10 md5-lowest of the mega stratum, computed independently
+    mega = df.where(F.col("source") == "mega").withColumn(
+        "_h", md5_long(F.col("doc_id").cast("string"))
+    )
+    want_ids = [r["doc_id"] for r in mega.orderBy("_h", "doc_id").limit(10).collect()]
+    got_ids = [r["doc_id"] for r in got.where(F.col("source") == "mega").collect()]
+    assert sorted(got_ids) == sorted(want_ids)
     # schema untouched: no helper columns escape
     assert got.columns == ["doc_id", "source"]
+
+
+def test_per_stratum_cap_plan_has_partial_group_limit(spark):
+    """The skew guarantee lives in Catalyst's WindowGroupLimit pushdown: a
+    Partial group-limit must sit below the stratum exchange so map tasks
+    emit ≤ cap rows per stratum before any shuffle.  If this optimization
+    ever regresses, the mega-domain sort becomes unbounded — fail loudly."""
+    from overturemaps_duckdb_spark.operators.sampling import per_stratum_cap
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    plan = (
+        per_stratum_cap(df, "doc_id", "source", cap=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    partial_limits = [
+        line for line in plan.splitlines()
+        if "WindowGroupLimit" in line and "Partial" in line
+    ]
+    assert partial_limits, f"no Partial WindowGroupLimit in plan:\n{plan}"
+    # exactly one exchange: the single stratum hash partitioning
+    assert plan.count("Exchange hashpartitioning") == 1
 
 
 def test_per_stratum_cap_validates_args(spark):
@@ -260,5 +280,3 @@ def test_per_stratum_cap_validates_args(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
     with pytest.raises(ValueError, match="cap"):
         per_stratum_cap(df, "doc_id", "source", cap=0)
-    with pytest.raises(ValueError, match="n_salts"):
-        per_stratum_cap(df, "doc_id", "source", cap=1, n_salts=0)
