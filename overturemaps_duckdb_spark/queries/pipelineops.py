@@ -183,12 +183,19 @@ def sh1_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sk1_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew-safe aggregation over a hot-keyed column (4 event types funnel
-    the whole table into 4 groups): operators/skew.salted_agg splits each
-    key into 16 salted subkeys, partially aggregates, then merges — two
-    bounded shuffles instead of one task-killing one.  Results are exactly
-    the plain GROUP BY (algebraic aggregates re-aggregate losslessly),
-    which the oracle states."""
+    """Two-stage salted aggregation (operators/skew.salted_agg): each key
+    splits into 16 salted subkeys, partially aggregates, then merges.
+
+    Scope honesty: for ALGEBRAIC aggregates like these (count/sum/max),
+    Catalyst's map-side partial aggregation already collapses hot keys to
+    one row per key per task, so salting adds nothing there — the
+    mechanism exists for aggregates whose per-key STATE is heavy and
+    non-collapsible map-side (collect_set/list accumulation, sketch
+    merges, UDAF state), where the per-salt stage bounds both the hash-
+    table rows and the single-task merge input.  The query certifies the
+    mechanism's correctness with algebraic functions precisely because
+    those verify exactly against the plain-GROUP-BY oracle (lossless
+    re-aggregation), which the oracle states."""
     ev = t(spark, sf_dir, "events").select(
         "event_type", cents("value").alias("_cents")
     )
