@@ -140,3 +140,11 @@ def test_j8_grid_join_is_equi_join(spark, q):
     plan = _plan(q["j8_grid_banded_join"](spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_x12_vocab_topk_is_take_ordered(spark, q):
+    """The vocabulary head must plan as TakeOrderedAndProject (per-partition
+    heap + tiny driver merge), never a full global Sort of the vocabulary."""
+    plan = _plan(q["x12_vocab_topk"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan  # no global sort stage anywhere
