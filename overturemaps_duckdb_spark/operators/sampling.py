@@ -203,3 +203,47 @@ def per_stratum_cap(
         .where(F.col("_cap_r") <= cap)
         .drop("_cap_h", "_cap_r")
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    id_col: str,
+    path: str,
+    *,
+    n_shards: int,
+    seed: int = 42,
+    mode: str = "overwrite",
+) -> None:
+    """Export the corpus as ``n_shards`` shard directories
+    (``path/shard=K/``) in deterministic training order — the final step
+    between a prepared corpus and a data loader.
+
+    Contract (all retry/re-run stable, seed-keyed):
+    - shard assignment: ``md5(id:seed) mod n_shards`` — a pure function
+      of the row's identity, so re-running the export (or a retried task)
+      reproduces byte-identical shard membership; balanced in expectation
+      by hash uniformity (≈N/n_shards ± √ noise).
+    - within-shard order: rows are sorted by the independent
+      :func:`shuffle_key` hex digest, giving each shard its own unbiased
+      sub-permutation — a loader reading ``shard=K`` front-to-back
+      streams the seeded global order restricted to that shard.
+    - one exchange total: rows repartition straight onto their shard
+      (plus local sort); no global sort, no driver involvement.  A loader
+      epoch over a different permutation is a new ``seed``, not a data
+      rewrite.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    c = F.col(id_col)
+    keyed = df.withColumn(
+        "_shard",
+        F.pmod(md5_long(F.concat(c.cast("string"), F.lit(f"#shard:{seed}"))),
+               F.lit(n_shards)).cast("int"),
+    ).withColumn("_shuffle_key", shuffle_key(id_col, seed))
+    (
+        keyed.repartition(n_shards, "_shard")
+        .sortWithinPartitions("_shard", "_shuffle_key")
+        .write.mode(mode)
+        .partitionBy("_shard")
+        .parquet(path)
+    )

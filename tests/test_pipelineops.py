@@ -280,3 +280,47 @@ def test_per_stratum_cap_validates_args(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
     with pytest.raises(ValueError, match="cap"):
         per_stratum_cap(df, "doc_id", "source", cap=0)
+
+
+def test_write_training_shards_contract(spark, tmp_path):
+    """Shard export: exact partition of the corpus, hash-balanced shards,
+    within-shard rows sorted by the shuffle key, and re-export reproduces
+    identical membership (retry/re-run stability)."""
+    from overturemaps_duckdb_spark.operators.sampling import (
+        write_training_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1000)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "shards")
+    write_training_shards(df, "doc_id", out, n_shards=8, seed=7)
+
+    back = spark.read.parquet(out)
+    assert sorted(r["doc_id"] for r in back.collect()) == list(range(1000))
+
+    sizes = {
+        r["_shard"]: r["n"]
+        for r in back.groupBy("_shard").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(sizes) == set(range(8))
+    assert all(60 <= n <= 190 for n in sizes.values()), sizes  # ~125 ± hash noise
+
+    # within-shard training order: file order == ascending shuffle key
+    rows0 = spark.read.parquet(out + "/_shard=0").collect()
+    keys0 = [r["_shuffle_key"] for r in rows0]
+    assert keys0 == sorted(keys0) and len(keys0) == sizes[0]
+
+    # determinism: a second export yields identical membership per shard
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(df, "doc_id", out2, n_shards=8, seed=7)
+    back2 = spark.read.parquet(out2)
+    m1 = sorted((r["_shard"], r["doc_id"]) for r in back.collect())
+    m2 = sorted((r["_shard"], r["doc_id"]) for r in back2.collect())
+    assert m1 == m2
+
+    # a different seed is a different permutation (not byte-luck identical)
+    out3 = str(tmp_path / "shards3")
+    write_training_shards(df, "doc_id", out3, n_shards=8, seed=8)
+    m3 = sorted((r["_shard"], r["doc_id"]) for r in spark.read.parquet(out3).collect())
+    assert m3 != m1
