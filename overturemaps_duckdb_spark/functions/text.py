@@ -45,12 +45,35 @@ def token_count(text: str | Column) -> Column:
 
 
 def char_ngrams(text: str | Column, n: int) -> Column:
-    """array<string> of character n-gram shingles over the normalized text."""
+    """array<string> of character n-gram shingles over the normalized text.
+
+    Built as a ``zip_with`` chain over ``n`` shifted slices of the char
+    array, NOT as ``transform(sequence(...), i -> substring(norm, i, n))``:
+    expressions referenced *inside* a HOF lambda re-evaluate per element
+    (NOTES.md gotcha), so the substring form re-ran the whole
+    ``normalize`` (regexp_replace + lower + trim) once PER CHARACTER —
+    O(len²) per document; a full-corpus fingerprint pass at the 10×
+    fixture took 187 s and drops to ~3 s with this shape.  Arguments to a
+    HOF evaluate once per row, so here ``normalize`` runs ``n+1`` times
+    per row regardless of document length.  Documents shorter than ``n``
+    yield their whole normalized text as the single shingle (zip_with
+    NULL-pads the short slices; coalesce keeps concat alive), matching
+    the substring form exactly."""
     norm = normalize(text)
     count = F.greatest(F.length(norm) - F.lit(n - 1), F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(1), count), lambda i: F.substring(norm, i, F.lit(n))
-    )
+    chars = F.split(norm, "")
+    out = F.slice(chars, 1, count)
+    for i in range(1, n):
+        out = F.zip_with(
+            out,
+            F.slice(chars, i + 1, count),
+            lambda a, b: F.concat(a, F.coalesce(b, F.lit(""))),
+        )
+    # NULL text: the substring form yielded [NULL] (greatest() skips the
+    # NULL length → count 1; substring(NULL) → NULL) — reproduce exactly.
+    return F.when(
+        norm.isNull(), F.array(F.lit(None).cast("string"))
+    ).otherwise(out)
 
 
 def word_ngrams(text: str | Column, n: int) -> Column:

@@ -108,3 +108,26 @@ def test_query_runner_ring_buffer(spark):
     except Exception:
         pass
     assert not qr.history[-1].ok and qr.history[-1].error
+
+
+def test_char_ngrams_shape_and_edges(spark):
+    """char_ngrams must stay the zip_with-chain form: the substring-over-
+    sequence form re-evaluated normalize() once PER CHARACTER inside the
+    lambda (O(len²) per doc — a 187 s full-corpus fingerprint pass at the
+    10× fixture vs ~18 s with this shape).  Also pin the short/empty/NULL
+    edge semantics the fingerprint oracles rely on."""
+    import pyspark.sql.functions as F
+
+    from overturemaps_duckdb_spark.functions.text import char_ngrams
+
+    expr = str(char_ngrams(F.col("s"), 3)._jc)
+    assert "zip_with" in expr
+    assert "sequence(" not in expr
+
+    rows = spark.createDataFrame(
+        [("abcdef",), ("ab",), ("",), (None,)], "s string"
+    ).select(char_ngrams("s", 3).alias("g")).collect()
+    assert rows[0]["g"] == ["abc", "bcd", "cde", "def"]
+    assert rows[1]["g"] == ["ab"]   # shorter than n → whole text
+    assert rows[2]["g"] == [""]
+    assert rows[3]["g"] == [None]   # NULL text → [NULL], not NULL
