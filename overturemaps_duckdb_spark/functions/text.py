@@ -76,14 +76,11 @@ def char_ngrams(text: str | Column, n: int) -> Column:
     ).otherwise(out)
 
 
-def word_ngrams(text: str | Column, n: int) -> Column:
-    """array<string> of word n-grams (space-joined)."""
-    toks = tokens(text)
-    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(1), count),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
+# (word n-grams live in operators/textprep.token_ngrams, which takes a
+# BOUND token array — binding first is what keeps the slice lambda from
+# re-running tokenization per element, the same O(len²) trap char_ngrams
+# had.  A text-taking twin here had no callers and carried that trap, so
+# it was removed rather than fixed.)
 
 
 # ---------------------------------------------------------------------------
