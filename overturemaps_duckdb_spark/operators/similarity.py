@@ -318,6 +318,62 @@ def ivf_topk_from_store(
     return _ivf_score_topk(cand, k)
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Per-vector symmetric max-abs integer quantization — the storage path
+    for an embedding corpus at 100 TB: int8 cuts a float32 corpus 4× before
+    ANN indexing, with one double scale riding along per vector.
+
+    ``q_i = round(x_i / scale)``, ``scale = max|x| / (2^(bits-1) - 1)`` —
+    the max-magnitude element maps to exactly ±qmax, so no clipping branch
+    exists.  A zero/empty vector quantizes to zeros with scale 0.0 and the
+    dequantization is defined as exact (mse 0.0).
+
+    Pure column math (codegen, no UDF, no shuffle — evaluates at scan).
+    HOF shape note: computed columns are only ever passed as HOF *array
+    arguments* (``zip_with(v, qv, …)``), never referenced inside a lambda
+    body, so nothing is re-evaluated per element (the NOTES char-ngram
+    trap); the scalar ``scale`` is projected once per row before any
+    lambda uses it.
+
+    Returns ``(id, qvec array<int>, scale double, n_sat int, mse double)``
+    where ``n_sat`` counts saturated (|q| = qmax) elements and ``mse`` is
+    the mean squared dequantization residual in the input's units.
+    """
+    if bits < 2 or bits > 31:
+        raise ValueError(f"bits must be in [2, 31], got {bits}")
+    qmax = (1 << (bits - 1)) - 1
+    v = F.col(vec_col).cast("array<double>")
+    amax = F.array_max(F.transform(v, F.abs))
+    scaled = df.select(
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        F.coalesce(amax / F.lit(float(qmax)), F.lit(0.0)).alias("scale"),
+    )
+    qv = F.when(
+        F.col("scale") > 0.0,
+        F.transform(F.col("v"), lambda x: F.round(x / F.col("scale")).cast("int")),
+    ).otherwise(F.transform(F.col("v"), lambda x: F.lit(0)))
+    quantized = scaled.select("id", "v", "scale", qv.alias("qvec"))
+    resid = F.zip_with(
+        F.col("v"), F.col("qvec"),
+        lambda x, q: x - q.cast("double") * F.col("scale"),
+    )
+    mse = F.when(F.size("v") > 0,
+        F.aggregate(resid, F.lit(0.0), lambda acc, r: acc + r * r)
+        / F.size("v").cast("double"),
+    ).otherwise(F.lit(0.0))
+    n_sat = F.size(F.filter(F.col("qvec"), lambda q: F.abs(q) == qmax))
+    return quantized.select(
+        "id", "qvec", "scale", n_sat.alias("n_sat"), mse.alias("mse")
+    )
+
+
 def lsh_bucket_neighbors(
     corpus: DataFrame,
     *,

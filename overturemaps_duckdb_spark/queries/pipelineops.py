@@ -292,3 +292,48 @@ def sa3_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape pinned in tests/test_pipelineops.py)."""
     d = t(spark, sf_dir, "documents").select("doc_id", "source")
     return per_stratum_cap(d, "doc_id", "source", cap=10)
+
+
+@query(
+    "ex1_training_shards",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               CAST({md5_long_sql("CAST(doc_id AS VARCHAR) || '#shard:42'")}
+                    % 8 AS INT) AS shard,
+               md5(CAST(doc_id AS VARCHAR) || ':42') AS sk
+        FROM documents
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           arg_min(doc_id, sk) AS first_doc
+    FROM keyed GROUP BY shard
+    """,
+)
+def ex1_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export certified end-to-end: write the corpus as 8
+    hash-assigned shard directories (operators/sampling.
+    write_training_shards — md5(id#seed) mod 8 membership, per-shard seeded
+    order, ONE exchange, no global sort), then read the store back and
+    manifest it: per shard the row count, an id checksum, and the first
+    document in stored training order (min_by over the persisted
+    ``_shuffle_key``, which must equal the oracle's arg_min over the same
+    md5 — certifying both membership AND order survive the parquet
+    round-trip).  At 100 TB this is the loader-facing contract: a shard
+    directory streams its sub-permutation front-to-back."""
+    import tempfile
+
+    from overturemaps_duckdb_spark.operators.sampling import (
+        write_training_shards,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    root = tempfile.mkdtemp(prefix="omds_ex1_") + "/shards"
+    write_training_shards(docs, "doc_id", root, n_shards=8, seed=42)
+    back = spark.read.parquet(root)
+    return back.groupBy(F.col("_shard").cast("int").alias("shard")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+        F.min_by("doc_id", "_shuffle_key").alias("first_doc"),
+    )

@@ -12,6 +12,7 @@ from overturemaps_duckdb_spark.operators.similarity import (
     ivf_build,
     ivf_topk,
     lsh_bucket_neighbors,
+    quantize_embeddings,
 )
 from overturemaps_duckdb_spark.queries import query, t
 
@@ -95,6 +96,62 @@ def n2_lsh_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     return lsh_bucket_neighbors(
         e, id_col="vec_id", vec_col="embedding", n_planes=8, dim=64, min_cosine=0.35
+    )
+
+
+@query(
+    "qz1_embedding_quantize",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               coalesce(
+                   list_max(list_transform(embedding,
+                                           x -> abs(CAST(x AS DOUBLE))))
+                   / 127.0, 0.0) AS scale
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id, v, scale,
+               CASE WHEN scale > 0.0
+                    THEN list_transform(v, x -> CAST(round(x / scale) AS INTEGER))
+                    ELSE list_transform(v, x -> 0) END AS qv
+        FROM s
+    ), r AS (
+        SELECT vec_id, scale, qv, len(v) AS d,
+               list_transform(range(1, len(v) + 1),
+                              i -> v[i] - qv[i] * scale) AS resid
+        FROM q
+    )
+    SELECT vec_id,
+           ROUND(scale, 9) AS scale_r,
+           CAST(coalesce(list_sum(qv), 0) AS BIGINT) AS q_sum,
+           CAST(len(list_filter(qv, x -> abs(x) = 127)) AS INTEGER) AS n_sat,
+           ROUND(CASE WHEN d > 0
+                      THEN list_sum(list_transform(resid, x -> x * x)) / d
+                      ELSE 0.0 END, 9) AS mse_r
+    FROM r
+    """,
+)
+def qz1_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 max-abs quantization of the embedding corpus (the 4× storage
+    path for embeddings at 100 TB) — per-vector scale, quantized checksum,
+    saturation count, and mean squared dequantization residual.
+
+    Everything is per-row column math (operators/similarity.
+    quantize_embeddings): no shuffle, no UDF — at scale this runs at scan
+    speed and writes back alongside the vectors.  The oracle restates the
+    identical double-precision expressions (same left-to-right folds), so
+    scale/mse match bit-for-bit before the defensive 9 dp round."""
+    e = t(spark, sf_dir, "embeddings")
+    qz = quantize_embeddings(e, id_col="vec_id", vec_col="embedding", bits=8)
+    return qz.select(
+        F.col("id").alias("vec_id"),
+        F.round("scale", 9).alias("scale_r"),
+        F.aggregate(
+            "qvec", F.lit(0).cast("bigint"), lambda a, x: a + x.cast("bigint")
+        ).alias("q_sum"),
+        F.col("n_sat").cast("int").alias("n_sat"),
+        F.round("mse", 9).alias("mse_r"),
     )
 
 

@@ -1,0 +1,101 @@
+"""Embedding quantization: round-trip error bound, exactness invariants,
+edge rows (zero vector, empty vector, saturation), and the no-shuffle plan
+shape.  The value-level engine parity is the qz1 oracle
+(tests/test_oracle_parity.py); these pin the operator's contract directly."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from overturemaps_duckdb_spark.operators.similarity import quantize_embeddings
+
+
+def _qz(spark, rows, bits=8):
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return {
+        r["id"]: r
+        for r in quantize_embeddings(
+            df, id_col="vec_id", vec_col="embedding", bits=bits
+        ).collect()
+    }
+
+
+def test_roundtrip_error_bounded_and_max_saturates(spark):
+    rows = [(1, [0.5, -1.0, 0.25, 0.127]), (2, [3.0, 2.0, -3.0, 0.0])]
+    out = _qz(spark, rows)
+    for vid, vec in rows:
+        r = out[vid]
+        amax = max(abs(x) for x in vec)
+        assert r["scale"] == pytest.approx(amax / 127.0, rel=1e-12)
+        # every residual ≤ scale/2 (round-to-nearest), so mse ≤ (scale/2)^2
+        assert 0.0 <= r["mse"] <= (r["scale"] / 2) ** 2 + 1e-15
+        # the max-magnitude element maps to exactly ±127 — no clipping branch
+        deq = [q * r["scale"] for q in r["qvec"]]
+        for x, d in zip(vec, deq):
+            assert abs(x - d) <= r["scale"] / 2 + 1e-12
+        assert max(abs(q) for q in r["qvec"]) == 127
+        assert r["n_sat"] >= 1
+
+
+def test_zero_and_empty_vectors(spark):
+    out = _qz(spark, [(1, [0.0, 0.0, 0.0]), (2, [])])
+    assert out[1]["scale"] == 0.0
+    assert out[1]["qvec"] == [0, 0, 0]
+    assert out[1]["mse"] == 0.0
+    assert out[1]["n_sat"] == 0
+    assert out[2]["scale"] == 0.0
+    assert out[2]["qvec"] == []
+    assert out[2]["mse"] == 0.0
+
+
+def test_bits_knob_and_validation(spark):
+    out = _qz(spark, [(1, [1.0, -2.0, 0.5])], bits=4)  # qmax = 7
+    assert max(abs(q) for q in out[1]["qvec"]) == 7
+    assert out[1]["scale"] == pytest.approx(2.0 / 7.0, rel=1e-12)
+    with pytest.raises(ValueError):
+        quantize_embeddings(
+            spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<float>"),
+            bits=1,
+        )
+
+
+def test_quantize_no_shuffle_no_udf(spark):
+    """Per-row column math only: the plan must contain no Exchange and no
+    Python evaluation — at 100 TB this runs at scan speed."""
+    df = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * (i + 1) % 17).cast("float") for i in range(8)]).alias(
+            "embedding"
+        ),
+    )
+    plan = (
+        quantize_embeddings(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no BatchEvalPython / ArrowEvalPython
+
+
+def test_mse_matches_manual_fold(spark):
+    import numpy as np
+
+    out = _qz(spark, [(9, [0.31, -0.77, 0.05, 0.993, -0.41])])
+    r = out[9]
+    # the column is float32 — replicate the engine's float32-rounded inputs
+    vec = [float(np.float32(x)) for x in (0.31, -0.77, 0.05, 0.993, -0.41)]
+    scale = max(abs(x) for x in vec) / 127.0
+    # round half away from zero (python round() is banker's)
+    q = [
+        int(math.floor(x / scale + 0.5))
+        if x >= 0
+        else -int(math.floor(-x / scale + 0.5))
+        for x in vec
+    ]
+    mse = sum((x - qi * scale) ** 2 for x, qi in zip(vec, q)) / len(vec)
+    assert r["qvec"] == q
+    assert r["mse"] == pytest.approx(mse, rel=1e-12)
