@@ -283,13 +283,93 @@ def ivf_topk(
     return _ivf_score_topk(cand, k)
 
 
-def ivf_write(assigned: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+def ivf_write(
+    assigned: DataFrame, path: str, *, mode: str = "overwrite", centroids=None
+) -> None:
     """Materialize the inverted lists as a parquet table PARTITIONED BY
     `_list` — the 100 TB form of the IVF index that ivf_build's docstring
     promises: each coarse cluster is its own partition directory, so a
     probe reads n_probe/n_lists of the corpus bytes via static partition
-    pruning and everything else is never opened."""
+    pruning and everything else is never opened.
+
+    Pass ``centroids`` (the ndarray from :func:`ivf_build`) to persist the
+    coarse quantizer alongside the lists (under ``_centroids/`` — the
+    leading underscore hides it from the main table's partition
+    discovery, like ``_metadata``): a store with centroids supports
+    :func:`ivf_append` — incremental maintenance without retraining."""
     assigned.write.mode(mode).partitionBy("_list").parquet(path)
+    if centroids is not None:
+        spark = assigned.sparkSession
+        rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+        spark.createDataFrame(rows, "_list int, centroid array<double>").coalesce(
+            1
+        ).write.mode(mode).parquet(f"{path}/_centroids")
+
+
+def read_ivf_centroids(spark, path: str):
+    """The persisted coarse quantizer as an ndarray (row i = list i)."""
+    import numpy as np
+
+    rows = spark.read.parquet(f"{path}/_centroids").collect()
+    by_list = {r["_list"]: r["centroid"] for r in rows}
+    return np.array([by_list[i] for i in range(len(by_list))])
+
+
+def centroid_assign(
+    df: DataFrame, centroids, *, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, v, _list) — nearest-centroid assignment as pure column math.
+
+    The centroid matrix is a literal (n_lists × dim — KBs), so assignment
+    is one codegen'd HOF pass per row: no MLlib, no UDF, no shuffle — it
+    runs at scan speed over an arbitrarily large increment.  Squared-L2
+    argmin with first-index tie-break, matching KMeans.transform
+    (equivalence pinned in tests/test_similarity_ivf.py).  The distance
+    array is projected to a named column before the argmin so the HOF
+    fold is evaluated once, not once per reference."""
+    C = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    prepared = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.col(vec_col).cast("array<double>").alias("_vd"),
+    )
+    d2 = F.transform(
+        C,
+        lambda c: F.aggregate(
+            F.zip_with(F.col("_vd"), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    staged = prepared.select("id", "v", d2.alias("_d2"))
+    lst = (F.array_position(F.col("_d2"), F.array_min("_d2")) - 1).cast("int")
+    return staged.select("id", "v", lst.alias("_list"))
+
+
+def ivf_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF maintenance: assign an increment to the STORE's
+    persisted centroids and append it to the inverted lists — the
+    append-only-corpus path (daily embedding drops index without
+    retraining the quantizer or rewriting existing partitions; parquet
+    append into ``_list=K/`` touches only the lists the increment lands
+    in).  Probes over the grown store are identical to a store built from
+    the union in one shot (same centroids ⇒ same assignment; pinned in
+    tests).  Re-clustering when drift accumulates is a new ivf_build +
+    ivf_write — deliberate and explicit, not implicit."""
+    centroids = read_ivf_centroids(spark, path)
+    assigned = centroid_assign(
+        new_vectors, centroids, id_col=id_col, vec_col=vec_col
+    )
+    assigned.write.mode("append").partitionBy("_list").parquet(path)
 
 
 def ivf_topk_from_store(

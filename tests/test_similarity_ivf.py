@@ -127,3 +127,79 @@ def test_ivf_store_partition_pruned(spark, tmp_path):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and m.group(1).strip(), "partition filter must be non-empty"
+
+
+def test_centroid_assign_matches_kmeans_transform(spark):
+    """The pure-column-math nearest-centroid assignment (the UDF-free
+    increment path) must agree with MLlib's model.transform on the same
+    centroids — squared-L2 argmin, first-index tie-break."""
+    from overturemaps_duckdb_spark.operators.similarity import centroid_assign
+
+    e = spark.read.parquet(f"{SF_CORRECTNESS}/embeddings.parquet")
+    assigned, centroids = ivf_build(e, n_lists=8, seed=42)
+    ml = {(r["id"], r["_list"]) for r in assigned.collect()}
+    cm = {
+        (r["id"], r["_list"])
+        for r in centroid_assign(
+            e, centroids, id_col="vec_id", vec_col="embedding"
+        ).collect()
+    }
+    assert cm == ml
+
+
+def test_ivf_append_equals_one_shot_store(spark, tmp_path):
+    """Incremental maintenance contract: build+write the first half (with
+    persisted centroids), ivf_append the second half, and the grown store
+    must probe identically to a store holding the one-shot assignment of
+    the full corpus against the SAME centroids."""
+    from overturemaps_duckdb_spark.operators.similarity import (
+        centroid_assign,
+        ivf_append,
+        ivf_topk_from_store,
+        ivf_write,
+        read_ivf_centroids,
+    )
+
+    e = spark.read.parquet(f"{SF_CORRECTNESS}/embeddings.parquet")
+    first = e.where(F.col("vec_id") % 2 == 0)
+    second = e.where(F.col("vec_id") % 2 == 1)
+    assigned, centroids = ivf_build(first, n_lists=8, seed=42)
+
+    inc_path = str(tmp_path / "inc")
+    ivf_write(assigned, inc_path, centroids=centroids)
+    import numpy as np
+
+    assert np.allclose(read_ivf_centroids(spark, inc_path), centroids)
+    ivf_append(spark, inc_path, second, id_col="vec_id", vec_col="embedding")
+
+    full_path = str(tmp_path / "full")
+    ivf_write(
+        centroid_assign(e, centroids, id_col="vec_id", vec_col="embedding"),
+        full_path,
+        centroids=centroids,
+    )
+
+    queries = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    key = lambda r: (r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+    inc = ivf_topk_from_store(spark, inc_path, centroids, queries, n_probe=3, k=10)
+    one = ivf_topk_from_store(spark, full_path, centroids, queries, n_probe=3, k=10)
+    assert sorted(map(key, inc.collect())) == sorted(map(key, one.collect()))
+
+
+def test_centroid_assign_no_shuffle_no_udf(spark):
+    """The increment assignment runs at scan speed: no Exchange, no
+    Python/MLlib evaluation in the plan."""
+    from overturemaps_duckdb_spark.operators.similarity import centroid_assign
+
+    e = spark.read.parquet(f"{SF_CORRECTNESS}/embeddings.parquet")
+    _, centroids = ivf_build(e, n_lists=4, seed=42)
+    plan = (
+        centroid_assign(e, centroids, id_col="vec_id", vec_col="embedding")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan
