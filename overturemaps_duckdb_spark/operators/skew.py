@@ -68,6 +68,54 @@ def salted_distinct_count(
     )
 
 
+def skew_report(
+    df: DataFrame,
+    keys: list[str],
+    *,
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """One-row key-distribution diagnosis for a prospective join/agg key —
+    the measurement step BEFORE choosing broadcast / salting / AQE on an
+    unfamiliar dataset: total rows, distinct keys, the hottest key's row
+    count, exact percentiles of per-key row counts, and the skew ratio
+    (max key size over mean key size — ≈1 uniform, ≫1 needs a strategy).
+
+    Shape: one map-side-combinable count shuffle onto the keys, then a
+    single-row stats pass over the per-key counts plus a TakeOrdered(1)
+    for the hottest key (deterministic tie-break: max rows, then min
+    key).  The counts frame is iterated twice — at 100 TB persist it (or
+    write it out) if you also want the top-N offender list; the counts
+    relation is |distinct keys| rows, already reduced from the data.
+
+    Percentiles are exact (``percentile``, linear interpolation), not
+    approximate — the counts relation is small by construction, and exact
+    values are engine-portable for the oracle."""
+    n = F.col("n")
+    counts = df.groupBy(*keys).agg(F.count("*").alias("n"))
+    stats = counts.agg(
+        F.sum(n).cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.max(n).cast("bigint").alias("max_key_rows"),
+        *[
+            F.expr(f"percentile(n, {p})").alias(f"p{int(p * 100)}_key_rows")
+            for p in percentiles
+        ],
+    ).withColumn(
+        "skew_ratio",
+        F.col("max_key_rows")
+        / (F.col("n_rows").cast("double") / F.col("n_keys")),
+    )
+    hot = (
+        counts.orderBy(F.desc("n"), *[F.asc(k) for k in keys])
+        .limit(1)
+        .select(
+            *[F.col(k).alias(f"hot_{k}") for k in keys],
+            n.cast("bigint").alias("hot_rows"),
+        )
+    )
+    return stats.crossJoin(F.broadcast(hot))
+
+
 def iterate_batches(df: DataFrame, batch_size: int = 500):
     """S12 — the render sink's row-batch iteration (themes.js:181-193,
     pipelineRunner.js:120-131): yield lists of Rows without materializing

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from overturemaps_duckdb_spark.functions.text import token_count
 from overturemaps_duckdb_spark.operators.asof import asof_join
 from overturemaps_duckdb_spark.operators.packing import pack_sequences
-from overturemaps_duckdb_spark.operators.skew import salted_agg
+from overturemaps_duckdb_spark.operators.skew import salted_agg, skew_report
 from overturemaps_duckdb_spark.queries.events import cents
 from overturemaps_duckdb_spark.operators.sampling import (
     deterministic_shuffle,
@@ -336,4 +336,45 @@ def ex1_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("doc_id").cast("bigint").alias("id_sum"),
         F.min_by("doc_id", "_shuffle_key").alias("first_doc"),
+    )
+
+
+@query(
+    "sk2_skew_report",
+    oracle="""
+    WITH c AS (
+        SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(n) AS BIGINT) AS max_key_rows,
+           ROUND(quantile_cont(n, 0.5), 6) AS p50_key_rows,
+           ROUND(quantile_cont(n, 0.9), 6) AS p90_key_rows,
+           ROUND(quantile_cont(n, 0.99), 6) AS p99_key_rows,
+           ROUND(CAST(max(n) AS DOUBLE)
+                 / (CAST(sum(n) AS DOUBLE) / count(*)), 6) AS skew_ratio,
+           (SELECT l_suppkey FROM c ORDER BY n DESC, l_suppkey LIMIT 1)
+               AS hot_l_suppkey,
+           (SELECT CAST(n AS BIGINT) FROM c ORDER BY n DESC, l_suppkey
+            LIMIT 1) AS hot_rows
+    FROM c
+    """,
+)
+def sk2_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnosis (operators/skew.skew_report) over lineitem's
+    supplier key — the measurement a 100 TB pipeline runs BEFORE picking a
+    shuffle strategy for an unfamiliar join key: rows, distinct keys,
+    hottest-key size, exact per-key-count percentiles, and the skew ratio
+    (max/mean key size; ≈1 uniform ⇒ plain hash join, ≫1 ⇒ salt or AQE
+    skew split).  One count shuffle + a one-row stats pass; exact
+    percentiles are engine-portable (linear interpolation both sides)."""
+    li = t(spark, sf_dir, "lineitem")
+    rep = skew_report(li, ["l_suppkey"])
+    return rep.select(
+        "n_rows", "n_keys", "max_key_rows",
+        F.round("p50_key_rows", 6).alias("p50_key_rows"),
+        F.round("p90_key_rows", 6).alias("p90_key_rows"),
+        F.round("p99_key_rows", 6).alias("p99_key_rows"),
+        F.round("skew_ratio", 6).alias("skew_ratio"),
+        "hot_l_suppkey", "hot_rows",
     )

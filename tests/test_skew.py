@@ -57,3 +57,33 @@ def test_iterate_batches(spark):
     assert sum(sizes) == 1234
     assert max(sizes) <= 500
     assert sizes[:-1] == [500, 500]  # full batches first, remainder last
+
+
+def test_skew_report_planted_hotkey(spark):
+    """A planted 10×-hot key must surface as hot key, max, and ratio."""
+    import pyspark.sql.functions as F
+
+    from overturemaps_duckdb_spark.operators.skew import skew_report
+
+    # keys 0..9 with 5 rows each, key 7 with 50
+    base = spark.range(50).select((F.col("id") % 10).alias("k"))
+    hot = spark.range(45).select(F.lit(7).alias("k"))
+    r = skew_report(base.union(hot), ["k"]).collect()[0]
+    assert r["n_rows"] == 95
+    assert r["n_keys"] == 10
+    assert r["max_key_rows"] == 50
+    assert r["hot_k"] == 7
+    assert r["hot_rows"] == 50
+    assert abs(r["skew_ratio"] - 50 / 9.5) < 1e-9
+    assert r["p50_key_rows"] == 5.0
+
+
+def test_skew_report_tiebreak_min_key(spark):
+    import pyspark.sql.functions as F
+
+    from overturemaps_duckdb_spark.operators.skew import skew_report
+
+    df = spark.range(20).select((F.col("id") % 4).alias("k"))  # all equal
+    r = skew_report(df, ["k"]).collect()[0]
+    assert r["hot_k"] == 0 and r["hot_rows"] == 5
+    assert abs(r["skew_ratio"] - 1.0) < 1e-9
