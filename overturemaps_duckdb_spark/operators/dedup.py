@@ -65,6 +65,37 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return agg.select(*[F.col(f"_r.{c}").alias(c) for c in cols])
 
 
+def dup_rate_report(
+    df: DataFrame, id_col: str, text_col: str, stratum_col: str
+) -> DataFrame:
+    """Per-stratum exact-duplication telemetry — the corpus-health report a
+    dedup stage emits (and the number that decides whether a source even
+    NEEDS the expensive near-dup pass): docs, distinct normalized texts,
+    duplicate count/rate, and the largest duplicate group.
+
+    Scale shape: two map-side-combinable shuffles on small keys — (stratum,
+    64-bit content hash) counts first (the shuffle carries ~one row per
+    group per input partition, never documents), then one row per distinct
+    text into the per-stratum rollup.  Like :func:`exact_dedup`, the
+    grouping hash is internal (xxhash64 over the normalized text; the
+    oracle groups by the normalized text itself)."""
+    g = df.groupBy(
+        F.col(stratum_col),
+        F.xxhash64(normalize(text_col)).alias("_h"),
+    ).agg(F.count("*").alias("_n"))
+    n_docs = F.sum("_n")
+    n_distinct = F.count("*")
+    return g.groupBy(stratum_col).agg(
+        n_docs.cast("bigint").alias("n_docs"),
+        n_distinct.cast("bigint").alias("n_distinct"),
+        (n_docs - n_distinct).cast("bigint").alias("n_dup_docs"),
+        F.round(
+            (n_docs.cast("double") - n_distinct) / n_docs, 6
+        ).alias("dup_rate"),
+        F.max("_n").cast("bigint").alias("max_group"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -567,3 +567,32 @@ def ld1_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return line_corpus_dedup(staged, "doc_id", "text", min_docs=3)
+
+
+@query(
+    "d9_dup_rate_report",
+    oracle=f"""
+    WITH g AS (
+        SELECT source, {norm_sql('text')} AS t, count(*) AS n
+        FROM documents GROUP BY source, {norm_sql('text')}
+    )
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(n) - count(*) AS BIGINT) AS n_dup_docs,
+           ROUND((CAST(sum(n) AS DOUBLE) - count(*)) / sum(n), 6) AS dup_rate,
+           CAST(max(n) AS BIGINT) AS max_group
+    FROM g GROUP BY source
+    """,
+)
+def d9_dup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplication telemetry (operators/dedup.
+    dup_rate_report): the corpus-health numbers a dedup stage reports —
+    and the gate deciding whether a source needs the expensive near-dup
+    pass at all.  Two map-side-combinable shuffles on small keys; the
+    shuffle never carries document text (64-bit content hashes stand in
+    for the normalized text, which the oracle groups by directly)."""
+    from overturemaps_duckdb_spark.operators.dedup import dup_rate_report
+
+    d = t(spark, sf_dir, "documents")
+    return dup_rate_report(d, "doc_id", "text", "source")

@@ -207,3 +207,24 @@ def test_minhash_bucket_cap_default_noop_on_small_buckets(spark):
         ).collect()
     }
     assert capped == uncapped
+
+
+def test_dup_rate_report_planted(spark):
+    """Planted duplicates: 3 copies of one text + 2 unique in source A,
+    all-unique in source B — rates and max group must be exact."""
+    import pyspark.sql.functions as F
+
+    from overturemaps_duckdb_spark.operators.dedup import dup_rate_report
+
+    rows = (
+        [(1, "Same Text!", "A"), (2, "same  text", "A"), (3, "SAME TEXT", "A"),
+         (4, "unique one", "A"), (5, "unique two", "A"),
+         (6, "alpha", "B"), (7, "beta", "B")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in dup_rate_report(df, "doc_id", "text", "source").collect()}
+    a, b = out["A"], out["B"]
+    assert (a["n_docs"], a["n_distinct"], a["n_dup_docs"], a["max_group"]) == (5, 3, 2, 3)
+    assert abs(a["dup_rate"] - 0.4) < 1e-9
+    assert (b["n_docs"], b["n_distinct"], b["n_dup_docs"], b["max_group"]) == (2, 2, 0, 1)
+    assert b["dup_rate"] == 0.0
