@@ -96,6 +96,38 @@ def dup_rate_report(
     )
 
 
+def corpus_diff(
+    old: DataFrame, new: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Snapshot diff between two corpus versions — the change manifest an
+    incremental pipeline consumes (recrawl vs previous crawl: which docs
+    are added / removed / changed / unchanged, so downstream stages touch
+    only the delta instead of reprocessing the corpus).
+
+    Shape: each side reduces to (id, 64-bit content hash) at scan — the
+    full-outer join shuffles 16 bytes per row, never text; the status is a
+    null-pattern/compare CASE.  Returns (id, status) with status in
+    {'added', 'removed', 'changed', 'unchanged'}.  Content identity is the
+    normalized text (same convention as :func:`exact_dedup`; whitespace/
+    case/punctuation churn is not a change; xxhash64 skips NULL inputs, so
+    a NULL text on both sides compares 'unchanged' — the null-safe
+    equality an oracle states as IS NOT DISTINCT FROM)."""
+    o = old.select(
+        F.col(id_col).alias("id"), F.xxhash64(normalize(text_col)).alias("_ho")
+    )
+    n = new.select(
+        F.col(id_col).alias("id"), F.xxhash64(normalize(text_col)).alias("_hn")
+    )
+    joined = o.join(n, "id", "full_outer")
+    status = (
+        F.when(F.col("_ho").isNull(), F.lit("added"))
+        .when(F.col("_hn").isNull(), F.lit("removed"))
+        .when(F.col("_ho") == F.col("_hn"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select("id", status.alias("status"))
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -596,3 +596,46 @@ def d9_dup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     return dup_rate_report(d, "doc_id", "text", "source")
+
+
+@query(
+    "cd1_corpus_diff",
+    oracle=f"""
+    WITH o AS (
+        SELECT doc_id AS id, {norm_sql('text')} AS t
+        FROM documents WHERE doc_id % 10 <> 0
+    ), n AS (
+        SELECT doc_id AS id,
+               CASE WHEN doc_id % 5 = 0
+                    THEN {norm_sql("(text || ' revision 2')")}
+                    ELSE {norm_sql('text')} END AS t
+        FROM documents WHERE doc_id % 7 <> 0
+    )
+    SELECT COALESCE(o.id, n.id) AS id,
+           CASE WHEN o.id IS NULL THEN 'added'
+                WHEN n.id IS NULL THEN 'removed'
+                WHEN o.t IS NOT DISTINCT FROM n.t THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM o FULL OUTER JOIN n ON o.id = n.id
+    """,
+)
+def cd1_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two simulated crawls of the corpus
+    (operators/dedup.corpus_diff): the old crawl misses every 10th doc,
+    the new crawl misses every 7th and revises every 5th — the diff
+    manifest labels every id added/removed/changed/unchanged so an
+    incremental pipeline touches only the delta.  Each side reduces to
+    (id, 64-bit content hash) at scan; the full-outer join shuffles 16
+    bytes per row, never text."""
+    from overturemaps_duckdb_spark.operators.dedup import corpus_diff
+
+    d = t(spark, sf_dir, "documents")
+    old = d.where(F.col("doc_id") % 10 != 0)
+    new = d.where(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" revision 2")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return corpus_diff(old, new, "doc_id", "text")

@@ -228,3 +228,20 @@ def test_dup_rate_report_planted(spark):
     assert abs(a["dup_rate"] - 0.4) < 1e-9
     assert (b["n_docs"], b["n_distinct"], b["n_dup_docs"], b["max_group"]) == (2, 2, 0, 1)
     assert b["dup_rate"] == 0.0
+
+
+def test_corpus_diff_statuses(spark):
+    """Planted diff: one of each status, plus normalization-only churn
+    (case/punct) counting as unchanged."""
+    from overturemaps_duckdb_spark.operators.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "gamma text")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "ALPHA, text!"), (2, "beta text v2"), (4, "delta text")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r["status"] for r in corpus_diff(old, new, "doc_id", "text").collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
