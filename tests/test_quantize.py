@@ -99,3 +99,36 @@ def test_mse_matches_manual_fold(spark):
     mse = sum((x - qi * scale) ** 2 for x, qi in zip(vec, q)) / len(vec)
     assert r["qvec"] == q
     assert r["mse"] == pytest.approx(mse, rel=1e-12)
+
+
+def test_quantize_property_random_vectors(spark):
+    """Randomized invariants over one batched Spark job (one job, many
+    vectors — the hypothesis-style sweep without per-example Spark
+    overhead): residuals bounded by scale/2, q range bounded by qmax,
+    max-magnitude element saturated, dequant of zeros exact."""
+    import random
+
+    import numpy as np
+
+    rnd = random.Random(42)
+    rows = []
+    for vid in range(200):
+        dim = rnd.choice([1, 3, 16, 64])
+        scale_mag = 10.0 ** rnd.uniform(-6, 6)
+        vec = [rnd.uniform(-scale_mag, scale_mag) for _ in range(dim)]
+        if rnd.random() < 0.05:
+            vec = [0.0] * dim  # occasional zero vector
+        rows.append((vid, vec))
+    out = _qz(spark, rows)
+    for vid, vec in rows:
+        r = out[vid]
+        v32 = [float(np.float32(x)) for x in vec]
+        amax = max(abs(x) for x in v32) if v32 else 0.0
+        assert r["scale"] == pytest.approx(amax / 127.0, rel=1e-12, abs=1e-300)
+        assert all(abs(q) <= 127 for q in r["qvec"])
+        if amax > 0:
+            assert max(abs(q) for q in r["qvec"]) == 127
+            for x, q in zip(v32, r["qvec"]):
+                assert abs(x - q * r["scale"]) <= r["scale"] / 2 * (1 + 1e-9)
+        else:
+            assert all(q == 0 for q in r["qvec"]) and r["mse"] == 0.0
