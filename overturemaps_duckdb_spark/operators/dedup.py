@@ -128,6 +128,61 @@ def corpus_diff(
     return joined.select("id", status.alias("status"))
 
 
+def fuzzy_pairs(
+    df: DataFrame, id_col: str, text_col: str, *, max_dist: int = 1
+) -> DataFrame:
+    """Edit-distance-1 near-identical pairs via deletion-neighborhood
+    blocking (the SymSpell guarantee: two strings within Levenshtein
+    distance 1 share at least one member of {self} ∪ {single-deletion
+    variants}) — fuzzy record linkage for short keys (names, titles,
+    normalized entities) without an O(N²) cross product.
+
+    Shape: each string expands to len+1 variants (explode — rows carry
+    (variant, id)); candidate generation is an equi-join on the variant
+    string; candidates dedupe on BARE id pairs before the name-carrying
+    join-back (repo discipline: payloads never ride the pair expansion);
+    the exact Levenshtein verify runs once per distinct pair.  Only
+    ``max_dist=1`` is supported — deeper neighborhoods grow
+    combinatorially; at scale distance >1 routes through the n-gram /
+    MinHash family instead.
+
+    Returns (a_id, b_id, dist) with a_id < b_id, dist ≤ max_dist."""
+    if max_dist != 1:
+        raise ValueError("fuzzy_pairs supports max_dist=1 only (see docstring)")
+    s = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("s"))
+    deletions = F.transform(
+        F.sequence(F.lit(1), F.length("s")),
+        lambda i: F.concat(
+            F.col("s").substr(F.lit(1), i - 1),
+            F.col("s").substr(i + 1, F.length("s")),
+        ),
+    )
+    # empty strings have no deletions (sequence(1,0) would count DOWN);
+    # NULL strings produce a NULL variant array — explode drops the row
+    all_variants = F.when(
+        F.length("s") > 0,
+        F.array_distinct(F.concat(F.array(F.col("s")), deletions)),
+    ).otherwise(F.array(F.col("s")))
+    variants = s.select("id", F.explode(all_variants).alias("v"))
+    a = variants.select(F.col("id").alias("a_id"), "v")
+    b = variants.select(F.col("id").alias("b_id"), "v")
+    cand = (
+        a.join(b, "v")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sa = s.select(F.col("id").alias("a_id"), F.col("s").alias("_sa"))
+    sb = s.select(F.col("id").alias("b_id"), F.col("s").alias("_sb"))
+    return (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn("dist", F.levenshtein("_sa", "_sb"))
+        .where(F.col("dist") <= max_dist)
+        .select("a_id", "b_id", "dist")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -639,3 +639,44 @@ def cd1_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")).alias("text"),
     )
     return corpus_diff(old, new, "doc_id", "text")
+
+
+@query(
+    "fz1_fuzzy_pairs",
+    oracle="""
+    WITH s AS (SELECT c_custkey AS id, c_name AS nm FROM customer),
+    v AS (
+        SELECT id, nm AS v FROM s
+        UNION
+        SELECT id,
+               substr(nm, 1, CAST(i AS INTEGER) - 1)
+               || substr(nm, CAST(i AS INTEGER) + 1, length(nm)) AS v
+        FROM (SELECT id, nm,
+                     unnest(generate_series(1, length(nm))) AS i
+              FROM s)
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS a_id, b.id AS b_id
+        FROM v a JOIN v b ON a.v = b.v AND a.id < b.id
+    )
+    SELECT c.a_id, c.b_id, CAST(levenshtein(sa.nm, sb.nm) AS INT) AS dist
+    FROM cand c
+    JOIN s sa ON sa.id = c.a_id
+    JOIN s sb ON sb.id = c.b_id
+    WHERE levenshtein(sa.nm, sb.nm) <= 1
+    """,
+)
+def fz1_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage over customer names (operators/dedup.
+    fuzzy_pairs): every pair within Levenshtein distance 1, found via
+    SymSpell deletion-neighborhood blocking — an equi-join on the
+    {self} ∪ {single-deletion} variant strings replaces the O(N²) cross
+    product, candidates dedupe on bare id pairs before the name-carrying
+    join-back, and the exact edit-distance verify runs once per distinct
+    pair.  The oracle restates the identical blocking + verify in SQL."""
+    from overturemaps_duckdb_spark.operators.dedup import fuzzy_pairs
+
+    c = t(spark, sf_dir, "customer")
+    return fuzzy_pairs(c, "c_custkey", "c_name", max_dist=1).select(
+        "a_id", "b_id", F.col("dist").cast("int").alias("dist")
+    )

@@ -245,3 +245,41 @@ def test_corpus_diff_statuses(spark):
     )
     out = {r["id"]: r["status"] for r in corpus_diff(old, new, "doc_id", "text").collect()}
     assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_fuzzy_pairs_edit_types(spark):
+    """Deletion-neighborhood blocking must find substitution, insertion,
+    and deletion neighbors at distance 1 — and must NOT emit distance-2
+    pairs even when they share a blocking variant."""
+    from overturemaps_duckdb_spark.operators.dedup import fuzzy_pairs
+
+    rows = [
+        (1, "martha"), (2, "marsha"),   # substitution (dist 1)
+        (3, "marthas"),                 # insertion vs 1 (dist 1)
+        (4, "marta"),                   # deletion vs 1 (dist 1)
+        (5, "marshas"),                 # dist 1 of 2 and 3
+        (6, "zzzzzz"),                  # no neighbors
+        (7, ""), (8, ""),               # identical empties (dist 0)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["a_id"], r["b_id"]): r["dist"]
+        for r in fuzzy_pairs(df, "doc_id", "text").collect()
+    }
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 1 and got[(1, 4)] == 1
+    assert got[(2, 5)] == 1 and got[(3, 5)] == 1
+    assert (7, 8) in got and got[(7, 8)] == 0
+    assert all(d <= 1 for d in got.values())
+    # dist(2,4)=2 ("marsha"/"marta"), dist(2,3)=2 — blocked or verified out
+    assert (2, 4) not in got and (2, 3) not in got
+    assert not any(6 in p for p in got)
+
+
+def test_fuzzy_pairs_rejects_deep_dist(spark):
+    import pytest as _pt
+
+    from overturemaps_duckdb_spark.operators.dedup import fuzzy_pairs
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pt.raises(ValueError):
+        fuzzy_pairs(df, "doc_id", "text", max_dist=2)
