@@ -92,6 +92,9 @@ def test_dedup_ann_family_completes_at_sf1(spark, q):
         "d5_embedding_neardup",
         "d8_cross_corpus_neardup",
         "n2_lsh_ann_pairs",
+        # r4 fourth session: uncollapsed deletion-neighborhood blocking hit
+        # 100× candidate growth on the verbatim-duplicated fixture (258 s)
+        "fz1_fuzzy_pairs",
     ):
         t0 = time.time()
         q[name](spark, SF1).write.format("noop").mode("overwrite").save()
