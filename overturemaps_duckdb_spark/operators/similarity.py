@@ -296,7 +296,21 @@ def ivf_write(
     coarse quantizer alongside the lists (under ``_centroids/`` — the
     leading underscore hides it from the main table's partition
     discovery, like ``_metadata``): a store with centroids supports
-    :func:`ivf_append` — incremental maintenance without retraining."""
+    :func:`ivf_append` — incremental maintenance without retraining.
+
+    Mode contract: ``overwrite`` replaces the ENTIRE store directory,
+    including any persisted quantizer — pass ``centroids`` again to keep
+    the store appendable.  ``mode='append'`` with ``centroids`` is
+    rejected: the quantizer is written once at store creation; appending
+    a second centroid set would leave conflicting rows that
+    :func:`read_ivf_centroids` cannot disambiguate (re-clustering is a
+    new overwrite, deliberate and explicit)."""
+    if mode == "append" and centroids is not None:
+        raise ValueError(
+            "ivf_write(mode='append') cannot rewrite the quantizer — "
+            "centroids are written once at store creation (use ivf_append "
+            "for increments, or overwrite to re-cluster)"
+        )
     assigned.write.mode(mode).partitionBy("_list").parquet(path)
     if centroids is not None:
         spark = assigned.sparkSession
@@ -326,13 +340,30 @@ def centroid_assign(
     argmin with first-index tie-break, matching KMeans.transform
     (equivalence pinned in tests/test_similarity_ivf.py).  The distance
     array is projected to a named column before the argmin so the HOF
-    fold is evaluated once, not once per reference."""
+    fold is evaluated once, not once per reference.
+
+    NULL or wrong-dimension vectors are REJECTED (raise_error in the
+    plan): a silent NULL `_list` would land the row in the Hive default
+    partition where no probe ever reads it — the MLlib path fails loudly
+    on the same input, and so does this one."""
+    dim = len(centroids[0])
     C = F.array(
         *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
     )
+    bad = F.col(vec_col).isNull() | (F.size(vec_col) != dim)
     prepared = df.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
+        F.when(
+            bad,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"centroid_assign: NULL or non-{dim}-dim vector at id="
+                    ),
+                    F.col(id_col).cast("string"),
+                )
+            ),
+        ).otherwise(F.col(vec_col)).alias("v"),
         F.col(vec_col).cast("array<double>").alias("_vd"),
     )
     d2 = F.transform(
@@ -412,7 +443,10 @@ def quantize_embeddings(
     ``q_i = round(x_i / scale)``, ``scale = max|x| / (2^(bits-1) - 1)`` —
     the max-magnitude element maps to exactly ±qmax, so no clipping branch
     exists.  A zero/empty vector quantizes to zeros with scale 0.0 and the
-    dequantization is defined as exact (mse 0.0).
+    dequantization is defined as exact (mse 0.0); NULL elements quantize
+    to NULL and are excluded from mse/n_sat (coalesce-skip — the same
+    NULL-skipping sum DuckDB's list_sum states, so the qz1 oracle agrees
+    on malformed vectors too).
 
     Pure column math (codegen, no UDF, no shuffle — evaluates at scan).
     HOF shape note: computed columns are only ever passed as HOF *array
@@ -444,8 +478,13 @@ def quantize_embeddings(
         F.col("v"), F.col("qvec"),
         lambda x, q: x - q.cast("double") * F.col("scale"),
     )
+    # NULL elements quantize to NULL and are EXCLUDED from mse/n_sat
+    # (coalesce-skip, exactly DuckDB's NULL-skipping list_sum — the qz1
+    # oracle and this fold agree on malformed vectors, not just clean ones)
     mse = F.when(F.size("v") > 0,
-        F.aggregate(resid, F.lit(0.0), lambda acc, r: acc + r * r)
+        F.aggregate(
+            resid, F.lit(0.0), lambda acc, r: acc + F.coalesce(r * r, F.lit(0.0))
+        )
         / F.size("v").cast("double"),
     ).otherwise(F.lit(0.0))
     n_sat = F.size(F.filter(F.col("qvec"), lambda q: F.abs(q) == qmax))

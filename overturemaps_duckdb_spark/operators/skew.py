@@ -90,6 +90,9 @@ def skew_report(
     Percentiles are exact (``percentile``, linear interpolation), not
     approximate — the counts relation is small by construction, and exact
     values are engine-portable for the oracle."""
+    names = [f"p{round(p * 100):g}_key_rows" for p in percentiles]
+    if len(set(names)) != len(names):
+        raise ValueError(f"percentiles collide after naming: {percentiles}")
     n = F.col("n")
     counts = df.groupBy(*keys).agg(F.count("*").alias("n"))
     stats = counts.agg(
@@ -97,8 +100,8 @@ def skew_report(
         F.count("*").cast("bigint").alias("n_keys"),
         F.max(n).cast("bigint").alias("max_key_rows"),
         *[
-            F.expr(f"percentile(n, {p})").alias(f"p{int(p * 100)}_key_rows")
-            for p in percentiles
+            F.expr(f"percentile(n, {p})").alias(name)
+            for p, name in zip(percentiles, names)
         ],
     ).withColumn(
         "skew_ratio",

@@ -148,7 +148,10 @@ def qz1_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("vec_id"),
         F.round("scale", 9).alias("scale_r"),
         F.aggregate(
-            "qvec", F.lit(0).cast("bigint"), lambda a, x: a + x.cast("bigint")
+            "qvec",
+            F.lit(0).cast("bigint"),
+            # coalesce-skip NULL elements like DuckDB's list_sum
+            lambda a, x: a + F.coalesce(x.cast("bigint"), F.lit(0).cast("bigint")),
         ).alias("q_sum"),
         F.col("n_sat").cast("int").alias("n_sat"),
         F.round("mse", 9).alias("mse_r"),

@@ -203,3 +203,34 @@ def test_centroid_assign_no_shuffle_no_udf(spark):
     )
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_centroid_assign_rejects_bad_vectors(spark):
+    """NULL / wrong-dim vectors must fail loudly, never land in the Hive
+    default partition where probes would silently miss them."""
+    import numpy as np
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from overturemaps_duckdb_spark.operators.similarity import (
+        centroid_assign,
+        ivf_write,
+    )
+
+    cents = np.array([[0.0, 0.0], [1.0, 1.0]])
+    bad_null = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, None)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception):
+        centroid_assign(bad_null, cents).collect()
+    bad_dim = spark.createDataFrame(
+        [(1, [0.1, 0.2, 0.3])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception):
+        centroid_assign(bad_dim, cents).collect()
+    ok = spark.createDataFrame(
+        [(1, [0.1, 0.2])], "vec_id long, embedding array<float>"
+    )
+    assert centroid_assign(ok, cents).collect()[0]["_list"] == 0
+    with pytest.raises(ValueError):
+        ivf_write(centroid_assign(ok, cents), "/tmp/x", mode="append", centroids=cents)
