@@ -283,3 +283,59 @@ def test_fuzzy_pairs_rejects_deep_dist(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pt.raises(ValueError):
         fuzzy_pairs(df, "doc_id", "text", max_dist=2)
+
+
+def test_fuzzy_pairs_plan_no_nested_loop(spark):
+    """Blocking must keep the candidate join an equi-join: no
+    BroadcastNestedLoopJoin / CartesianProduct anywhere in the plan."""
+    from overturemaps_duckdb_spark.operators.dedup import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"name{i:04d}") for i in range(100)], "doc_id long, text string"
+    )
+    plan = (
+        fuzzy_pairs(df, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_pairs_randomized_vs_bruteforce(spark):
+    """Blocking completeness (the SymSpell recall=1 guarantee at dist 1)
+    against a python brute force over a small dense alphabet — every
+    distance ≤1 pair must be found, none beyond."""
+    import random
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rnd = random.Random(7)
+    # dense space: short strings over {a,b}, lengths 0-4 → many near pairs
+    strings = ["".join(rnd.choice("ab") for _ in range(rnd.randint(0, 4)))
+               for _ in range(60)]
+    rows = list(enumerate(strings))
+    expected = {
+        (i, j): lev(si, sj)
+        for i, si in rows
+        for j, sj in rows
+        if i < j and lev(si, sj) <= 1
+    }
+    from overturemaps_duckdb_spark.operators.dedup import fuzzy_pairs
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["a_id"], r["b_id"]): r["dist"]
+        for r in fuzzy_pairs(df, "doc_id", "text").collect()
+    }
+    assert got == expected
