@@ -441,3 +441,29 @@ def line_dedup_from_counts(
         .select("_h")
     )
     return _clean_against_hot(docs, id_col, text_col, hot, delim)
+
+
+def intra_doc_line_dedup(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """WITHIN-document line dedup (the C4 rule's intra-doc half — the
+    cross-doc half is :func:`line_corpus_dedup`): keep each line's FIRST
+    occurrence, preserving order — navigation chrome and repeated
+    boilerplate inside one page collapse to a single copy.
+
+    Entirely per-row column math (split → array_distinct → concat_ws:
+    Spark's array_distinct keeps first-occurrence order) — no shuffle, no
+    UDF; at 100 TB this is a scan-speed map.  NULL texts pass through as
+    NULL with NULL counts.
+
+    Returns (id, text, n_before, n_after)."""
+    lines = F.split(F.col(text_col), "\n")
+    ded = F.array_distinct(lines)
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.when(t.isNull(), F.lit(None).cast("string"))
+        .otherwise(F.concat_ws("\n", ded)).alias("text"),
+        F.size(lines).cast("bigint").alias("n_before"),
+        F.size(ded).cast("bigint").alias("n_after"),
+    )

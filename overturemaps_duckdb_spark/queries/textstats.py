@@ -432,3 +432,57 @@ def x12_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occ"), F.asc("token"))
         .limit(20)
     )
+
+
+@query(
+    "x13_intra_doc_dedup",
+    oracle="""
+    WITH staged AS (
+        SELECT doc_id,
+               'src: ' || source || chr(10) || text || chr(10)
+               || 'src: ' || source || chr(10) || text || chr(10)
+               || 'footer: snapshot' AS text
+        FROM documents
+    ), e AS (
+        SELECT doc_id, string_split(text, chr(10)) AS ls FROM staged
+    ), x AS (
+        SELECT doc_id, unnest(ls) AS line,
+               generate_subscripts(ls, 1) AS i
+        FROM e
+    ), g AS (
+        SELECT doc_id, line, min(i) AS mi FROM x GROUP BY doc_id, line
+    ), agg AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY mi) AS text,
+               CAST(count(*) AS BIGINT) AS n_after
+        FROM g GROUP BY doc_id
+    )
+    SELECT agg.doc_id AS id, agg.text,
+           CAST(len(e.ls) AS BIGINT) AS n_before, agg.n_after
+    FROM agg JOIN e ON e.doc_id = agg.doc_id
+    """,
+)
+def x13_intra_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document line dedup (operators/textprep.
+    intra_doc_line_dedup — C4's intra-doc rule; `ld1` is the cross-doc
+    half): staged page = header + body + header + body + footer, so the
+    repeated header/body collapse to first occurrences with order
+    preserved.  Pure per-row column math — Spark's array_distinct keeps
+    first-occurrence order; the oracle states the same via
+    min(ordinality) per line.  No shuffle; scan-speed at 100 TB."""
+    from overturemaps_duckdb_spark.operators.textprep import (
+        intra_doc_line_dedup,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("src: "), F.col("source")),
+            F.col("text"),
+            F.concat(F.lit("src: "), F.col("source")),
+            F.col("text"),
+            F.lit("footer: snapshot"),
+        ).alias("text"),
+    )
+    return intra_doc_line_dedup(staged, "doc_id", "text")

@@ -158,3 +158,24 @@ def test_incremental_counts_equal_full_rebuild(spark, tmp_path):
     assert got == want
     # and FOOT really went hot across batches
     assert (1, "a", 1, 1) in got and (4, "d", 1, 1) in got
+
+
+def test_intra_doc_line_dedup_order_and_nulls(spark):
+    """First-occurrence order preserved; NULL text passes through NULL."""
+    from overturemaps_duckdb_spark.operators.textprep import (
+        intra_doc_line_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "nav\nbody one\nnav\nbody two\nbody one\nfooter"),
+            (2, "single"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in intra_doc_line_dedup(df, "doc_id", "text").collect()}
+    assert out[1]["text"] == "nav\nbody one\nbody two\nfooter"
+    assert (out[1]["n_before"], out[1]["n_after"]) == (6, 4)
+    assert out[2]["text"] == "single" and out[2]["n_after"] == 1
+    assert out[3]["text"] is None and out[3]["n_before"] is None
