@@ -31,77 +31,72 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q.QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-#: Certification rotation, round 4: the 43 queries that have NEVER had a
-#: driver CORRECTNESS row (VERDICT r03 finding #1 — the full TPC-H breadth,
-#: the x-family text-prep surface, sampling/shuffle/skew, ANN scale paths,
-#: sequence packing, and the SQL consoles), followed by this round's two new
-#: registrations (s4 catalog discovery; m5 re-registered onto the REAL PPM
-#:  pixel kernel) and the queries whose plans changed this round (bm25
-#: top-k-then-join → t2/t5/pl6) — exactly 50.  One green round closes
-#: certification of the entire registry.  Regression cover for everything
-#: behind the prefix: tests/test_oracle_parity.py re-verifies all 143
-#: against DuckDB locally every round (ADVICE r03 note).
+#: Certification rotation, round 5 (VERDICT r04 finding #1): lead with the
+#: 10 round-4 registrations that have NEVER had a driver CORRECTNESS row,
+#: then freshen the oldest certifications — the r1 cohort (certified r1/r2,
+#: several of which changed behavior since: the j-family grid rerouting,
+#: g5/g6 unforcing, y1 pyarrow metadata writes, quality-score users) and the
+#: three r4-changed r2-cohort dedup queries (d6/d7/d8 lineage cut) get
+#: displaced into the next rotation per NOTES.  A green round 5 means every
+#: one of the 154 registered queries has a driver row and no certification
+#: is older than its query's last behavior change (except the explicitly
+#: listed next-rotation tail).  Regression cover for everything behind the
+#: prefix: tests/test_oracle_parity.py re-verifies all 154 against DuckDB
+#: locally every round.
 _CERT_PRIORITY = [
-    # TPC-H breadth (queries/relational.py + queries/tpch.py) — includes
-    # every plan whose forced dim broadcast was stat-gated this round
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_nation_revenue",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_shipmode_priority",
-    "q13_customer_distribution",
-    "q14_promo_revenue_ratio",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    "q20_excess_inventory",
-    "q21_waiting_suppliers",
-    "q22_dormant_customers",
-    # text-prep / text-stats extension surface
-    "x1_token_count",
-    "x2_quality_score",
-    "x3_lang_id",
-    "x4_fingerprints",
-    "x5_redaction",
-    "x6_bpe_token_count",
-    "x7_repetition_signals",
-    "x8_sliding_chunks",
-    "x9_gopher_rules",
-    "x10_corpus_composition",
-    "x11_quality_percentile_filter",
-    # sampling / shuffle / skew / packing
-    "sa1_hash_sample",
-    "sa2_stratified_sample",
-    "sh1_deterministic_shuffle",
-    "sk1_salted_agg",
-    "pk1_sequence_packing",
-    # ANN scale paths
-    "n2_lsh_ann_pairs",
-    "n3_ivf_ann_topk",
-    # SQL console front door + sketches
-    "ep3_sql_console",
-    "ep3_ctas_copy_roundtrip",
-    "ep4_sql_fts_console",
-    "a7_approx_count_distinct",
-    # new registrations this round
-    "s4_discover_catalog",
-    "m5_ppm_resize",
-    # plans changed this round (bm25 top-k-then-join) — re-certify
-    "t2_bm25_topk",
-    "t5_search_fanout",
-    "pl6_search_fts",
-    # changed this round: d2 gained the signature pre-verify gate + exact
-    # collapse; d5's oracle now mirrors the banded LSH (non-vacuous rows)
-    "d2_minhash_lsh_pairs",
-    "d5_embedding_neardup",
+    # the 10 never-driver-sampled round-4 registrations
+    "ld1_line_dedup",
+    "sa3_source_cap",
+    "x12_vocab_topk",
+    "qz1_embedding_quantize",
+    "ex1_training_shards",
+    "sk2_skew_report",
+    "d9_dup_rate_report",
+    "cd1_corpus_diff",
+    "fz1_fuzzy_pairs",
+    "x13_intra_doc_dedup",
+    # r1 cohort, oldest certification first — freshen (several changed
+    # behavior since r1/r2: j1–j5/g5/g6 routing, y1 metadata writes)
+    "d1_exact_dedup",
+    "d3_simhash_buckets",
+    "d4_ngram_jaccard_pairs",
+    "e1_tumbling_window",
+    "e2_sessionize",
+    "i1_stream_tumbling_window",
+    "i2_stream_session_window",
+    "i3_stateful_running_totals",
+    "e4_grouped_quantiles",
+    "i4_stream_stream_join",
+    "e3_lag_delta",
+    "t1_fts_index_build",
+    "t3_ilike_fallback",
+    "g1_g2_point_type_centroid",
+    "g1_g2_polygon_type_centroid_area",
+    "g3_asgeojson_point",
+    "j1_spatial_intersect_join",
+    "j2_spatial_within",
+    "j3_spatial_exclude",
+    "j4_spatial_bidirectional",
+    "g5_distance_pairs",
+    "g6_intersection_area",
+    "j8_grid_banded_join",
+    "s2_schema_probe",
+    "s9_s10_table_lifecycle",
+    "t4_search_name_composition",
+    "o7_zorder_by_area",
+    "ep1_load_theme",
+    "s3_manifest_pruned_scan",
+    "s13_grid_partitioned_scan",
+    "s7_s8_snapview_roundtrip",
+    "y1_session_kv",
+    "y4_url_codec",
+    "m1_asset_metadata",
+    "m2_asset_decode",
+    "m3_asset_byte_features",
+    "m4_frame_sample",
+    "m6_audio_modality",
+    "pl1_union_balanced_limit",
+    "pl2_search_ilike",
 ]
 
 
