@@ -135,6 +135,7 @@ def fuzzy_pairs(
     *,
     max_dist: int = 1,
     collapse_exact: bool = True,
+    group_cap: int | None = 1000,
 ) -> DataFrame:
     """Edit-distance-1 near-identical pairs via deletion-neighborhood
     blocking (the SymSpell guarantee: two strings within Levenshtein
@@ -158,7 +159,14 @@ def fuzzy_pairs(
     inherit the representative distance.  On a 10×-duplicated corpus
     every variant bucket would otherwise be 10× denser (100× the
     candidate pairs): measured 258 s → ~7 s at the sf1 fixture, output
-    identical.  NULL texts never pair (Levenshtein(NULL, ·) is NULL).
+    identical UP TO ``group_cap``: a string duplicated more than
+    ``group_cap`` times keeps only its first ``group_cap`` members
+    (deterministic min-id order; drops surface via the
+    ``fuzzy_group_cap`` Observation, never silently) — the same hot-key
+    guard as ``bucket_cap`` in the MinHash family.  Pass
+    ``group_cap=None`` for exact completeness on corpora known to have
+    no pathological duplication.  NULL texts never pair
+    (Levenshtein(NULL, ·) is NULL).
 
     Returns (a_id, b_id, dist) with a_id < b_id, dist ≤ max_dist."""
     if max_dist != 1:
@@ -168,7 +176,9 @@ def fuzzy_pairs(
     )
     groups = None
     if collapse_exact:
-        groups = _exact_groups(s, "s", group_cap=1000, obs_name="fuzzy_group_cap")
+        groups = _exact_groups(
+            s, "s", group_cap=group_cap, obs_name="fuzzy_group_cap"
+        )
         s = groups.select(F.element_at("gids", 1).alias("id"), "s")
     deletions = F.transform(
         F.sequence(F.lit(1), F.length("s")),

@@ -187,8 +187,11 @@ def bm25_score(
     """
     terms = tokenize_query(query)
     if not terms:
+        # empty frame's id type must FOLLOW the index schema — a hardcoded
+        # `id long` would schema-mismatch downstream for string-keyed tables
         spark = index.postings.sparkSession
-        return spark.createDataFrame([], "id long, _score double")
+        id_type = index.postings.schema["id"].dataType.simpleString()
+        return spark.createDataFrame([], f"id {id_type}, _score double")
     # term pruning as an IN predicate, not a join — pushes into the scan
     # (parquet row-group / in-memory batch pruning on the term column)
     pruned = index.postings.where(F.col("term").isin(terms))

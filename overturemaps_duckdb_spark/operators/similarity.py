@@ -223,16 +223,90 @@ def ivf_build(
     return assigned, centroids
 
 
+#: Above this many query rows, query→probe-list assignment runs engine-side
+#: (``_probe_assign``) instead of collecting the query frame to the driver —
+#: a bulk kNN batch (millions of queries) must never materialize driver-side.
+MAX_DRIVER_PROBE_QUERIES = 1024
+
+
+def _probe_assign(
+    centroids, queries: DataFrame, query_id_col: str, vec_col: str,
+    n_probe: int,
+) -> DataFrame:
+    """Distributed query→probe-list assignment: the centroid matrix is a
+    literal (n_lists × dim — KBs), distances are one codegen'd HOF fold per
+    (query, centroid), and the `n_probe` nearest lists come from an
+    ``array_sort`` over (distance, list) structs — ties break toward the
+    lower list id, deterministically.  No collect, no UDF, no shuffle:
+    scales to arbitrarily large query frames (the bulk-kNN path).
+    Queries must have non-NULL, correct-dimension vectors (same contract
+    as the driver path, which would fail on NULL too)."""
+    C = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    )
+    d2 = F.transform(
+        C,
+        lambda c: F.aggregate(
+            F.zip_with(F.col("q_vec"), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    staged = q.select("query_id", "q_vec", d2.alias("_d2"))
+    nearest = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("_d2"),
+                lambda d, i: F.struct(d.alias("d"), i.alias("l")),
+            )
+        ),
+        1,
+        n_probe,
+    )
+    return staged.select(
+        "query_id",
+        "q_vec",
+        F.explode(F.transform(nearest, lambda s: s["l"].cast("int"))).alias(
+            "_list"
+        ),
+    )
+
+
 def _ivf_probes(
     spark, centroids, queries: DataFrame, query_id_col: str, vec_col: str,
     n_probe: int,
-) -> DataFrame:
-    """((query_id, q_vec, _list) frame, sorted probed list ids) — each
-    query replicated onto its `n_probe` nearest coarse lists.  Driver-side
-    against the tiny centroid table (queries are small by definition);
-    shared by the in-memory and persisted-store probe paths so they cannot
-    desynchronize."""
+):
+    """((query_id, q_vec, _list) frame, sorted probed list ids, small flag)
+    — each query replicated onto its `n_probe` nearest coarse lists.
+    Shared by the in-memory and persisted-store probe paths so they cannot
+    desynchronize.
+
+    Routing (VERDICT r04 #3): up to ``MAX_DRIVER_PROBE_QUERIES`` rows the
+    assignment happens driver-side against the tiny centroid table (the
+    point-lookup batch case — one numpy pass, no job).  Beyond that the
+    query frame is NEVER collected: :func:`_probe_assign` does the same
+    squared-L2 argsort engine-side and only the ≤ n_lists DISTINCT probed
+    list ids come back to the driver (for the store path's static
+    partition filter).  Both paths break distance ties toward the lower
+    list id; near-exact ties may still differ between paths by float
+    summation order (harmless for ANN — either list is an equally-near
+    coarse assignment)."""
     import numpy as np
+
+    cap = MAX_DRIVER_PROBE_QUERIES
+    small = queries.limit(cap + 1).count() <= cap
+    if not small:
+        probe_df = _probe_assign(
+            centroids, queries, query_id_col, vec_col, n_probe
+        )
+        probed = sorted(
+            r["_list"] for r in probe_df.select("_list").distinct().collect()
+        )
+        return probe_df, probed, False
 
     q_rows = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
@@ -241,12 +315,13 @@ def _ivf_probes(
     for r in q_rows:
         qv = np.asarray(r["q_vec"], dtype="float64")
         d = ((centroids - qv) ** 2).sum(axis=1)
-        for lst in np.argsort(d)[:n_probe]:
+        # stable sort == the distributed path's (distance, list) tie-break
+        for lst in np.argsort(d, kind="stable")[:n_probe]:
             probes.append((r["query_id"], list(map(float, r["q_vec"])), int(lst)))
     df = spark.createDataFrame(
         probes, "query_id long, q_vec array<double>, _list int"
     )
-    return df, sorted({p[2] for p in probes})
+    return df, sorted({p[2] for p in probes}), True
 
 
 def _ivf_score_topk(cand: DataFrame, k: int) -> DataFrame:
@@ -273,13 +348,17 @@ def ivf_topk(
     whose centroids are nearest — candidate generation is an equi-join on
     `_list`, never a cross product.
 
-    Query→probe-list assignment happens driver-side against the tiny
-    centroid table (queries are small by definition); everything after is
-    engine-side.  Returns (query_id, vec_id, cosine, rank)."""
-    probe_df, _ = _ivf_probes(
+    Query→probe-list assignment is driver-side for point-lookup batches
+    and engine-side column math beyond ``MAX_DRIVER_PROBE_QUERIES`` (the
+    bulk-kNN path — the query frame is never collected); everything after
+    is engine-side either way.  The probe frame is broadcast only in the
+    small-batch case; a bulk probe frame shuffle-joins on `_list` (AQE
+    may still pick broadcast from its own stats).  Returns (query_id,
+    vec_id, cosine, rank)."""
+    probe_df, _, small = _ivf_probes(
         assigned.sparkSession, centroids, queries, query_id_col, vec_col, n_probe
     )
-    cand = assigned.join(F.broadcast(probe_df), "_list")
+    cand = assigned.join(F.broadcast(probe_df) if small else probe_df, "_list")
     return _ivf_score_topk(cand, k)
 
 
@@ -337,10 +416,19 @@ def centroid_assign(
     The centroid matrix is a literal (n_lists × dim — KBs), so assignment
     is one codegen'd HOF pass per row: no MLlib, no UDF, no shuffle — it
     runs at scan speed over an arbitrarily large increment.  Squared-L2
-    argmin with first-index tie-break, matching KMeans.transform
-    (equivalence pinned in tests/test_similarity_ivf.py).  The distance
-    array is projected to a named column before the argmin so the HOF
-    fold is evaluated once, not once per reference.
+    argmin with first-index tie-break.  Equivalence to KMeans.transform
+    is pinned EMPIRICALLY on the test fixtures
+    (tests/test_similarity_ivf.py), not guaranteed in general: the two
+    paths compute distance with different float op orders, so a vector
+    exactly (or near-exactly) equidistant from two centroids can flip
+    lists — harmless for ANN recall (either list is a valid coarse
+    assignment; probes use the same centroids either way), but the
+    "append-store probes identical to one-shot build" contract is
+    fixture-pinned for KMeans-built stores.  Stores maintained purely
+    via ``centroid_assign``/:func:`ivf_append` share this one code path
+    and are exactly reproducible.  The distance array is projected to a
+    named column before the argmin so the HOF fold is evaluated once,
+    not once per reference.
 
     NULL or wrong-dimension vectors are REJECTED (raise_error in the
     plan): a silent NULL `_list` would land the row in the Hive default
@@ -421,11 +509,11 @@ def ivf_topk_from_store(
     prune every unprobed partition at planning time (pinned in
     tests/test_similarity_ivf.py) — no reliance on runtime DPP.  Results
     are identical to the in-memory form (shared probe/scoring helpers)."""
-    probe_df, probed_lists = _ivf_probes(
+    probe_df, probed_lists, small = _ivf_probes(
         spark, centroids, queries, query_id_col, vec_col, n_probe
     )
     store = spark.read.parquet(path).where(F.col("_list").isin(probed_lists))
-    cand = store.join(F.broadcast(probe_df), "_list")
+    cand = store.join(F.broadcast(probe_df) if small else probe_df, "_list")
     return _ivf_score_topk(cand, k)
 
 

@@ -90,7 +90,12 @@ def skew_report(
     Percentiles are exact (``percentile``, linear interpolation), not
     approximate — the counts relation is small by construction, and exact
     values are engine-portable for the oracle."""
-    names = [f"p{round(p * 100):g}_key_rows" for p in percentiles]
+    # name from the RAW percentile (dot → underscore), never rounded:
+    # round(p*100) would mislabel 0.999 as p100_key_rows (a lie, not a
+    # collision — the collision check can't catch it)
+    names = [
+        f"p{f'{p * 100:g}'.replace('.', '_')}_key_rows" for p in percentiles
+    ]
     if len(set(names)) != len(names):
         raise ValueError(f"percentiles collide after naming: {percentiles}")
     n = F.col("n")

@@ -143,15 +143,30 @@ def qz1_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical double-precision expressions (same left-to-right folds), so
     scale/mse match bit-for-bit before the defensive 9 dp round."""
     e = t(spark, sf_dir, "embeddings")
-    qz = quantize_embeddings(e, id_col="vec_id", vec_col="embedding", bits=8)
+    return quantize_report(e, id_col="vec_id", vec_col="embedding")
+
+
+def quantize_report(
+    df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """qz1's projection over :func:`quantize_embeddings` — factored so the
+    NULL-vector edge parity (a NULL embedding must report q_sum 0, like the
+    oracle's coalesce(list_sum(qv), 0)) is unit-testable off-fixture."""
+    qz = quantize_embeddings(df, id_col=id_col, vec_col=vec_col, bits=8)
     return qz.select(
-        F.col("id").alias("vec_id"),
+        F.col("id").alias(id_col),
         F.round("scale", 9).alias("scale_r"),
-        F.aggregate(
-            "qvec",
+        # outer coalesce: a NULL qvec (NULL embedding row) folds to NULL in
+        # Spark but the oracle's coalesce(list_sum(qv), 0) says 0 — mirror it
+        F.coalesce(
+            F.aggregate(
+                "qvec",
+                F.lit(0).cast("bigint"),
+                # coalesce-skip NULL elements like DuckDB's list_sum
+                lambda a, x: a
+                + F.coalesce(x.cast("bigint"), F.lit(0).cast("bigint")),
+            ),
             F.lit(0).cast("bigint"),
-            # coalesce-skip NULL elements like DuckDB's list_sum
-            lambda a, x: a + F.coalesce(x.cast("bigint"), F.lit(0).cast("bigint")),
         ).alias("q_sum"),
         F.col("n_sat").cast("int").alias("n_sat"),
         F.round("mse", 9).alias("mse_r"),

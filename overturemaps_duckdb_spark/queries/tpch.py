@@ -229,11 +229,30 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``p_retailprice * l_quantity`` stands in for ps_supplycost; both profit
     terms are exact-cents BEFORE the subtraction so the sum is order-stable.
     """
-    li = t(spark, sf_dir, "lineitem").alias("l")
-    p = t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY").alias("p")
-    s = t(spark, sf_dir, "supplier").alias("s")
-    o = t(spark, sf_dir, "orders").alias("o")
-    n = t(spark, sf_dir, "nation").alias("n")
+    return q9_plan(
+        t(spark, sf_dir, "lineitem"),
+        t(spark, sf_dir, "part"),
+        t(spark, sf_dir, "supplier"),
+        t(spark, sf_dir, "orders"),
+        t(spark, sf_dir, "nation"),
+    )
+
+
+def q9_plan(
+    li: DataFrame, p: DataFrame, s: DataFrame, o: DataFrame, n: DataFrame
+) -> DataFrame:
+    """Q9's plan over caller-supplied frames — the registered query passes
+    plain parquet reads; the bucketed variant (bench extras + test_layout)
+    passes lineitem/orders bucketed on the orderkey, which deletes the one
+    fact-fact Exchange (the repeated l_orderkey shuffle VERDICT r04 flagged)
+    while the dim joins stay broadcast."""
+    li, p, s, o, n = (
+        li.alias("l"),
+        p.where(F.col("p_type") == "ECONOMY").alias("p"),
+        s.alias("s"),
+        o.alias("o"),
+        n.alias("n"),
+    )
     profit = _rev_cents("l") - cents(F.col("p.p_retailprice") * F.col("l.l_quantity"))
     return (
         li.join(dim(p), F.col("p.p_partkey") == F.col("l.l_partkey"))
@@ -312,8 +331,15 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     which would drop zero-order customers).  count("o_orderkey") counts
     non-null matches only — the outer-join null row contributes 0.
     """
-    c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    return q13_plan(t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders"))
+
+
+def q13_plan(c: DataFrame, o: DataFrame) -> DataFrame:
+    """Q13's plan over caller-supplied frames — the bucketed variant passes
+    customer/orders bucketed on the customer key, making the outer join AND
+    the per-customer count Exchange-free (they inherit the bucket
+    partitioning); only the tiny c_count histogram still shuffles."""
+    o = o.where(F.col("o_orderpriority") != "1-URGENT")
     return (
         c.join(o, c["c_custkey"] == o["o_custkey"], "left")
         .groupBy(c["c_custkey"])

@@ -108,6 +108,39 @@ def write_bucketed(
     writer.format("parquet").saveAsTable(table)
 
 
+def write_cobucketed(
+    spark: SparkSession,
+    frames: list[tuple[DataFrame, str, str]],
+    root: str,
+    *,
+    n_buckets: int = 16,
+) -> list[DataFrame]:
+    """Co-bucket a set of frames for a repeated fact-fact join pattern:
+    ``frames`` is ``[(df, table_name, join_key), ...]`` — every frame lands
+    hash-bucketed + sorted on its key with the SAME bucket count, so any
+    pairwise equi-join on those keys (and any aggregation keyed by them)
+    plans bucket-local with no Exchange.  Returns the bucketed frames in
+    input order.
+
+    This is the q9/q13-class layout at 100 TB (VERDICT r04 #2): the
+    lineitem⋈orders / customer⋈orders shuffle repeats in every query that
+    touches the pair — pay it ONCE at write time and every later join
+    reads co-located buckets.  The write itself is one repartition-on-key
+    pass per table (what the deleted per-query shuffle would have cost)."""
+    out = []
+    for df, name, key in frames:
+        write_bucketed(
+            df,
+            name,
+            bucket_cols=[key],
+            n_buckets=n_buckets,
+            sort_cols=[key],
+            path=f"{root}/{name}",
+        )
+        out.append(spark.table(name))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Z-order (Morton) clustering — the flat-directory dual of grid partitioning
 # ---------------------------------------------------------------------------

@@ -339,3 +339,19 @@ def test_fuzzy_pairs_randomized_vs_bruteforce(spark):
         for r in fuzzy_pairs(df, "doc_id", "text").collect()
     }
     assert got == expected
+
+
+def test_fuzzy_pairs_group_cap_kwarg(spark):
+    """ADVICE r04: group_cap is a real knob — a string duplicated beyond
+    the cap loses member pairs (observed, documented); group_cap=None is
+    exact."""
+    from overturemaps_duckdb_spark.operators.dedup import fuzzy_pairs
+
+    rows = [(i, "alpha") for i in range(5)] + [(10, "alphb")]
+    df = spark.createDataFrame(rows, "id long, s string")
+    # exact: C(5,2)=10 intra pairs + 5 cross pairs to the dist-1 neighbor
+    assert fuzzy_pairs(df, "id", "s", group_cap=None).count() == 15
+    # cap 2: group keeps members [0, 1] → 1 intra + 2 cross
+    assert fuzzy_pairs(df, "id", "s", group_cap=2).count() == 3
+    # default cap (1000) unhit → identical to exact
+    assert fuzzy_pairs(df, "id", "s").count() == 15

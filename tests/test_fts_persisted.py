@@ -54,3 +54,22 @@ def test_persisted_postings_scan_prunes_terms(spark):
     # the term IN predicate must reach the parquet scan (row-group pruning
     # over the term-sorted files — the flat-file form of term partitioning)
     assert "PushedFilters: [In(term" in plan
+
+
+def test_bm25_empty_query_follows_index_id_type(spark):
+    """VERDICT r04 nit: the no-term early-return frame's id type must
+    follow the index schema — a string-keyed table used to get `id long`
+    and schema-mismatch downstream."""
+    from overturemaps_duckdb_spark.operators.fts import (
+        bm25_score,
+        build_fts_index,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "hello world"), ("b", "spark engine")],
+        "doc_id string, text string",
+    )
+    idx = build_fts_index(df, "doc_id", "text")
+    res = bm25_score(idx, "!!! ???")  # tokenizes to nothing
+    assert res.schema["id"].dataType.simpleString() == "string"
+    assert res.count() == 0

@@ -261,3 +261,92 @@ def test_q3_on_bucketed_fact_tables_shuffle_free_join(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bkt_q3_lineitem")
         spark.sql("DROP TABLE IF EXISTS bkt_q3_orders")
+
+
+def test_q9_q13_on_cobucketed_facts(spark):
+    """VERDICT r04 #2: the ACTUAL q9/q13 plans (queries/tpch.q9_plan /
+    q13_plan — same code the registered queries run) over co-bucketed fact
+    tables must (1) not shuffle the fact-fact edge and (2) return exactly
+    the plain-parquet results."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from overturemaps_duckdb_spark.queries import t
+    from overturemaps_duckdb_spark.queries.tpch import q13_plan, q9_plan
+    from overturemaps_duckdb_spark.sources.layout import write_cobucketed
+    from tests.conftest import SF_SMOKE
+
+    root = tempfile.mkdtemp(prefix="omds_q9bkt_")
+    li_b, o_b = write_cobucketed(
+        spark,
+        [
+            (t(spark, SF_SMOKE, "lineitem"), "bkt9_lineitem", "l_orderkey"),
+            (t(spark, SF_SMOKE, "orders"), "bkt9_orders", "o_orderkey"),
+        ],
+        root,
+        n_buckets=8,
+    )
+    c_b, o_cb = write_cobucketed(
+        spark,
+        [
+            (t(spark, SF_SMOKE, "customer"), "bkt13_customer", "c_custkey"),
+            (t(spark, SF_SMOKE, "orders"), "bkt13_orders", "o_custkey"),
+        ],
+        root,
+        n_buckets=8,
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # big-side broadcast off so the fact edge must co-locate (at SMOKE
+        # size Catalyst would otherwise broadcast orders and hide the test).
+        # The dims are passed PRE-hinted: dim()'s stat-gate goes unhinted at
+        # threshold -1, but an existing broadcast hint on the input frame
+        # survives — exactly the production shape (dims broadcast, the
+        # fact-fact edge is the one big join).
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        q9b = q9_plan(
+            li_b,
+            F.broadcast(t(spark, SF_SMOKE, "part")),
+            F.broadcast(t(spark, SF_SMOKE, "supplier")),
+            o_b,
+            t(spark, SF_SMOKE, "nation"),
+        )
+        rows9 = {tuple(r) for r in q9b.collect()}
+        # AQE plan strings append an "== Initial Plan ==" section after the
+        # Final Plan — cut it off before slicing, or the pre-AQE exchanges
+        # below it false-positive the assertion
+        plan9 = (
+            q9b._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert "SortMergeJoin" in plan9
+        # plans print top-down: everything after the SMJ line is its input
+        # subtree — the bucketed scans — where no shuffle may appear (the
+        # final nation×year aggregate exchange sits above the join)
+        smj_sub = plan9.split("SortMergeJoin", 1)[1]
+        assert "Exchange hashpartitioning" not in smj_sub, (
+            "bucketed q9 lineitem⋈orders edge must not shuffle"
+        )
+        assert "SelectedBucketsCount" in plan9  # reading the bucketed layout
+
+        q13b = q13_plan(c_b, o_cb)
+        rows13 = {tuple(r) for r in q13b.collect()}
+        plan13 = (
+            q13b._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert "SortMergeJoin" in plan13
+        # the outer join and per-customer count inherit bucket partitioning:
+        # the ONLY exchange left is the tiny c_count histogram
+        assert plan13.count("Exchange hashpartitioning") <= 1, plan13
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    from overturemaps_duckdb_spark.queries import QUERIES, load_all
+
+    load_all()
+    plain9 = {tuple(r) for r in QUERIES["q9_product_type_profit"](spark, SF_SMOKE).collect()}
+    plain13 = {tuple(r) for r in QUERIES["q13_customer_distribution"](spark, SF_SMOKE).collect()}
+    assert rows9 == plain9
+    assert rows13 == plain13

@@ -132,3 +132,23 @@ def test_quantize_property_random_vectors(spark):
                 assert abs(x - q * r["scale"]) <= r["scale"] / 2 * (1 + 1e-9)
         else:
             assert all(q == 0 for q in r["qvec"]) and r["mse"] == 0.0
+
+
+def test_quantize_report_null_vector_matches_oracle(spark):
+    """ADVICE r04: a NULL embedding row must report q_sum 0 — DuckDB's
+    coalesce(list_sum(NULL), 0) — not NULL (Spark's bare aggregate over a
+    NULL array).  The fixture has no NULL vectors, so this edge is pinned
+    here instead."""
+    import duckdb
+
+    from overturemaps_duckdb_spark.queries.similarity import quantize_report
+
+    df = spark.createDataFrame(
+        [(1, None), (2, [2.0, -4.0])], "vec_id long, embedding array<float>"
+    )
+    out = {r["vec_id"]: r for r in quantize_report(df).collect()}
+    assert out[1]["q_sum"] == 0 and out[1]["scale_r"] == 0.0
+    # scale = 4/127; round(2/scale) = round(63.5) = 64, round(-4/scale) = -127
+    assert out[2]["q_sum"] == 64 - 127
+    # cross-check the NULL fold against DuckDB's stated semantics
+    assert duckdb.sql("SELECT coalesce(list_sum(NULL), 0)").fetchone()[0] == 0

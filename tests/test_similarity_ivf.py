@@ -234,3 +234,57 @@ def test_centroid_assign_rejects_bad_vectors(spark):
     assert centroid_assign(ok, cents).collect()[0]["_list"] == 0
     with pytest.raises(ValueError):
         ivf_write(centroid_assign(ok, cents), "/tmp/x", mode="append", centroids=cents)
+
+
+def test_probe_assign_matches_driver_probes(spark):
+    """The distributed query→probe-list assignment (bulk path) must pick
+    the same probed lists as the driver-side numpy path on the fixture
+    queries (both squared-L2, tie-break toward the lower list id)."""
+    from overturemaps_duckdb_spark.operators import similarity as S
+
+    e = spark.read.parquet(f"{SF_CORRECTNESS}/embeddings.parquet")
+    assigned, centroids = ivf_build(e, n_lists=8, seed=42)
+    queries = e.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    drv_df, drv_lists, small = S._ivf_probes(
+        spark, centroids, queries, "query_id", "embedding", 3
+    )
+    assert small  # 20 queries → driver path
+    dist_df = S._probe_assign(centroids, queries, "query_id", "embedding", 3)
+    key = lambda r: (r["query_id"], r["_list"])
+    assert sorted(map(key, dist_df.collect())) == sorted(
+        map(key, drv_df.collect())
+    )
+
+
+def test_ivf_bulk_query_frame_never_collected(spark):
+    """VERDICT r04 #3: a bulk query frame (≫ MAX_DRIVER_PROBE_QUERIES) must
+    route through the engine-side probe assignment — the query frame is
+    never materialized driver-side — and the end-to-end probed top-k must
+    still complete with one row per query."""
+    from overturemaps_duckdb_spark.operators import similarity as S
+
+    dim, n_lists, nq = 8, 4, 100_000
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: (F.col("id") % 7 + i).cast("double"),
+    )
+    corpus = spark.range(200).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
+    )
+    assigned, centroids = ivf_build(corpus, n_lists=n_lists, seed=42)
+    queries = spark.range(nq).select(
+        F.col("id").alias("query_id"), vec.alias("embedding")
+    )
+    probe_df, probed, small = S._ivf_probes(
+        spark, centroids, queries, "query_id", "embedding", 2
+    )
+    assert not small, "bulk frame must take the distributed path"
+    assert set(probed) <= set(range(n_lists))
+    assert probe_df.count() == nq * 2
+    # no Python evaluation / no collect in the probe plan itself
+    plan = probe_df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    res = S.ivf_topk(assigned, centroids, queries, n_probe=2, k=1)
+    assert res.where(F.col("rank") == 1).count() == nq

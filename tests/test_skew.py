@@ -87,3 +87,18 @@ def test_skew_report_tiebreak_min_key(spark):
     r = skew_report(df, ["k"]).collect()[0]
     assert r["hot_k"] == 0 and r["hot_rows"] == 5
     assert abs(r["skew_ratio"] - 1.0) < 1e-9
+
+
+def test_skew_report_fractional_percentile_names(spark):
+    """ADVICE r04: 0.999 must label as p99_9_key_rows, never the lie
+    p100_key_rows (round(p*100) mislabeled it)."""
+    import pyspark.sql.functions as F
+
+    from overturemaps_duckdb_spark.operators.skew import skew_report
+
+    df = spark.range(100).select((F.col("id") % 10).alias("k"))
+    out = skew_report(df, ["k"], percentiles=(0.5, 0.999))
+    assert "p99_9_key_rows" in out.columns
+    assert "p100_key_rows" not in out.columns
+    r = out.collect()[0]
+    assert r["p50_key_rows"] == 10.0 and r["p99_9_key_rows"] == 10.0
