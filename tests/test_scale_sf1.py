@@ -127,3 +127,25 @@ def test_no_vector_payload_in_candidate_join(spark, q):
     assert bare, "expected a bare (a_id, b_id, bucket) candidate projection"
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_exact_collapse_shrinks_replicated_working_set(spark, q):
+    """Count-level pin for the collapse class (VERDICT r04 #4): on the
+    10×-replicated fixture the exact-duplicate collapse must shrink the
+    working set ~10× — every quadratic stage downstream (shingling,
+    banding, verify joins) runs per DISTINCT value.  A regression here is
+    what turned d2/d5/fz1 from seconds into minutes-to-unfinishable."""
+    from overturemaps_duckdb_spark.operators.dedup import _exact_groups
+
+    d = spark.read.parquet(f"{SF1}/documents.parquet").selectExpr(
+        "doc_id AS id", "text AS s"
+    )
+    n = d.count()
+    groups = _exact_groups(d, "s", group_cap=1000, obs_name="sf1_collapse_pin")
+    try:
+        g = groups.count()
+        # verbatim 10× replication ⇒ distinct ≈ n/10; allow slack for the
+        # fixture's own intra-sf0.1 duplicates
+        assert g * 8 <= n, f"collapse left {g} of {n} rows — not collapsing"
+    finally:
+        groups.unpersist()
