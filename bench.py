@@ -159,8 +159,6 @@ def main() -> None:
     try:
         import tempfile as _tfb
 
-        import pyspark.sql.functions as _F
-
         from overturemaps_duckdb_spark.queries import t as _tq
         from overturemaps_duckdb_spark.queries.tpch import q13_plan, q9_plan
         from overturemaps_duckdb_spark.sources.layout import write_cobucketed
@@ -195,12 +193,18 @@ def main() -> None:
         t0 = time.monotonic()
         q9b.write.format("noop").mode("overwrite").save()
         extras["q9_bucketed"] = round(time.monotonic() - t0, 3)
-        # final AQE plan only — the "== Initial Plan ==" tail shows pre-AQE
-        # exchanges that never ran
+        # Plan checks on the statically-planned tree (the noop write runs
+        # its own QueryExecution, so this one is pre-AQE — slice off the
+        # "== Initial Plan ==" tail if present anyway).  Sound because AQE
+        # can only REMOVE exchanges (SMJ→broadcast conversion), never add
+        # one the static plan lacks: a shuffle below the static SMJ, a
+        # missing bucketed scan, or >1 static exchange in q13 each prove
+        # the layout silently failed, which is what these guard.
         plan9 = (
             q9b._jdf.queryExecution().executedPlan().toString()
             .split("== Initial Plan ==")[0]
         )
+        assert "Bucketed: true" in plan9, "q9 is not reading bucketed scans"
         if "SortMergeJoin" in plan9:
             smj_sub = plan9.split("SortMergeJoin", 1)[1]
             assert "Exchange hashpartitioning" not in smj_sub, (
@@ -211,6 +215,16 @@ def main() -> None:
         t0 = time.monotonic()
         q13b.write.format("noop").mode("overwrite").save()
         extras["q13_bucketed"] = round(time.monotonic() - t0, 3)
+        plan13 = (
+            q13b._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert "Bucketed: true" in plan13, "q13 is not reading bucketed scans"
+        # join + per-customer count inherit the bucket partitioning; only
+        # the tiny c_count histogram may shuffle
+        assert plan13.count("Exchange hashpartitioning") <= 1, (
+            "bucketed q13 shuffled more than the final histogram"
+        )
     except Exception as exc:  # noqa: BLE001
         errors["fact_bucketed"] = f"extras: {exc}"[:300]
 

@@ -239,14 +239,31 @@ def _probe_assign(
     ``array_sort`` over (distance, list) structs — ties break toward the
     lower list id, deterministically.  No collect, no UDF, no shuffle:
     scales to arbitrarily large query frames (the bulk-kNN path).
-    Queries must have non-NULL, correct-dimension vectors (same contract
-    as the driver path, which would fail on NULL too)."""
+    NULL / wrong-dimension query vectors are REJECTED in-plan
+    (raise_error), matching the driver path (numpy raises on NULL) and
+    centroid_assign's policy — a NULL distance fold would otherwise
+    silently probe lists 0..n_probe-1 and return plausible-looking but
+    meaningless top-k."""
+    dim = len(centroids[0])
     C = F.array(
         *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
     )
+    bad = F.col(vec_col).isNull() | (F.size(vec_col) != dim)
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("q_vec"),
+        F.when(
+            bad,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"_probe_assign: NULL or non-{dim}-dim query vector at "
+                    ),
+                    F.col(query_id_col).cast("string"),
+                )
+            ),
+        )
+        .otherwise(F.col(vec_col).cast("array<double>"))
+        .alias("q_vec"),
     )
     d2 = F.transform(
         C,
@@ -278,41 +295,50 @@ def _probe_assign(
 
 def _ivf_probes(
     spark, centroids, queries: DataFrame, query_id_col: str, vec_col: str,
-    n_probe: int,
+    n_probe: int, *, need_lists: bool = True,
 ):
-    """((query_id, q_vec, _list) frame, sorted probed list ids, small flag)
-    — each query replicated onto its `n_probe` nearest coarse lists.
-    Shared by the in-memory and persisted-store probe paths so they cannot
-    desynchronize.
+    """((query_id, q_vec, _list) frame, sorted probed list ids or None,
+    small flag) — each query replicated onto its `n_probe` nearest coarse
+    lists.  Shared by the in-memory and persisted-store probe paths so
+    they cannot desynchronize.
 
-    Routing (VERDICT r04 #3): up to ``MAX_DRIVER_PROBE_QUERIES`` rows the
-    assignment happens driver-side against the tiny centroid table (the
-    point-lookup batch case — one numpy pass, no job).  Beyond that the
-    query frame is NEVER collected: :func:`_probe_assign` does the same
-    squared-L2 argsort engine-side and only the ≤ n_lists DISTINCT probed
-    list ids come back to the driver (for the store path's static
-    partition filter).  Both paths break distance ties toward the lower
-    list id; near-exact ties may still differ between paths by float
-    summation order (harmless for ANN — either list is an equally-near
-    coarse assignment)."""
+    Routing (VERDICT r04 #3): one collect of at most
+    ``MAX_DRIVER_PROBE_QUERIES + 1`` rows both decides the route AND
+    feeds the small path (no separate count job).  Within the cap the
+    assignment is driver-side numpy against the tiny centroid table (the
+    point-lookup batch case).  Beyond it the query frame is NEVER
+    collected: :func:`_probe_assign` does the same squared-L2 argsort
+    engine-side; with ``need_lists`` the probe frame is persisted and
+    only the ≤ n_lists DISTINCT probed ids come back (for the store
+    path's static partition filter — the persist keeps the candidate
+    join from recomputing the distance stage; released by Spark's LRU
+    like the dedup family's group frames).  ``need_lists=False`` (the
+    in-memory path, which never uses the ids) skips that job entirely.
+    Both paths break distance ties toward the lower list id; near-exact
+    ties may still differ between paths by float summation order
+    (harmless for ANN — either list is an equally-near coarse
+    assignment)."""
     import numpy as np
 
     cap = MAX_DRIVER_PROBE_QUERIES
-    small = queries.limit(cap + 1).count() <= cap
-    if not small:
+    head = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).limit(cap + 1).collect()
+    if len(head) > cap:
         probe_df = _probe_assign(
             centroids, queries, query_id_col, vec_col, n_probe
         )
-        probed = sorted(
-            r["_list"] for r in probe_df.select("_list").distinct().collect()
-        )
+        probed = None
+        if need_lists:
+            probe_df = probe_df.persist()
+            probed = sorted(
+                r["_list"]
+                for r in probe_df.select("_list").distinct().collect()
+            )
         return probe_df, probed, False
 
-    q_rows = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    ).collect()
     probes = []
-    for r in q_rows:
+    for r in head:
         qv = np.asarray(r["q_vec"], dtype="float64")
         d = ((centroids - qv) ** 2).sum(axis=1)
         # stable sort == the distributed path's (distance, list) tie-break
@@ -356,7 +382,8 @@ def ivf_topk(
     may still pick broadcast from its own stats).  Returns (query_id,
     vec_id, cosine, rank)."""
     probe_df, _, small = _ivf_probes(
-        assigned.sparkSession, centroids, queries, query_id_col, vec_col, n_probe
+        assigned.sparkSession, centroids, queries, query_id_col, vec_col,
+        n_probe, need_lists=False,
     )
     cand = assigned.join(F.broadcast(probe_df) if small else probe_df, "_list")
     return _ivf_score_topk(cand, k)

@@ -92,9 +92,12 @@ def skew_report(
     values are engine-portable for the oracle."""
     # name from the RAW percentile (dot → underscore), never rounded:
     # round(p*100) would mislabel 0.999 as p100_key_rows (a lie, not a
-    # collision — the collision check can't catch it)
+    # collision — the collision check can't catch it).  12 significant
+    # digits, not %g's 6, so even p=0.99999951 names p99_999951_key_rows;
+    # %g also strips the float-noise tail of p*100 (0.999*100 → "99.9")
     names = [
-        f"p{f'{p * 100:g}'.replace('.', '_')}_key_rows" for p in percentiles
+        f"p{f'{p * 100:.12g}'.replace('.', '_')}_key_rows"
+        for p in percentiles
     ]
     if len(set(names)) != len(names):
         raise ValueError(f"percentiles collide after naming: {percentiles}")

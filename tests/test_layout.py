@@ -342,6 +342,8 @@ def test_q9_q13_on_cobucketed_facts(spark):
         assert plan13.count("Exchange hashpartitioning") <= 1, plan13
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        for tbl in ("bkt9_lineitem", "bkt9_orders", "bkt13_customer", "bkt13_orders"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
     from overturemaps_duckdb_spark.queries import QUERIES, load_all
 

@@ -129,7 +129,7 @@ def test_no_vector_payload_in_candidate_join(spark, q):
     assert "CartesianProduct" not in plan
 
 
-def test_exact_collapse_shrinks_replicated_working_set(spark, q):
+def test_exact_collapse_shrinks_replicated_working_set(spark):
     """Count-level pin for the collapse class (VERDICT r04 #4): on the
     10×-replicated fixture the exact-duplicate collapse must shrink the
     working set ~10× — every quadratic stage downstream (shingling,

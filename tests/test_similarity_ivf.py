@@ -288,3 +288,30 @@ def test_ivf_bulk_query_frame_never_collected(spark):
     assert "Python" not in plan
     res = S.ivf_topk(assigned, centroids, queries, n_probe=2, k=1)
     assert res.where(F.col("rank") == 1).count() == nq
+
+
+def test_probe_assign_rejects_bad_query_vectors(spark):
+    """The bulk probe path must fail loudly on NULL / wrong-dim query
+    vectors (like the driver path and centroid_assign) — a NULL distance
+    fold would otherwise silently probe lists 0..n_probe-1."""
+    import numpy as np
+    import pytest
+
+    from overturemaps_duckdb_spark.operators import similarity as S
+
+    cents = np.array([[0.0, 0.0], [1.0, 1.0]])
+    bad_null = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, None)], "query_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception):
+        S._probe_assign(cents, bad_null, "query_id", "embedding", 1).collect()
+    bad_dim = spark.createDataFrame(
+        [(1, [0.1, 0.2, 0.3])], "query_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception):
+        S._probe_assign(cents, bad_dim, "query_id", "embedding", 1).collect()
+    ok = spark.createDataFrame(
+        [(1, [0.1, 0.2])], "query_id long, embedding array<float>"
+    )
+    rows = S._probe_assign(cents, ok, "query_id", "embedding", 1).collect()
+    assert [(r["query_id"], r["_list"]) for r in rows] == [(1, 0)]
