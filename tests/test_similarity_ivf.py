@@ -315,3 +315,32 @@ def test_probe_assign_rejects_bad_query_vectors(spark):
     )
     rows = S._probe_assign(cents, ok, "query_id", "embedding", 1).collect()
     assert [(r["query_id"], r["_list"]) for r in rows] == [(1, 0)]
+
+
+def test_probe_paths_agree_randomized(spark):
+    """Property pin: driver (numpy stable argsort) and distributed
+    (array_sort struct) probe assignment pick the SAME probed lists for
+    random continuous vectors (exact distance ties have measure zero;
+    seeded so deterministic)."""
+    import random
+
+    import numpy as np
+
+    from overturemaps_duckdb_spark.operators import similarity as S
+
+    rng = random.Random(11)
+    dim, n_lists = 16, 6
+    cents = np.array(
+        [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_lists)]
+    )
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(200)
+    ]
+    q = spark.createDataFrame(rows, "query_id long, embedding array<double>")
+    drv, _, small = S._ivf_probes(
+        spark, cents, q, "query_id", "embedding", 3
+    )
+    assert small
+    dist = S._probe_assign(cents, q, "query_id", "embedding", 3)
+    key = lambda r: (r["query_id"], r["_list"])
+    assert sorted(map(key, dist.collect())) == sorted(map(key, drv.collect()))
