@@ -244,6 +244,16 @@ def minhash_signature(
 
 
 def minhash_signature_from_hashes(hs: Column, *, n_hashes: int = 16) -> Column:
+    """Per-seed array_min over universal hashes of the shingle-hash array.
+
+    ``hs`` is bound ONCE via an outer 1-element transform before the
+    n_hashes inner transforms reference it: each inner transform's array
+    argument is then a lambda variable (a slot read), not the ``hs``
+    expression tree — passing a raw ``hashed_shingles(text)`` expression
+    would otherwise re-evaluate the full normalize+shingle+md5 chain once
+    PER SEED (the NOTES HOF trap; measured 65 s vs 3 s for a bare
+    signature pass over sf0.1 documents).  Arithmetic unchanged —
+    bit-identical signatures."""
     a_list, b_list = minhash_coeffs(n_hashes)
 
     def mix(a: int, b: int):
@@ -251,12 +261,15 @@ def minhash_signature_from_hashes(hs: Column, *, n_hashes: int = 16) -> Column:
         # second parameter)
         return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
 
-    return F.array(
-        *[
-            F.array_min(F.transform(hs, mix(a_list[i], b_list[i])))
-            for i in range(n_hashes)
-        ]
-    )
+    def sig(bound: Column) -> Column:
+        return F.array(
+            *[
+                F.array_min(F.transform(bound, mix(a_list[i], b_list[i])))
+                for i in range(n_hashes)
+            ]
+        )
+
+    return F.element_at(F.transform(F.array(hs), sig), 1)
 
 
 def minhash_index(
