@@ -51,10 +51,13 @@ def norm(v):
         return round(float(v), 9)
     return v
 
-if len(sys.argv) > 1:  # explicit names (or a count via -n N)
+if len(sys.argv) > 1:  # explicit names (or a count via -n N [names…])
     if sys.argv[1] == "-n":
         random.seed(7)
         sample = random.sample(sorted(os_), int(sys.argv[2]))
+        # extra names after the count run IN ADDITION to the sample — the
+        # way to include the rows-only queries (a7, n3) in a full sweep
+        sample += [n for n in sys.argv[3:] if n not in sample]
     else:
         sample = sys.argv[1:]
 else:
