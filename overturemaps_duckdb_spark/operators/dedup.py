@@ -251,9 +251,10 @@ def minhash_signature_from_hashes(hs: Column, *, n_hashes: int = 16) -> Column:
     argument is then a lambda variable (a slot read), not the ``hs``
     expression tree — passing a raw ``hashed_shingles(text)`` expression
     would otherwise re-evaluate the full normalize+shingle+md5 chain once
-    PER SEED (the NOTES HOF trap; measured 65 s vs 3 s for a bare
-    signature pass over sf0.1 documents).  Arithmetic unchanged —
-    bit-identical signatures."""
+    PER SEED (the NOTES HOF trap; measured 65 s → 10.9 s for a bare
+    full-corpus signature pass over sf0.1 documents; the residual over
+    the ~3 s shingle-hash pass is the 16 per-seed array traversals).
+    Arithmetic unchanged — bit-identical signatures."""
     a_list, b_list = minhash_coeffs(n_hashes)
 
     def mix(a: int, b: int):

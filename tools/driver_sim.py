@@ -56,7 +56,12 @@ if len(sys.argv) > 1:  # explicit names (or a count via -n N [names…])
         random.seed(7)
         sample = random.sample(sorted(os_), int(sys.argv[2]))
         # extra names after the count run IN ADDITION to the sample — the
-        # way to include the rows-only queries (a7, n3) in a full sweep
+        # way to include the rows-only queries (a7, n3) in a full sweep.
+        # Validate upfront: a typo'd extra must fail NOW, not as a
+        # KeyError after the full ~9-min sweep.
+        unknown = [n for n in sys.argv[3:] if n not in qs]
+        if unknown:
+            raise SystemExit(f"unknown query names: {unknown}")
         sample += [n for n in sys.argv[3:] if n not in sample]
     else:
         sample = sys.argv[1:]
