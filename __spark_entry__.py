@@ -31,72 +31,77 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q.QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-#: Certification rotation, round 5 (VERDICT r04 finding #1): lead with the
-#: 10 round-4 registrations that have NEVER had a driver CORRECTNESS row,
-#: then freshen the oldest certifications — the r1 cohort (certified r1/r2,
-#: several of which changed behavior since: the j-family grid rerouting,
-#: g5/g6 unforcing, y1 pyarrow metadata writes, quality-score users) and the
-#: three r4-changed r2-cohort dedup queries (d6/d7/d8 lineage cut) get
-#: displaced into the next rotation per NOTES.  A green round 5 means every
-#: one of the 154 registered queries has a driver row and no certification
-#: is older than its query's last behavior change (except the explicitly
-#: listed next-rotation tail).  Regression cover for everything behind the
-#: prefix: tests/test_oracle_parity.py re-verifies all 154 against DuckDB
-#: locally every round.
+#: Certification rotation, round 6 (VERDICT r05 finding #1): lead with the
+#: only five rows whose driver certification is older than the query's last
+#: behavior change (d6/d7/d8 lineage-cut landed r4, their rows are r2;
+#: f4 de-vacuated r4, row r3; i5's pyarrow metadata write changed r4,
+#: row r3), then the two queries whose behavior changes THIS round
+#: (e4's exact-quantile path goes distributed, a7 gains a bounded-error
+#: oracle), then freshen the oldest remaining cohort — the r3-certified
+#: TPC-H q2–q22 and the p/f/a/o relational families (unchanged since r3).
+#: Exactly 50 entries; the u/w families (also r3, unchanged) roll to the
+#: next rotation.  A green round 6 leaves no certification in the registry
+#: older than its query's last behavior change.  Regression cover for
+#: everything behind the prefix: tests/test_oracle_parity.py re-verifies
+#: all 154 against DuckDB locally every round.
 _CERT_PRIORITY = [
-    # the 10 never-driver-sampled round-4 registrations
-    "ld1_line_dedup",
-    "sa3_source_cap",
-    "x12_vocab_topk",
-    "qz1_embedding_quantize",
-    "ex1_training_shards",
-    "sk2_skew_report",
-    "d9_dup_rate_report",
-    "cd1_corpus_diff",
-    "fz1_fuzzy_pairs",
-    "x13_intra_doc_dedup",
-    # r1 cohort, oldest certification first — freshen (several changed
-    # behavior since r1/r2: j1–j5/g5/g6 routing, y1 metadata writes)
-    "d1_exact_dedup",
-    "d3_simhash_buckets",
-    "d4_ngram_jaccard_pairs",
-    "e1_tumbling_window",
-    "e2_sessionize",
-    "i1_stream_tumbling_window",
-    "i2_stream_session_window",
-    "i3_stateful_running_totals",
+    # the five stale certifications (driver row predates an r4 change)
+    "d6_dedup_clusters",
+    "d7_cluster_canonical",
+    "d8_cross_corpus_neardup",
+    "f4_ilike_substring",
+    "i5_stream_foreachbatch_ingest",
+    # behavior changes landing in round 6
     "e4_grouped_quantiles",
-    "i4_stream_stream_join",
-    "e3_lag_delta",
-    "t1_fts_index_build",
-    "t3_ilike_fallback",
-    "g1_g2_point_type_centroid",
-    "g1_g2_polygon_type_centroid_area",
-    "g3_asgeojson_point",
-    "j1_spatial_intersect_join",
-    "j2_spatial_within",
-    "j3_spatial_exclude",
-    "j4_spatial_bidirectional",
-    "g5_distance_pairs",
-    "g6_intersection_area",
-    "j8_grid_banded_join",
-    "s2_schema_probe",
-    "s9_s10_table_lifecycle",
-    "t4_search_name_composition",
-    "o7_zorder_by_area",
-    "ep1_load_theme",
-    "s3_manifest_pruned_scan",
-    "s13_grid_partitioned_scan",
-    "s7_s8_snapview_roundtrip",
-    "y1_session_kv",
-    "y4_url_codec",
-    "m1_asset_metadata",
-    "m2_asset_decode",
-    "m3_asset_byte_features",
-    "m4_frame_sample",
-    "m6_audio_modality",
-    "pl1_union_balanced_limit",
-    "pl2_search_ilike",
+    "a7_approx_count_distinct",
+    # r3-certified TPC-H cohort, unchanged since — freshen
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue_ratio",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q20_excess_inventory",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    # r3-certified projection family
+    "p2_struct_field_access",
+    "p3_array_index_1based",
+    "p4_coalesce_cast_empty",
+    "p6_concat_ws_search_name",
+    "p7_round",
+    "p8_regexp_replace",
+    "p9_p10_length_abs",
+    "p11_literal_source_tag",
+    "p13_json_extract",
+    # r3-certified filter family (f4 already leads the rotation)
+    "f1_interval_overlap",
+    "f3_between",
+    "f5_is_not_null",
+    "f8_in_subquery_semi",
+    # r3-certified aggregate family
+    "a2_distinct",
+    "a3_groupby_source",
+    "a6_count_distinct",
+    "a8_rollup",
+    "a9_cube",
+    # r3-certified ordering family
+    "o1_topk_order_limit",
+    "o4_limit_offset",
+    "o5_balanced_union_limit",
+    "o6_nulls_last_sort",
 ]
 
 

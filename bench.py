@@ -183,48 +183,67 @@ def main() -> None:
         )
         extras["fact_bucket_write"] = round(time.monotonic() - t0, 3)
 
-        q9b = q9_plan(
-            li_b,
-            _tq(spark, sf_dir, "part"),
-            _tq(spark, sf_dir, "supplier"),
-            o_b,
-            _tq(spark, sf_dir, "nation"),
-        )
-        t0 = time.monotonic()
-        q9b.write.format("noop").mode("overwrite").save()
-        extras["q9_bucketed"] = round(time.monotonic() - t0, 3)
-        # Plan checks on the statically-planned tree (the noop write runs
-        # its own QueryExecution, so this one is pre-AQE — slice off the
-        # "== Initial Plan ==" tail if present anyway).  Sound because AQE
-        # can only REMOVE exchanges (SMJ→broadcast conversion), never add
-        # one the static plan lacks: a shuffle below the static SMJ, a
-        # missing bucketed scan, or >1 static exchange in q13 each prove
-        # the layout silently failed, which is what these guard.
-        plan9 = (
-            q9b._jdf.queryExecution().executedPlan().toString()
-            .split("== Initial Plan ==")[0]
-        )
-        assert "Bucketed: true" in plan9, "q9 is not reading bucketed scans"
-        if "SortMergeJoin" in plan9:
+        # ADVICE r05: run the bucketed variants with auto-broadcast OFF
+        # (mirroring tests/test_layout.py) so the fact-fact edge is
+        # provably a SortMergeJoin — if Catalyst statically broadcast
+        # orders at bench scale, the old conditional check passed
+        # vacuously and the recorded time never exercised the co-bucketed
+        # edge.  The SMJ assertion below is now unconditional.
+        _bt_old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            q9b = q9_plan(
+                li_b,
+                _tq(spark, sf_dir, "part"),
+                _tq(spark, sf_dir, "supplier"),
+                o_b,
+                _tq(spark, sf_dir, "nation"),
+            )
+            t0 = time.monotonic()
+            q9b.write.format("noop").mode("overwrite").save()
+            extras["q9_bucketed"] = round(time.monotonic() - t0, 3)
+            # Plan checks on the statically-planned tree (the noop write
+            # runs its own QueryExecution, so this one is pre-AQE — slice
+            # off the "== Initial Plan ==" tail if present anyway).  Sound
+            # because AQE can only REMOVE exchanges (SMJ→broadcast
+            # conversion), never add one the static plan lacks: a shuffle
+            # below the static SMJ, a missing bucketed scan, or >1 static
+            # exchange in q13 each prove the layout silently failed, which
+            # is what these guard.
+            plan9 = (
+                q9b._jdf.queryExecution().executedPlan().toString()
+                .split("== Initial Plan ==")[0]
+            )
+            assert "Bucketed: true" in plan9, "q9 is not reading bucketed scans"
+            assert "SortMergeJoin" in plan9, (
+                "bucketed q9 must SMJ the fact edge (broadcast is off)"
+            )
             smj_sub = plan9.split("SortMergeJoin", 1)[1]
             assert "Exchange hashpartitioning" not in smj_sub, (
                 "bucketed q9 fact join must not shuffle"
             )
 
-        q13b = q13_plan(c_b, o_cb)
-        t0 = time.monotonic()
-        q13b.write.format("noop").mode("overwrite").save()
-        extras["q13_bucketed"] = round(time.monotonic() - t0, 3)
-        plan13 = (
-            q13b._jdf.queryExecution().executedPlan().toString()
-            .split("== Initial Plan ==")[0]
-        )
-        assert "Bucketed: true" in plan13, "q13 is not reading bucketed scans"
-        # join + per-customer count inherit the bucket partitioning; only
-        # the tiny c_count histogram may shuffle
-        assert plan13.count("Exchange hashpartitioning") <= 1, (
-            "bucketed q13 shuffled more than the final histogram"
-        )
+            q13b = q13_plan(c_b, o_cb)
+            t0 = time.monotonic()
+            q13b.write.format("noop").mode("overwrite").save()
+            extras["q13_bucketed"] = round(time.monotonic() - t0, 3)
+            plan13 = (
+                q13b._jdf.queryExecution().executedPlan().toString()
+                .split("== Initial Plan ==")[0]
+            )
+            assert "Bucketed: true" in plan13, (
+                "q13 is not reading bucketed scans"
+            )
+            assert "SortMergeJoin" in plan13, (
+                "bucketed q13 must SMJ the fact edge (broadcast is off)"
+            )
+            # join + per-customer count inherit the bucket partitioning;
+            # only the tiny c_count histogram may shuffle
+            assert plan13.count("Exchange hashpartitioning") <= 1, (
+                "bucketed q13 shuffled more than the final histogram"
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _bt_old)
     except Exception as exc:  # noqa: BLE001
         errors["fact_bucketed"] = f"extras: {exc}"[:300]
 

@@ -344,9 +344,27 @@ def _ivf_probes(
         # stable sort == the distributed path's (distance, list) tie-break
         for lst in np.argsort(d, kind="stable")[:n_probe]:
             probes.append((r["query_id"], list(map(float, r["q_vec"])), int(lst)))
-    df = spark.createDataFrame(
-        probes, "query_id long, q_vec array<double>, _list int"
+    # ADVICE r05: the id type follows the QUERY frame's schema (as the
+    # bulk _probe_assign path preserves it) — a string-keyed query frame
+    # must behave identically on both sides of the routing threshold,
+    # not fail only when it happens to be small.
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
     )
+
+    id_type = queries.schema[query_id_col].dataType
+    schema = StructType(
+        [
+            StructField("query_id", id_type),
+            StructField("q_vec", ArrayType(DoubleType())),
+            StructField("_list", IntegerType()),
+        ]
+    )
+    df = spark.createDataFrame(probes, schema)
     return df, sorted({p[2] for p in probes}), True
 
 
@@ -535,13 +553,23 @@ def ivf_topk_from_store(
     before the candidate join, so the parquet scan's PartitionFilters
     prune every unprobed partition at planning time (pinned in
     tests/test_similarity_ivf.py) — no reliance on runtime DPP.  Results
-    are identical to the in-memory form (shared probe/scoring helpers)."""
+    are identical to the in-memory form (shared probe/scoring helpers).
+
+    Bulk-routed query frames (> ``MAX_DRIVER_PROBE_QUERIES``) persist the
+    probe frame so the distinct-lists collect doesn't recompute the
+    distance stage; the persisted handle rides on the returned DataFrame
+    as ``result._probe_cache`` (ADVICE r05) — long-lived sessions issuing
+    many bulk probes should ``result._probe_cache.unpersist()`` once the
+    result is materialized instead of waiting for LRU/GC release.  Small
+    batches set it to None."""
     probe_df, probed_lists, small = _ivf_probes(
         spark, centroids, queries, query_id_col, vec_col, n_probe
     )
     store = spark.read.parquet(path).where(F.col("_list").isin(probed_lists))
     cand = store.join(F.broadcast(probe_df) if small else probe_df, "_list")
-    return _ivf_score_topk(cand, k)
+    result = _ivf_score_topk(cand, k)
+    result._probe_cache = None if small else probe_df
+    return result
 
 
 def quantize_embeddings(

@@ -92,11 +92,17 @@ def skew_report(
     values are engine-portable for the oracle."""
     # name from the RAW percentile (dot → underscore), never rounded:
     # round(p*100) would mislabel 0.999 as p100_key_rows (a lie, not a
-    # collision — the collision check can't catch it).  12 significant
-    # digits, not %g's 6, so even p=0.99999951 names p99_999951_key_rows;
-    # %g also strips the float-noise tail of p*100 (0.999*100 → "99.9")
+    # collision — the collision check can't catch it).  Fixed-point %.12f
+    # with trailing zeros stripped (ADVICE r05), NOT %g: %g emits
+    # exponent notation for tiny percentiles (p=1e-9 → "1e-07" → a name
+    # containing '-' that needs backtick quoting in SQL consumers); .12f
+    # keeps names in [A-Za-z0-9_] always, still absorbs the float-noise
+    # tail of p*100 (0.07*100 → "7", 0.999*100 → "99.9"), and preserves
+    # the r5 names unchanged (p99_9_key_rows, p99_999951_key_rows).
     names = [
-        f"p{f'{p * 100:.12g}'.replace('.', '_')}_key_rows"
+        "p{}_key_rows".format(
+            f"{p * 100:.12f}".rstrip("0").rstrip(".").replace(".", "_")
+        )
         for p in percentiles
     ]
     if len(set(names)) != len(names):

@@ -344,3 +344,82 @@ def test_probe_paths_agree_randomized(spark):
     dist = S._probe_assign(cents, q, "query_id", "embedding", 3)
     key = lambda r: (r["query_id"], r["_list"])
     assert sorted(map(key, dist.collect())) == sorted(map(key, drv.collect()))
+
+
+def test_ivf_small_path_preserves_query_id_type(spark):
+    """ADVICE r05: the driver (small-batch) probe path used to hardcode
+    `query_id long`, so a string-keyed query frame failed at ≤ cap rows
+    but worked on the bulk path — behavior flipped on row count.  The
+    small path now derives the id type from the query frame's schema, so
+    both routes accept the same frames."""
+    from pyspark.sql.types import StringType
+
+    from overturemaps_duckdb_spark.operators import similarity as S
+
+    dim = 8
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: (F.col("id") % 5 + i).cast("double"),
+    )
+    corpus = spark.range(100).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
+    )
+    assigned, centroids = ivf_build(corpus, n_lists=4, seed=42)
+    queries = spark.range(6).select(
+        F.concat(F.lit("doc-"), F.col("id").cast("string")).alias("query_id"),
+        vec.alias("embedding"),
+    )
+    probe_df, probed, small = S._ivf_probes(
+        spark, centroids, queries, "query_id", "embedding", 2
+    )
+    assert small
+    assert isinstance(probe_df.schema["query_id"].dataType, StringType)
+    res = S.ivf_topk(assigned, centroids, queries, n_probe=2, k=3)
+    rows = res.collect()
+    assert {r["query_id"] for r in rows} == {f"doc-{i}" for i in range(6)}
+
+
+def test_ivf_store_probe_cache_handle(spark, tmp_path):
+    """ADVICE r05: bulk-routed ivf_topk_from_store persists the probe
+    frame; the handle must ride on the result as `_probe_cache` so a
+    long-lived session can release it deterministically (small batches
+    carry None)."""
+    from overturemaps_duckdb_spark.operators import similarity as S
+    from overturemaps_duckdb_spark.operators.similarity import (
+        ivf_topk_from_store,
+        ivf_write,
+    )
+
+    dim = 4
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: (F.col("id") % 3 + i).cast("double"),
+    )
+    corpus = spark.range(60).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
+    )
+    assigned, centroids = ivf_build(corpus, n_lists=2, seed=42)
+    path = str(tmp_path / "ivf_cache_store")
+    ivf_write(assigned, path)
+
+    small_q = spark.range(3).select(
+        F.col("id").alias("query_id"), vec.alias("embedding")
+    )
+    res_small = ivf_topk_from_store(
+        spark, path, centroids, small_q, n_probe=2, k=2
+    )
+    assert res_small._probe_cache is None
+    assert res_small.count() > 0
+
+    nq = S.MAX_DRIVER_PROBE_QUERIES + 50
+    bulk_q = spark.range(nq).select(
+        F.col("id").alias("query_id"), vec.alias("embedding")
+    )
+    res_bulk = ivf_topk_from_store(
+        spark, path, centroids, bulk_q, n_probe=2, k=1
+    )
+    cache = res_bulk._probe_cache
+    assert cache is not None and cache.is_cached
+    assert res_bulk.where(F.col("rank") == 1).count() == nq
+    cache.unpersist()
+    assert not cache.is_cached

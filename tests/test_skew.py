@@ -102,3 +102,22 @@ def test_skew_report_fractional_percentile_names(spark):
     assert "p100_key_rows" not in out.columns
     r = out.collect()[0]
     assert r["p50_key_rows"] == 10.0 and r["p99_9_key_rows"] == 10.0
+
+
+def test_skew_report_tiny_percentile_names_sql_safe(spark):
+    """ADVICE r05: tiny percentiles must never name via exponent notation
+    (%g gave p=1e-9 the column p1e-07_key_rows — '-' needs backtick
+    quoting downstream).  Fixed-point, trailing zeros stripped, and every
+    name stays in [A-Za-z0-9_]."""
+    import re
+
+    import pyspark.sql.functions as F
+
+    from overturemaps_duckdb_spark.operators.skew import skew_report
+
+    df = spark.range(100).select((F.col("id") % 10).alias("k"))
+    out = skew_report(df, ["k"], percentiles=(1e-9, 0.5, 0.99999951))
+    assert "p0_0000001_key_rows" in out.columns
+    assert "p99_999951_key_rows" in out.columns
+    for c in out.columns:
+        assert re.fullmatch(r"[A-Za-z0-9_]+", c), c
