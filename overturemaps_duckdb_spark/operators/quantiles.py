@@ -1,0 +1,358 @@
+"""Distributed EXACT grouped quantiles (VERDICT r05 #2).
+
+The naive grouped-quantile shape — shuffle every row of a group to one
+task and sort there (``applyInPandas``, or SQL ``percentile``) — is a
+scale-killer for hot groups: round-5 measured a 15× slope for 10× data at
+10M events because each group's ~2M rows landed on a single task.  This
+module implements exact ``quantile_cont`` semantics (linear interpolation
+on DOUBLE, NULLs ignored — DuckDB ``quantile_cont``, pandas
+``Series.quantile``) as a *distributed selection*:
+
+1. **Stats pass** (1 column-pruned scan): per-group ``count(*)``,
+   non-null count, and ``percentile_approx`` bucket boundaries in ONE
+   aggregation.  The target ranks for each requested quantile are pure
+   column math on the non-null count: ``h = p·(nn−1)``,
+   ``rank_lo = ⌊h⌋+1``, ``rank_hi = ⌈h⌉+1``, ``frac = h−⌊h⌋``.
+2. **Bucket-count pass** (1 scan): each row is assigned the bucket
+   ``|{b ∈ bounds : b < v}|`` (a codegen'd HOF fold over the tiny
+   boundary array — no UDF, no shuffle of the data; the boundaries
+   frame joins in, broadcast by AQE).  Bucket counts per group are a
+   small-key aggregation with map-side partials; a window over the
+   G×B count rows yields each bucket's global rank offset.
+3. **Selection pass** (1 scan): only rows in buckets that CONTAIN a
+   target rank survive a broadcast semi-join (≤ 2·|probs| buckets per
+   group, ~nn/B rows each), collapse to (value, count) — duplicates
+   never expand — and a within-bucket window over *distinct values*
+   locates the exact rank.  Interpolate, pivot wide, done.
+
+No full-data shuffle anywhere: the three scans read only the group+value
+columns (column pruning), everything that shuffles is either per-group
+stats (G rows), per-bucket counts (G×B rows), or the selected slivers.
+At 100 TB the cost is 3 column-pruned scans — the price of exactness;
+``percentile_approx`` alone remains the cheap 1-scan approximation when
+a rank error of ~1/accuracy is acceptable.
+
+Determinism note: ``percentile_approx`` results can depend on partial
+merge order, and the bucket-count and selection passes MUST see the same
+boundaries or ranks silently desynchronize.  The stats frame is therefore
+``localCheckpoint(eager=True)``-materialized (G rows — tiny): every
+downstream read comes from the stored blocks, never a recompute.  Loss of
+a checkpoint block fails the job loudly; at multi-executor scale prefer a
+reliable ``checkpoint()`` dir for the same guarantee.
+
+Reference parity: the reference engine exposes quantiles only through its
+DuckDB SQL front door (``quantile_cont`` — see SURVEY §2.5); this module
+is the Spark-native scale path for the same semantics.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+__all__ = ["grouped_quantile_cont", "grouped_quantile_pandas"]
+
+#: default rows-per-bucket target: below this a single within-group window
+#: over distinct values is already well-sized, so the operator runs the
+#: B=1 fast path (2 scans, no boundary machinery).
+TARGET_BUCKET_ROWS = 250_000
+#: adaptive bucket-count clamp — beyond ~1k buckets the boundary-array
+#: HOF fold starts to cost more per row than the selection saves.
+MAX_BUCKETS = 1024
+
+
+def _check_probs(probs: Sequence[float]) -> list[float]:
+    out = [float(p) for p in probs]
+    if not out:
+        raise ValueError("probs must be non-empty")
+    for p in out:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"prob out of [0,1]: {p}")
+    if len(set(out)) != len(out):
+        raise ValueError(f"duplicate probs: {probs}")
+    return out
+
+
+def grouped_quantile_cont(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    probs: Sequence[float],
+    *,
+    out_names: Sequence[str] | None = None,
+    n_name: str = "n",
+    n_buckets: int | None = None,
+    target_bucket_rows: int = TARGET_BUCKET_ROWS,
+    accuracy: int | None = None,
+) -> DataFrame:
+    """Exact per-group ``quantile_cont`` with linear interpolation.
+
+    Returns one row per group: ``(*group_cols, *out_names, n_name)``
+    where each quantile column is DOUBLE (NULL for all-NULL groups, like
+    DuckDB) and ``n_name`` is ``count(*)`` including NULL values (NULLs
+    are excluded from the quantile itself, matching ``quantile_cont``).
+
+    ``n_buckets`` forces the bucket count (1 = the small-group fast
+    path); by default it adapts to the largest group:
+    ``clamp(ceil(max_nn / target_bucket_rows), 16, MAX_BUCKETS)``, or 1
+    when every group fits ``target_bucket_rows``.  ``accuracy`` is the
+    ``percentile_approx`` boundary sketch accuracy (boundaries only
+    steer bucket SIZES — exactness never depends on them).
+    """
+    probs = _check_probs(probs)
+    group_cols = list(group_cols)
+    if out_names is None:
+        out_names = [
+            "q" + f"{p:g}".replace(".", "_").replace("-", "m") for p in probs
+        ]
+    out_names = list(out_names)
+    if len(out_names) != len(probs):
+        raise ValueError("out_names must match probs length")
+    reserved = set(group_cols) | {n_name}
+    if set(out_names) & reserved or len(set(out_names)) != len(out_names):
+        raise ValueError(f"output name collision: {out_names}")
+
+    src = df.select(
+        *group_cols, F.col(value_col).cast("double").alias("_v")
+    )
+
+    # ---- pass 1: per-group stats (+ boundaries when bucketed) ----------
+    stat_aggs = [
+        F.count(F.lit(1)).alias("_n_all"),
+        F.count("_v").alias("_nn"),
+    ]
+    # Decide B.  An explicit n_buckets avoids the max-collect entirely;
+    # otherwise one scalar job sizes the buckets from the hottest group.
+    if n_buckets is not None:
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        B = n_buckets
+    else:
+        max_nn = (
+            src.groupBy(*group_cols)
+            .agg(F.count("_v").alias("_nn"))
+            .agg(F.max("_nn"))
+            .first()[0]
+            or 0
+        )
+        B = (
+            1
+            if max_nn <= target_bucket_rows
+            else min(MAX_BUCKETS, max(16, math.ceil(max_nn / target_bucket_rows)))
+        )
+    if B > 1:
+        # Boundaries only steer bucket SIZES — exactness never depends on
+        # them — so the sketch can be cheap: error ≈ nn/acc rows per
+        # boundary, i.e. ~10% of the nn/B bucket target at 10·B.  The
+        # default percentile_approx accuracy (10000) dominated the 10M-row
+        # runtime for zero benefit.
+        acc = accuracy or max(100, 10 * B)
+        splits = [i / B for i in range(1, B)]
+        stat_aggs.append(
+            F.percentile_approx("_v", splits, acc).alias("_bounds")
+        )
+    stats = src.groupBy(*group_cols).agg(*stat_aggs)
+    if B > 1:
+        # Materialize ONCE: the bucket-count and selection passes must
+        # agree on the (merge-order-sensitive) percentile_approx
+        # boundaries.  The B=1 path skips this — its stats are exact
+        # counts, deterministic under recompute — saving one job of
+        # fixed overhead on small data.
+        # NB: a localCheckpoint result is a LogicalRDD with NO catalyst
+        # stats — the planner assumes it is huge and will never
+        # auto-broadcast it, so every join against stats-derived frames
+        # below marks the small side with an explicit broadcast()
+        # (profiled at 10M rows: the missing hint turned the boundary
+        # join into a full-data shuffle).
+        stats = stats.localCheckpoint(eager=True)
+
+    # ---- target ranks: pure column math on the stats frame -------------
+    plist = F.array(
+        *[
+            F.struct(
+                F.lit(int(j)).alias("_pi"), F.lit(float(p)).alias("_p")
+            )
+            for j, p in enumerate(probs)
+        ]
+    )
+    targets = (
+        stats.where(F.col("_nn") > 0)
+        .select(*group_cols, "_nn", F.explode(plist).alias("_pp"))
+        .select(
+            *group_cols,
+            F.col("_pp._pi").alias("_pi"),
+            (F.col("_pp._p") * (F.col("_nn") - 1).cast("double")).alias("_h"),
+        )
+        .select(
+            *group_cols,
+            "_pi",
+            (F.col("_h") - F.floor("_h").cast("double")).alias("_frac"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("lo").alias("_w"),
+                        (F.floor("_h") + 1).alias("_r"),
+                    ),
+                    F.struct(
+                        F.lit("hi").alias("_w"),
+                        (F.ceil("_h") + 1).alias("_r"),
+                    ),
+                )
+            ).alias("_t"),
+        )
+        .select(
+            *group_cols, "_pi", "_frac",
+            F.col("_t._w").alias("_w"), F.col("_t._r").alias("_r"),
+        )
+    )
+
+    nonnull = src.where(F.col("_v").isNotNull())
+    if B == 1:
+        # Fast path: every group fits one window comfortably; duplicates
+        # still collapse before the sort, so the window partition is the
+        # per-group DISTINCT value count, not the row count.
+        vals = nonnull.groupBy(*group_cols, "_v").agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        wv = Window.partitionBy(*group_cols).orderBy("_v").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        ranged = vals.withColumn("_end", F.sum("_c").over(wv)).withColumn(
+            "_start", F.col("_end") - F.col("_c") + 1
+        )
+        picked = ranged.join(F.broadcast(targets), group_cols).where(
+            (F.col("_r") >= F.col("_start")) & (F.col("_r") <= F.col("_end"))
+        )
+    else:
+        bounds = stats.select(*group_cols, "_bounds")
+        # bucket = |{b : b < v}| — monotone in v, ties stay together, so
+        # (bucket, v) ordering is exactly the global value ordering.
+        bucket = F.size(
+            F.filter(F.col("_bounds"), lambda b: b < F.col("_v"))
+        )
+        bucketed = nonnull.join(F.broadcast(bounds), group_cols).select(
+            *group_cols, "_v", bucket.alias("_bucket")
+        )
+
+        # ---- pass 2: bucket counts → global rank offsets --------------
+        bcounts = bucketed.groupBy(*group_cols, "_bucket").agg(
+            F.count(F.lit(1)).alias("_bc")
+        )
+        wb = (
+            Window.partitionBy(*group_cols)
+            .orderBy("_bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        bcounts = bcounts.withColumn(
+            "_off", F.coalesce(F.sum("_bc").over(wb), F.lit(0))
+        ).localCheckpoint(eager=True)  # G×B rows; reused twice below
+
+        # which bucket contains each target rank
+        tb = (
+            targets.join(F.broadcast(bcounts), group_cols)
+            .where(
+                (F.col("_r") > F.col("_off"))
+                & (F.col("_r") <= F.col("_off") + F.col("_bc"))
+            )
+            .select(*group_cols, "_pi", "_frac", "_w", "_r", "_bucket")
+        )
+        needed = tb.select(*group_cols, "_bucket").distinct()
+
+        # ---- pass 3: selection — only needed buckets survive ----------
+        sel = bucketed.join(
+            F.broadcast(needed), [*group_cols, "_bucket"], "left_semi"
+        )
+        vals = sel.groupBy(*group_cols, "_bucket", "_v").agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        wv = (
+            Window.partitionBy(*group_cols, "_bucket")
+            .orderBy("_v")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        offs = bcounts.select(*group_cols, "_bucket", "_off")
+        ranged = (
+            vals.withColumn("_cum", F.sum("_c").over(wv))
+            .join(F.broadcast(offs), [*group_cols, "_bucket"])
+            .withColumn("_end", F.col("_off") + F.col("_cum"))
+            .withColumn("_start", F.col("_end") - F.col("_c") + 1)
+        )
+        picked = ranged.join(F.broadcast(tb), [*group_cols, "_bucket"]).where(
+            (F.col("_r") >= F.col("_start")) & (F.col("_r") <= F.col("_end"))
+        )
+
+    # ---- interpolate + pivot wide --------------------------------------
+    per_p = (
+        picked.groupBy(*group_cols, "_pi", "_frac")
+        .agg(
+            F.max(F.when(F.col("_w") == "lo", F.col("_v"))).alias("_vlo"),
+            F.max(F.when(F.col("_w") == "hi", F.col("_v"))).alias("_vhi"),
+        )
+        .withColumn(
+            "_q",
+            F.col("_vlo")
+            + (F.col("_vhi") - F.col("_vlo")) * F.col("_frac"),
+        )
+    )
+    wide = per_p.groupBy(*group_cols).agg(
+        *[
+            F.max(F.when(F.col("_pi") == j, F.col("_q"))).alias(name)
+            for j, name in enumerate(out_names)
+        ]
+    )
+    return stats.join(F.broadcast(wide), group_cols, "left").select(
+        *group_cols,
+        *out_names,
+        F.col("_n_all").cast("bigint").alias(n_name),
+    )
+
+
+def grouped_quantile_pandas(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    probs: Sequence[float],
+    *,
+    out_names: Sequence[str] | None = None,
+    n_name: str = "n",
+) -> DataFrame:
+    """The grouped-map (``applyInPandas``) form of the same contract — one
+    Arrow batch per group, pandas ``Series.quantile`` inside.
+
+    Kept as the API-class showcase and the readability baseline: correct
+    and convenient while every group fits one task, but each group's
+    rows land on a SINGLE task (the measured 15× slope at 10M events) —
+    use :func:`grouped_quantile_cont` for hot groups.  Equality of the
+    two paths is pinned in tests/test_quantiles.py.
+    """
+    import pandas as pd
+
+    probs = _check_probs(probs)
+    group_cols = list(group_cols)
+    if out_names is None:
+        out_names = [
+            "q" + f"{p:g}".replace(".", "_").replace("-", "m") for p in probs
+        ]
+    out_names = list(out_names)
+
+    src = df.select(*group_cols, F.col(value_col).cast("double").alias("_v"))
+    gtypes = dict(zip(src.columns, [f.dataType.simpleString() for f in src.schema]))
+    schema = ", ".join(
+        [f"{c} {gtypes[c]}" for c in group_cols]
+        + [f"{name} double" for name in out_names]
+        + [f"{n_name} bigint"]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["_v"].astype(float)
+        row = {c: pdf[c].iloc[0] for c in group_cols}
+        for p, name in zip(probs, out_names):
+            q = v.quantile(p)
+            row[name] = float(q) if pd.notna(q) else None
+        row[n_name] = len(pdf)
+        return pd.DataFrame([row])
+
+    return src.groupBy(*group_cols).applyInPandas(kernel, schema=schema)

@@ -213,33 +213,37 @@ def i3_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def e4_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom grouped-map kernel via applyInPandas (the remaining UDF API
-    class beside scalar pandas UDFs, mapInPandas and
-    applyInPandasWithState): per-event-type exact quantiles.  pandas'
-    linear-interpolation quantile is definitionally identical to DuckDB's
-    `quantile_cont` on DOUBLE (verified) — value-level parity, not just
-    shape.  At scale each group's rows land on one task (shuffle on the
-    group key); for heavy groups the approximate `percentile_approx` is the
-    built-in alternative."""
-    import pandas as pd
+    """Per-event-type EXACT quantiles (p50/p90, `quantile_cont` linear
+    interpolation) via the distributed-selection operator
+    (operators/quantiles.grouped_quantile_cont) — VERDICT r05 #2.
+
+    The pre-r6 form shipped each group to one `applyInPandas` task
+    (measured 15× slope for 10× data at 10M events — hot groups sort on
+    a single task).  The selection path locates target ranks with
+    bucket-count statistics and only sorts distinct values of the ≤ 4
+    bucket slivers per group that contain a target rank: exact same
+    values, no full-data shuffle, ≤ linear at any group size.  The
+    grouped-map pandas form survives as
+    `operators.quantiles.grouped_quantile_pandas` (equality pinned in
+    tests/test_quantiles.py)."""
+    from overturemaps_duckdb_spark.operators.quantiles import (
+        grouped_quantile_cont,
+    )
 
     ev = t(spark, sf_dir, "events").select("event_type", "value")
-
-    def quantiles(pdf: pd.DataFrame) -> pd.DataFrame:
-        v = pdf["value"].astype(float)
-        return pd.DataFrame(
-            [
-                {
-                    "event_type": pdf["event_type"].iloc[0],
-                    "p50": round(float(v.quantile(0.5)), 6),
-                    "p90": round(float(v.quantile(0.9)), 6),
-                    "n": len(pdf),
-                }
-            ]
-        )
-
-    return ev.groupBy("event_type").applyInPandas(
-        quantiles, schema="event_type string, p50 double, p90 double, n bigint"
+    out = grouped_quantile_cont(
+        ev,
+        ["event_type"],
+        "value",
+        [0.5, 0.9],
+        out_names=["p50", "p90"],
+        n_name="n",
+    )
+    return out.select(
+        "event_type",
+        F.round("p50", 6).alias("p50"),
+        F.round("p90", 6).alias("p90"),
+        "n",
     )
 
 

@@ -1,0 +1,201 @@
+"""Distributed exact grouped quantiles (operators/quantiles.py).
+
+The exactness claim is the whole point (VERDICT r05 #2: replace the
+single-task-per-group applyInPandas path with a distributed selection
+that is EXACT, not approximate) — so every test here compares against an
+independent oracle: DuckDB `quantile_cont`, pandas `Series.quantile`
+(definitionally the same linear interpolation on DOUBLE), or both.  The
+bucketed path is forced via `n_buckets` on small data; boundary placement
+must never affect values, only bucket sizes.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pyspark.sql.functions as F
+import pytest
+
+from overturemaps_duckdb_spark.operators.quantiles import (
+    grouped_quantile_cont,
+    grouped_quantile_pandas,
+)
+
+PROBS = [0.5, 0.9]
+
+
+def _oracle_rows(rows, probs):
+    """DuckDB quantile_cont over (g, v) tuples → {g: ([q...], n_all)}."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tv (g VARCHAR, v DOUBLE)")
+    con.executemany("INSERT INTO tv VALUES (?, ?)", rows)
+    qcols = ", ".join(
+        f"quantile_cont(v, {p}) AS q{i}" for i, p in enumerate(probs)
+    )
+    out = con.execute(
+        f"SELECT g, {qcols}, count(*) AS n FROM tv GROUP BY g"
+    ).fetchall()
+    con.close()
+    return {r[0]: (list(r[1:-1]), r[-1]) for r in out}
+
+
+def _spark_rows(df):
+    return {
+        r[0]: ([r[i] for i in range(1, len(r) - 1)], r[-1])
+        for r in df.collect()
+    }
+
+
+def _assert_close(got, want):
+    assert set(got) == set(want)
+    for g in want:
+        gq, gn = got[g]
+        wq, wn = want[g]
+        assert gn == wn, f"group {g}: n {gn} != {wn}"
+        for a, b in zip(gq, wq):
+            if b is None or (isinstance(b, float) and math.isnan(b)):
+                assert a is None, f"group {g}: {a} != NULL"
+            else:
+                assert a == pytest.approx(b, abs=1e-9), f"group {g}"
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "g string, v double")
+
+
+def test_fast_path_matches_duckdb(spark):
+    rng = random.Random(42)
+    rows = [
+        (f"g{i % 4}", round(rng.uniform(-100, 100), 3)) for i in range(997)
+    ]
+    df = _mk(spark, rows)
+    out = grouped_quantile_cont(df, ["g"], "v", PROBS, n_buckets=1)
+    _assert_close(_spark_rows(out), _oracle_rows(rows, PROBS))
+
+
+@pytest.mark.parametrize("n_buckets", [2, 7, 32])
+def test_bucketed_path_matches_duckdb(spark, n_buckets):
+    """Exactness must be independent of bucket count/boundary placement."""
+    rng = random.Random(n_buckets)
+    rows = [
+        (f"g{i % 3}", round(rng.gauss(0, 50), 2)) for i in range(1501)
+    ]
+    df = _mk(spark, rows)
+    out = grouped_quantile_cont(df, ["g"], "v", PROBS, n_buckets=n_buckets)
+    _assert_close(_spark_rows(out), _oracle_rows(rows, PROBS))
+
+
+def test_duplicate_heavy_and_constant_groups(spark):
+    """All-equal groups, few distinct values, single-row groups — the
+    duplicate-collapse and h-integral (frac=0) edges."""
+    rows = (
+        [("const", 7.0)] * 400
+        + [("two", 1.0)] * 150
+        + [("two", 2.0)] * 151
+        + [("one", 42.5)]
+    )
+    df = _mk(spark, rows)
+    for nb in (1, 8):
+        out = grouped_quantile_cont(df, ["g"], "v", PROBS, n_buckets=nb)
+        _assert_close(_spark_rows(out), _oracle_rows(rows, PROBS))
+
+
+def test_null_handling_matches_quantile_cont(spark):
+    """NULLs count in n (count(*)) but never enter the quantile; an
+    all-NULL group yields NULL quantiles, like DuckDB."""
+    rows = [("a", 1.0), ("a", None), ("a", 3.0), ("b", None), ("b", None)]
+    df = _mk(spark, rows)
+    for nb in (1, 4):
+        out = grouped_quantile_cont(df, ["g"], "v", PROBS, n_buckets=nb)
+        got = _spark_rows(out)
+        assert got["a"] == ([2.0, pytest.approx(2.8)], 3)
+        assert got["b"] == ([None, None], 2)
+
+
+def test_pandas_form_agrees_with_distributed(spark):
+    """grouped_quantile_pandas (the applyInPandas showcase) and the
+    distributed selection are the same contract."""
+    rng = random.Random(7)
+    rows = [(f"g{i % 5}", rng.uniform(0, 1)) for i in range(800)]
+    df = _mk(spark, rows)
+    a = _spark_rows(
+        grouped_quantile_cont(
+            df, ["g"], "v", PROBS, out_names=["p50", "p90"], n_buckets=6
+        )
+    )
+    b = _spark_rows(
+        grouped_quantile_pandas(
+            df, ["g"], "v", PROBS, out_names=["p50", "p90"]
+        )
+    )
+    _assert_close(a, b)
+
+
+def test_randomized_parity(spark):
+    """Property-style sweep: random sizes, skews, duplicate rates, probs
+    including 0 and 1 and h-integral points; every draw must match
+    DuckDB exactly (1e-9)."""
+    rng = random.Random(2026)
+    for trial in range(4):
+        probs = sorted(rng.sample([0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0], 3))
+        rows = []
+        for gi in range(rng.randint(1, 4)):
+            n = rng.randint(1, 400)
+            vocab = [round(rng.uniform(-10, 10), 1) for _ in range(max(1, n // 10))]
+            rows += [(f"g{gi}", rng.choice(vocab)) for _ in range(n)]
+        df = _mk(spark, rows)
+        nb = rng.choice([1, 2, 5, 16])
+        out = grouped_quantile_cont(df, ["g"], "v", probs, n_buckets=nb)
+        _assert_close(_spark_rows(out), _oracle_rows(rows, probs))
+
+
+def test_adaptive_bucket_choice_small_data(spark):
+    """Small groups auto-select the B=1 fast path (no boundary column in
+    the stats plan), and the result still matches."""
+    rows = [("a", float(i)) for i in range(100)]
+    df = _mk(spark, rows)
+    out = grouped_quantile_cont(df, ["g"], "v", PROBS)
+    _assert_close(_spark_rows(out), _oracle_rows(rows, PROBS))
+
+
+def test_no_full_data_shuffle_in_bucketed_plan(spark):
+    """The scale claim, pinned on the plan: with the group column NOT in
+    any Exchange of the full-width data.  Every hashpartitioning in the
+    bucketed plan operates on reduced relations (group stats, bucket
+    counts, selected slivers) — the raw scan feeds only aggregations
+    with map-side partials, never a row-preserving Exchange.
+
+    Proxy assertion: no Exchange hashpartitioning on the bare group key
+    alone (the old applyInPandas plan's signature — one partition per
+    group carrying every row)."""
+    rows = [(f"g{i % 3}", float(i % 97)) for i in range(3000)]
+    df = _mk(spark, rows)
+    out = grouped_quantile_cont(df, ["g"], "v", PROBS, n_buckets=8)
+    plan = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # Every join in the operator is an explicit broadcast of a reduced
+    # relation (stats/bounds/targets/bucket-counts) — localCheckpoint
+    # frames carry no catalyst stats, so without the hints the boundary
+    # join silently degraded to a full-data shuffle (profiled: 2.3× the
+    # whole-query time at 10M rows).  SMJ in this plan == regression.
+    assert "SortMergeJoin" not in plan, "quantile joins must broadcast"
+
+
+def test_invalid_args(spark):
+    df = _mk(spark, [("a", 1.0)])
+    with pytest.raises(ValueError):
+        grouped_quantile_cont(df, ["g"], "v", [])
+    with pytest.raises(ValueError):
+        grouped_quantile_cont(df, ["g"], "v", [1.5])
+    with pytest.raises(ValueError):
+        grouped_quantile_cont(df, ["g"], "v", [0.5, 0.5])
+    with pytest.raises(ValueError):
+        grouped_quantile_cont(df, ["g"], "v", [0.5], n_buckets=0)
+    with pytest.raises(ValueError):
+        grouped_quantile_cont(df, ["g"], "v", [0.5], out_names=["g"])
