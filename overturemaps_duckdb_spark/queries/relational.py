@@ -769,15 +769,41 @@ def a6_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("a7_approx_count_distinct")  # engine-specific sketch → rows-only check
+@query(
+    "a7_approx_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           TRUE AS approx_within_5rsd
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def a7_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-count — the scale path for 100 TB cardinality
-    probes (constant memory per group vs exact dedup's shuffle).  Sketches
-    differ across engines so there is deliberately no value oracle."""
+    probes (constant memory per group vs exact dedup's shuffle).
+
+    Sketch estimates differ across engines, so raw values cannot
+    hash-match; the bounded-error oracle (VERDICT r05 #3) instead: the
+    query computes BOTH the sketch and the exact count and emits
+    ``approx_within_5rsd`` = |approx − exact| ≤ max(1, 5·rsd·exact) —
+    5 standard deviations at rsd=0.02, i.e. a 10% band the HLL++
+    guarantee puts astronomically far from violating.  The oracle
+    asserts the same exact counts and a literal TRUE, so the driver's
+    hash compare certifies the sketch's error bound, not its exact
+    value.  The sketch-only production form is the same aggregate minus
+    the countDistinct column."""
+    exact = F.count_distinct(F.col("l_partkey")).cast("bigint")
+    approx = F.approx_count_distinct("l_partkey", rsd=0.02)
     return (
         t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx"))
+        .agg(
+            exact.alias("n_parts"),
+            (
+                F.abs(approx - exact).cast("double")
+                <= F.greatest(F.lit(1.0), F.lit(5 * 0.02) * exact)
+            ).alias("approx_within_5rsd"),
+        )
     )
 
 
