@@ -188,16 +188,23 @@ def main() -> None:
         # provably a SortMergeJoin — if Catalyst statically broadcast
         # orders at bench scale, the old conditional check passed
         # vacuously and the recorded time never exercised the co-bucketed
-        # edge.  The SMJ assertion below is now unconditional.
+        # edge.  The SMJ assertion below is now unconditional.  The dims
+        # are passed PRE-hinted exactly as test_layout does (a broadcast
+        # hint on the input survives threshold -1): otherwise the dim
+        # joins also become SMJs whose own exchanges false-positive the
+        # "no shuffle below the fact SMJ" slice — found when the same
+        # naive check tripped on the sf5 fixture.
         _bt_old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
+            import pyspark.sql.functions as _F
+
             q9b = q9_plan(
                 li_b,
-                _tq(spark, sf_dir, "part"),
-                _tq(spark, sf_dir, "supplier"),
+                _F.broadcast(_tq(spark, sf_dir, "part")),
+                _F.broadcast(_tq(spark, sf_dir, "supplier")),
                 o_b,
-                _tq(spark, sf_dir, "nation"),
+                _F.broadcast(_tq(spark, sf_dir, "nation")),
             )
             t0 = time.monotonic()
             q9b.write.format("noop").mode("overwrite").save()
