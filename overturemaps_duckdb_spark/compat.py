@@ -13,6 +13,7 @@ exact texts run unchanged:
 | `x // y` integer division       | `x DIV y`                              |
 | `epoch_us(ts)`                  | `unix_micros(ts)`                      |
 | `string_split`, `list_*` fns    | `split`, `transform/filter/array_*`    |
+| `quantile_cont(v, p)`           | `percentile(v, p)` (same semantics)    |
 | `read_parquet(['f1','f2'])`     | temp view over `spark.read.parquet`    |
 | `PRAGMA create_fts_index(t,…)`  | FTS index build → `fts_main_*` views   |
 | `COPY t TO 'p' (FORMAT PARQUET)`| `spark.table(t).write.parquet(p)`      |
@@ -49,6 +50,13 @@ _FN_MAP = {
     "list_sort": "array_sort",
     "epoch_us": "unix_micros",
     "strlen": "length",
+    # DuckDB's exact interpolated quantile ≡ Spark's `percentile` (both
+    # linear interpolation on DOUBLE at rank p·(n−1), NULLs skipped) —
+    # value-identical, verified in tests/test_compat.py against DuckDB.
+    # The distributed scale path for heavy groups is
+    # operators/quantiles.grouped_quantile_cont; the console translation
+    # keeps the one-liner working.
+    "quantile_cont": "percentile",
 }
 
 #: argument-splicing rewrites (balanced-paren extraction, not plain rename).

@@ -172,3 +172,43 @@ def test_summarize_intercept(spark):
     assert rows["id"]["n_rows"] == 3 and rows["id"]["n_distinct"] == 2
     assert rows["v"]["n_null"] == 1 and rows["v"]["min_v"] == "5"
     assert rows["name"]["column_type"] == "string" and rows["name"]["max_v"] == "b"
+
+
+def test_quantile_cont_translation_matches_duckdb(spark):
+    """r6: DuckDB's `quantile_cont` maps to Spark's exact `percentile`
+    (both linear-interpolated at rank p·(n−1), NULLs skipped) — verified
+    value-for-value against DuckDB on the events fixture, through the
+    console path."""
+    import duckdb
+
+    assert "percentile(value, 0.9)" in translate(
+        "SELECT quantile_cont(value, 0.9) FROM events"
+    )
+    # literals stay protected
+    assert translate("SELECT 'quantile_cont(x)'") == "SELECT 'quantile_cont(x)'"
+
+    t(spark, SF_SMOKE, "events").createOrReplaceTempView("events")
+    got = {
+        r["event_type"]: (r["p50"], r["p90"])
+        for r in duck_sql(
+            spark,
+            "SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS p50,"
+            " ROUND(quantile_cont(value, 0.9), 6) AS p90"
+            " FROM events GROUP BY event_type",
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet')"
+    )
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            "SELECT event_type, ROUND(quantile_cont(value, 0.5), 6),"
+            " ROUND(quantile_cont(value, 0.9), 6)"
+            " FROM events GROUP BY event_type"
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
