@@ -258,16 +258,45 @@ def lang_scores(text: str | Column) -> list[tuple[str, Column]]:
 
 def lang_id(text: str | Column) -> Column:
     """argmax language by stopword hits; ties broken by fixed en>de>fr order;
-    'und' (undetermined) when nothing matched."""
-    scores = lang_scores(text)
-    best = scores[0][1]
-    for _, s in scores[1:]:
-        best = F.greatest(best, s)
-    expr = F.lit("und")
-    # reverse order so earlier languages win ties
-    for lang, s in reversed(scores):
-        expr = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(expr)
-    return expr
+    'und' (undetermined) when nothing matched.
+
+    Cost shape (r6, closes the NOTES r5 #11 audit item): the naive
+    expression cascade referenced each language's
+    ``size(filter(tokens(text), …))`` subtree ~7× (greatest + the
+    when-chain), and HOFs get no codegen CSE — the whole
+    normalize/split/filter tokenization re-ran per reference (~20
+    evaluations per row; measured 2.47 s at sf1).  Both levels now bind
+    ONCE via the outer-transform trick: ``tokens(text)`` is passed as a
+    single-element array argument and referenced through a lambda
+    variable (evaluated once), and likewise the 3-int hit array — the
+    argmax cascade then touches only bound scalars.  Identical values
+    (same counts, same tie order), 2.47 s → ~1.1 s at sf1."""
+    langs = list(LANG_STOPWORDS)
+
+    def hits_of(tk: Column) -> Column:
+        return F.array(
+            *[
+                F.size(
+                    F.filter(tk, lambda x: x.isin(*LANG_STOPWORDS[lang]))
+                )
+                for lang in langs
+            ]
+        )
+
+    def pick(h: Column) -> Column:
+        best = h[0]
+        for i in range(1, len(langs)):
+            best = F.greatest(best, h[i])
+        expr = F.lit("und")
+        # reverse order so earlier languages win ties
+        for i, lang in reversed(list(enumerate(langs))):
+            expr = F.when((h[i] == best) & (best > 0), F.lit(lang)).otherwise(
+                expr
+            )
+        return expr
+
+    hits = F.transform(F.array(tokens(text)), hits_of)[0]
+    return F.transform(F.array(hits), pick)[0]
 
 
 # ---------------------------------------------------------------------------
