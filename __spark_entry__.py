@@ -35,11 +35,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: only five rows whose driver certification is older than the query's last
 #: behavior change (d6/d7/d8 lineage-cut landed r4, their rows are r2;
 #: f4 de-vacuated r4, row r3; i5's pyarrow metadata write changed r4,
-#: row r3), then the three queries whose behavior changes THIS round
+#: row r3), then the four queries whose behavior changes THIS round
 #: (e4's exact-quantile path goes distributed, a7 gains a bounded-error
-#: oracle, x3's tokenization binds once), then freshen the oldest
+#: oracle, x3/x4's tokenization binds once), then freshen the oldest
 #: remaining cohort — the r3-certified TPC-H q2–q22 and the p/f/a/o
-#: relational families (unchanged since r3).  Exactly 50 entries; o6 and
+#: relational families (unchanged since r3).  Exactly 50 entries; o5/o6 and
 #: the u/w families (also r3, unchanged) roll to the next rotation.  A
 #: green round 6 leaves no certification in the registry
 #: older than its query's last behavior change.  Regression cover for
@@ -53,10 +53,11 @@ _CERT_PRIORITY = [
     "f4_ilike_substring",
     "i5_stream_foreachbatch_ingest",
     # behavior changes landing in round 6 (e4 distributed-selection
-    # rewrite, a7 bounded-error oracle, x3 bind-once tokenization)
+    # rewrite, a7 bounded-error oracle, x3/x4 bind-once tokenization)
     "e4_grouped_quantiles",
     "a7_approx_count_distinct",
     "x3_lang_id",
+    "x4_fingerprints",
     # r3-certified TPC-H cohort, unchanged since — freshen
     "q2_min_cost_supplier",
     "q3_shipping_priority",
@@ -103,7 +104,6 @@ _CERT_PRIORITY = [
     # r3-certified ordering family
     "o1_topk_order_limit",
     "o4_limit_offset",
-    "o5_balanced_union_limit",
 ]
 
 
