@@ -119,25 +119,31 @@ def grouped_quantile_cont(
         *group_cols, F.col(value_col).cast("double").alias("_v")
     )
 
-    # ---- pass 1: per-group stats (+ boundaries when bucketed) ----------
-    stat_aggs = [
-        F.count(F.lit(1)).alias("_n_all"),
-        F.count("_v").alias("_nn"),
-    ]
-    # Decide B.  An explicit n_buckets avoids the max-collect entirely;
-    # otherwise one scalar job sizes the buckets from the hottest group.
+    # ---- pass 1: per-group stats; bucket sizing rides the SAME job -----
+    # The counts frame is checkpointed eagerly (G rows — tiny), so the
+    # adaptive max-nn probe is a collect over the materialized frame, not
+    # a second scan of the source; B=1 therefore costs exactly one scan
+    # of fixed overhead before the selection query (profiled: the
+    # separate sizing job was ~1/3 of the small-fixture runtime).
+    # NB: a localCheckpoint result is a LogicalRDD with NO catalyst stats
+    # — the planner assumes it is huge and will never auto-broadcast it,
+    # so every join against stats-derived frames below marks the small
+    # side with an explicit broadcast() (profiled at 10M rows: the
+    # missing hint turned the boundary join into a full-data shuffle).
+    if n_buckets is not None and n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    stats = (
+        src.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("_n_all"),
+            F.count("_v").alias("_nn"),
+        )
+        .localCheckpoint(eager=True)
+    )
     if n_buckets is not None:
-        if n_buckets < 1:
-            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
         B = n_buckets
     else:
-        max_nn = (
-            src.groupBy(*group_cols)
-            .agg(F.count("_v").alias("_nn"))
-            .agg(F.max("_nn"))
-            .first()[0]
-            or 0
-        )
+        max_nn = stats.agg(F.max("_nn")).first()[0] or 0
         B = (
             1
             if max_nn <= target_bucket_rows
@@ -148,26 +154,18 @@ def grouped_quantile_cont(
         # them — so the sketch can be cheap: error ≈ nn/acc rows per
         # boundary, i.e. ~10% of the nn/B bucket target at 10·B.  The
         # default percentile_approx accuracy (10000) dominated the 10M-row
-        # runtime for zero benefit.
+        # runtime for zero benefit.  Materialized ONCE (checkpoint): the
+        # bucket-count and selection passes must agree on the
+        # (merge-order-sensitive) percentile_approx boundaries.
         acc = accuracy or max(100, 10 * B)
         splits = [i / B for i in range(1, B)]
-        stat_aggs.append(
-            F.percentile_approx("_v", splits, acc).alias("_bounds")
+        bounds_frame = (
+            src.where(F.col("_v").isNotNull())
+            .groupBy(*group_cols)
+            .agg(F.percentile_approx("_v", splits, acc).alias("_bounds"))
+            .localCheckpoint(eager=True)
         )
-    stats = src.groupBy(*group_cols).agg(*stat_aggs)
-    if B > 1:
-        # Materialize ONCE: the bucket-count and selection passes must
-        # agree on the (merge-order-sensitive) percentile_approx
-        # boundaries.  The B=1 path skips this — its stats are exact
-        # counts, deterministic under recompute — saving one job of
-        # fixed overhead on small data.
-        # NB: a localCheckpoint result is a LogicalRDD with NO catalyst
-        # stats — the planner assumes it is huge and will never
-        # auto-broadcast it, so every join against stats-derived frames
-        # below marks the small side with an explicit broadcast()
-        # (profiled at 10M rows: the missing hint turned the boundary
-        # join into a full-data shuffle).
-        stats = stats.localCheckpoint(eager=True)
+        stats = stats.join(F.broadcast(bounds_frame), group_cols, "left")
 
     # ---- target ranks: pure column math on the stats frame -------------
     plist = F.array(
