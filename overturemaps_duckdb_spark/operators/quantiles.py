@@ -8,37 +8,42 @@ module implements exact ``quantile_cont`` semantics (linear interpolation
 on DOUBLE, NULLs ignored — DuckDB ``quantile_cont``, pandas
 ``Series.quantile``) as a *distributed selection*:
 
-1. **Stats pass** (1 column-pruned scan): per-group ``count(*)``,
-   non-null count, and ``percentile_approx`` bucket boundaries in ONE
-   aggregation.  The target ranks for each requested quantile are pure
-   column math on the non-null count: ``h = p·(nn−1)``,
-   ``rank_lo = ⌊h⌋+1``, ``rank_hi = ⌈h⌉+1``, ``frac = h−⌊h⌋``.
-2. **Bucket-count pass** (1 scan): each row is assigned the bucket
-   ``|{b ∈ bounds : b < v}|`` (a codegen'd HOF fold over the tiny
-   boundary array — no UDF, no shuffle of the data; the boundaries
-   frame joins in, broadcast by AQE).  Bucket counts per group are a
-   small-key aggregation with map-side partials; a window over the
-   G×B count rows yields each bucket's global rank offset.
+1. **Stats pass** (1 column-pruned scan): per-group ``count(*)`` and
+   non-null count, eagerly checkpointed (G rows); the adaptive
+   bucket-count probe collects over that materialized frame — no second
+   sizing scan.  Target ranks are pure column math on the non-null
+   count: ``h = p·(nn−1)``, ``rank_lo = ⌊h⌋+1``, ``rank_hi = ⌈h⌉+1``,
+   ``frac = h−⌊h⌋``.  When bucketing engages (B>1), the
+   ``percentile_approx`` boundaries are one more column-pruned scan,
+   also checkpointed.
+2. **Bucket-count pass** (1 scan, B>1 only): each row is assigned the
+   bucket ``|{b ∈ bounds : b < v}|`` (a codegen'd HOF fold over the
+   tiny boundary array — no UDF, no shuffle of the data; the boundary
+   frame rides in on an EXPLICIT broadcast join).  Bucket counts per
+   group are a small-key aggregation with map-side partials; a window
+   over the G×B count rows yields each bucket's global rank offset.
 3. **Selection pass** (1 scan): only rows in buckets that CONTAIN a
    target rank survive a broadcast semi-join (≤ 2·|probs| buckets per
    group, ~nn/B rows each), collapse to (value, count) — duplicates
    never expand — and a within-bucket window over *distinct values*
    locates the exact rank.  Interpolate, pivot wide, done.
 
-No full-data shuffle anywhere: the three scans read only the group+value
-columns (column pruning), everything that shuffles is either per-group
-stats (G rows), per-bucket counts (G×B rows), or the selected slivers.
-At 100 TB the cost is 3 column-pruned scans — the price of exactness;
-``percentile_approx`` alone remains the cheap 1-scan approximation when
-a rank error of ~1/accuracy is acceptable.
+No full-data shuffle anywhere: every scan reads only the group+value
+columns (column pruning), and everything that shuffles is either
+per-group stats (G rows), per-bucket counts (G×B rows), or the selected
+slivers.  At 100 TB the cost is 4 column-pruned scans (2 on the B=1
+fast path) — the price of exactness; ``percentile_approx`` alone
+remains the cheap 1-scan approximation when a rank error of
+~1/accuracy is acceptable.
 
 Determinism note: ``percentile_approx`` results can depend on partial
 merge order, and the bucket-count and selection passes MUST see the same
-boundaries or ranks silently desynchronize.  The stats frame is therefore
-``localCheckpoint(eager=True)``-materialized (G rows — tiny): every
-downstream read comes from the stored blocks, never a recompute.  Loss of
-a checkpoint block fails the job loudly; at multi-executor scale prefer a
-reliable ``checkpoint()`` dir for the same guarantee.
+boundaries or ranks silently desynchronize.  The counts and boundary
+frames are therefore ``localCheckpoint(eager=True)``-materialized
+(G rows each — tiny): every downstream read comes from the stored
+blocks, never a recompute.  Loss of a checkpoint block fails the job
+loudly; at multi-executor scale prefer a reliable ``checkpoint()`` dir
+for the same guarantee.
 
 Reference parity: the reference engine exposes quantiles only through its
 DuckDB SQL front door (``quantile_cont`` — see SURVEY §2.5); this module
