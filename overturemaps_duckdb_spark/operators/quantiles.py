@@ -125,11 +125,15 @@ def grouped_quantile_cont(
     )
 
     # ---- pass 1: per-group stats; bucket sizing rides the SAME job -----
-    # The counts frame is checkpointed eagerly (G rows — tiny), so the
-    # adaptive max-nn probe is a collect over the materialized frame, not
-    # a second scan of the source; B=1 therefore costs exactly one scan
-    # of fixed overhead before the selection query (profiled: the
-    # separate sizing job was ~1/3 of the small-fixture runtime).
+    # On the adaptive path the checkpoint is LAZY: the max-nn probe's
+    # collect is the first action over the stats frame, so the one stats
+    # scan, the checkpoint write, and the sizing probe are a single job
+    # (profiled: the separate eager-materialization job was ~20% of the
+    # small-fixture runtime; counts are deterministic aggregates, so a
+    # lazy checkpoint is race-safe here).  When the caller forces
+    # ``n_buckets`` there is no probe to ride, and the final action reads
+    # stats from TWO plan branches — eager materialization keeps those
+    # branches off a concurrent first-compute of the same RDD.
     # NB: a localCheckpoint result is a LogicalRDD with NO catalyst stats
     # — the planner assumes it is huge and will never auto-broadcast it,
     # so every join against stats-derived frames below marks the small
@@ -143,7 +147,7 @@ def grouped_quantile_cont(
             F.count(F.lit(1)).alias("_n_all"),
             F.count("_v").alias("_nn"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=n_buckets is not None)
     )
     if n_buckets is not None:
         B = n_buckets
@@ -288,23 +292,36 @@ def grouped_quantile_cont(
         )
 
     # ---- interpolate + pivot wide --------------------------------------
-    per_p = (
-        picked.groupBy(*group_cols, "_pi", "_frac")
-        .agg(
-            F.max(F.when(F.col("_w") == "lo", F.col("_v"))).alias("_vlo"),
-            F.max(F.when(F.col("_w") == "hi", F.col("_v"))).alias("_vhi"),
+    # Each (group, _pi, _w) target matches exactly ONE picked row (the
+    # unique value sliver containing its rank), so the per-prob lo/hi
+    # endpoints and the frac pivot directly in a single groupBy(group)
+    # aggregation — one shuffle stage instead of the per-(group, prob)
+    # pre-aggregation + pivot pair (picked is ≤ 2·|probs| rows per group
+    # either way; the merged form just drops a stage of fixed overhead).
+    aggs = []
+    for j in range(len(probs)):
+        pi = F.col("_pi") == j
+        aggs.append(
+            F.max(F.when(pi & (F.col("_w") == "lo"), F.col("_v"))).alias(
+                f"_vlo{j}"
+            )
         )
-        .withColumn(
-            "_q",
-            F.col("_vlo")
-            + (F.col("_vhi") - F.col("_vlo")) * F.col("_frac"),
+        aggs.append(
+            F.max(F.when(pi & (F.col("_w") == "hi"), F.col("_v"))).alias(
+                f"_vhi{j}"
+            )
         )
-    )
-    wide = per_p.groupBy(*group_cols).agg(
+        aggs.append(F.max(F.when(pi, F.col("_frac"))).alias(f"_frac{j}"))
+    wide = picked.groupBy(*group_cols).agg(*aggs).select(
+        *group_cols,
         *[
-            F.max(F.when(F.col("_pi") == j, F.col("_q"))).alias(name)
+            (
+                F.col(f"_vlo{j}")
+                + (F.col(f"_vhi{j}") - F.col(f"_vlo{j}"))
+                * F.col(f"_frac{j}")
+            ).alias(name)
             for j, name in enumerate(out_names)
-        ]
+        ],
     )
     return stats.join(F.broadcast(wide), group_cols, "left").select(
         *group_cols,
