@@ -36,6 +36,16 @@ fast path) — the price of exactness; ``percentile_approx`` alone
 remains the cheap 1-scan approximation when a rank error of
 ~1/accuracy is acceptable.
 
+Two join regimes, chosen by the group count probed in pass 1: while
+``G × max(B, 2·|probs|)`` fits :data:`BROADCAST_GROUP_LIMIT` (the
+few-hot-groups shape this operator was built for), every reduced-frame
+join is explicitly broadcast — mandatory, because checkpointed frames
+carry no catalyst stats (see the NB in the source).  Past the budget the
+reduced frames are themselves large, so every join runs unhinted on the
+group key (shuffle joins; the full-width bucket-assignment Exchange is
+then the correct price, and a residual hot key is AQE skew-join
+territory).  Values are identical in both regimes (pinned in tests).
+
 Determinism note: ``percentile_approx`` results can depend on partial
 merge order, and the bucket-count and selection passes MUST see the same
 boundaries or ranks silently desynchronize.  The counts and boundary
@@ -67,6 +77,18 @@ TARGET_BUCKET_ROWS = 250_000
 #: adaptive bucket-count clamp — beyond ~1k buckets the boundary-array
 #: HOF fold starts to cost more per row than the selection saves.
 MAX_BUCKETS = 1024
+#: broadcast budget for the reduced per-group frames, in ENTRIES
+#: (G × max(B, 2·|probs|)).  The checkpointed stats/bounds/bucket-count
+#: frames carry no catalyst stats, so the few-group regime (e4's shape:
+#: a handful of hot groups) must broadcast them EXPLICITLY or the planner
+#: shuffles the full data (see the NB below).  But those frames are
+#: G-proportional — with millions of groups a forced broadcast would ship
+#: G×B entries to every task (and through the driver).  Past this budget
+#: (~2M entries ≈ tens of MB) every reduced-frame join runs UNHINTED on
+#: the group key instead: one full-width Exchange for the bucket
+#: assignment join — the correct many-group plan (per-group state is
+#: small when G is large; the one hot key is AQE skew-join territory).
+BROADCAST_GROUP_LIMIT = 2_000_000
 
 
 def _check_probs(probs: Sequence[float]) -> list[float]:
@@ -151,13 +173,28 @@ def grouped_quantile_cont(
     )
     if n_buckets is not None:
         B = n_buckets
+        n_groups = stats.count()  # checkpoint read, no source rescan
     else:
-        max_nn = stats.agg(F.max("_nn")).first()[0] or 0
+        probe = stats.agg(
+            F.max("_nn").alias("_m"), F.count(F.lit(1)).alias("_g")
+        ).first()
+        max_nn = probe[0] or 0
+        n_groups = probe[1]
         B = (
             1
             if max_nn <= target_bucket_rows
             else min(MAX_BUCKETS, max(16, math.ceil(max_nn / target_bucket_rows)))
         )
+    # Few groups → force-broadcast the reduced frames (checkpoints have no
+    # stats; without the hint the planner shuffles the data — see NB).
+    # Many groups → the reduced frames are themselves big: leave every
+    # join unhinted and let the planner/AQE pick shuffle joins on the
+    # group key.
+    if n_groups * max(B, 2 * len(probs)) <= BROADCAST_GROUP_LIMIT:
+        mark = F.broadcast
+    else:
+        def mark(f: DataFrame) -> DataFrame:
+            return f
     if B > 1:
         # Boundaries only steer bucket SIZES — exactness never depends on
         # them — so the sketch can be cheap: error ≈ nn/acc rows per
@@ -174,7 +211,7 @@ def grouped_quantile_cont(
             .agg(F.percentile_approx("_v", splits, acc).alias("_bounds"))
             .localCheckpoint(eager=True)
         )
-        stats = stats.join(F.broadcast(bounds_frame), group_cols, "left")
+        stats = stats.join(mark(bounds_frame), group_cols, "left")
 
     # ---- target ranks: pure column math on the stats frame -------------
     plist = F.array(
@@ -230,7 +267,7 @@ def grouped_quantile_cont(
         ranged = vals.withColumn("_end", F.sum("_c").over(wv)).withColumn(
             "_start", F.col("_end") - F.col("_c") + 1
         )
-        picked = ranged.join(F.broadcast(targets), group_cols).where(
+        picked = ranged.join(mark(targets), group_cols).where(
             (F.col("_r") >= F.col("_start")) & (F.col("_r") <= F.col("_end"))
         )
     else:
@@ -240,7 +277,7 @@ def grouped_quantile_cont(
         bucket = F.size(
             F.filter(F.col("_bounds"), lambda b: b < F.col("_v"))
         )
-        bucketed = nonnull.join(F.broadcast(bounds), group_cols).select(
+        bucketed = nonnull.join(mark(bounds), group_cols).select(
             *group_cols, "_v", bucket.alias("_bucket")
         )
 
@@ -259,7 +296,7 @@ def grouped_quantile_cont(
 
         # which bucket contains each target rank
         tb = (
-            targets.join(F.broadcast(bcounts), group_cols)
+            targets.join(mark(bcounts), group_cols)
             .where(
                 (F.col("_r") > F.col("_off"))
                 & (F.col("_r") <= F.col("_off") + F.col("_bc"))
@@ -270,7 +307,7 @@ def grouped_quantile_cont(
 
         # ---- pass 3: selection — only needed buckets survive ----------
         sel = bucketed.join(
-            F.broadcast(needed), [*group_cols, "_bucket"], "left_semi"
+            mark(needed), [*group_cols, "_bucket"], "left_semi"
         )
         vals = sel.groupBy(*group_cols, "_bucket", "_v").agg(
             F.count(F.lit(1)).alias("_c")
@@ -283,11 +320,11 @@ def grouped_quantile_cont(
         offs = bcounts.select(*group_cols, "_bucket", "_off")
         ranged = (
             vals.withColumn("_cum", F.sum("_c").over(wv))
-            .join(F.broadcast(offs), [*group_cols, "_bucket"])
+            .join(mark(offs), [*group_cols, "_bucket"])
             .withColumn("_end", F.col("_off") + F.col("_cum"))
             .withColumn("_start", F.col("_end") - F.col("_c") + 1)
         )
-        picked = ranged.join(F.broadcast(tb), [*group_cols, "_bucket"]).where(
+        picked = ranged.join(mark(tb), [*group_cols, "_bucket"]).where(
             (F.col("_r") >= F.col("_start")) & (F.col("_r") <= F.col("_end"))
         )
 
@@ -323,7 +360,7 @@ def grouped_quantile_cont(
             for j, name in enumerate(out_names)
         ],
     )
-    return stats.join(F.broadcast(wide), group_cols, "left").select(
+    return stats.join(mark(wide), group_cols, "left").select(
         *group_cols,
         *out_names,
         F.col("_n_all").cast("bigint").alias(n_name),

@@ -199,3 +199,64 @@ def test_invalid_args(spark):
         grouped_quantile_cont(df, ["g"], "v", [0.5], n_buckets=0)
     with pytest.raises(ValueError):
         grouped_quantile_cont(df, ["g"], "v", [0.5], out_names=["g"])
+
+
+@pytest.mark.parametrize("n_buckets", [1, 4])
+def test_many_group_regime_unhinted_joins(spark, monkeypatch, n_buckets):
+    """Past BROADCAST_GROUP_LIMIT the reduced per-group frames are
+    G-proportional, so force-broadcasting them is the OOM path at scale —
+    the operator must drop every broadcast hint (shuffle joins on the
+    group key) and still produce identical values.  Pin both: no
+    broadcast hint reaches the optimized plan, and DuckDB parity."""
+    from overturemaps_duckdb_spark.operators import quantiles as Q
+
+    rows = [(f"g{i % 5}", float(i % 113)) for i in range(2000)]
+    df = _mk(spark, rows)
+
+    monkeypatch.setattr(Q, "BROADCAST_GROUP_LIMIT", 0)
+    out = grouped_quantile_cont(df, ["g"], "v", PROBS, n_buckets=n_buckets)
+    logical = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" not in logical.lower(), "hint leaked into many-group plan"
+    _assert_close(_spark_rows(out), _oracle_rows(rows, PROBS))
+
+    # default regime on the same data: hints present (the checkpointed
+    # frames have no stats — without the hints the planner shuffles the
+    # full data; see test_no_full_data_shuffle_in_bucketed_plan)
+    monkeypatch.setattr(Q, "BROADCAST_GROUP_LIMIT", 2_000_000)
+    out2 = grouped_quantile_cont(df, ["g"], "v", PROBS, n_buckets=n_buckets)
+    logical2 = out2._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" in logical2.lower()
+    _assert_close(_spark_rows(out2), _oracle_rows(rows, PROBS))
+
+
+@pytest.mark.parametrize("n_buckets", [1, 4])
+def test_composite_group_key(spark, n_buckets):
+    """Multiple group columns: every internal join/window keys on the full
+    composite (src, k) — a bug that joined on a prefix would mix groups.
+    Oracle: DuckDB quantile_cont grouped on both columns."""
+    import duckdb
+
+    rng = random.Random(7)
+    rows = [
+        (f"s{i % 3}", i % 4, round(rng.uniform(0, 50), 1))
+        for i in range(1200)
+    ] + [("s0", 99, None), ("lonely", 0, 5.0)]
+    df = spark.createDataFrame(rows, "src string, k int, v double")
+    out = grouped_quantile_cont(df, ["src", "k"], "v", PROBS, n_buckets=n_buckets)
+    got = {
+        (r["src"], r["k"]): ([r["q0_5"], r["q0_9"]], r["n"])
+        for r in out.collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tv (src VARCHAR, k INT, v DOUBLE)")
+    con.executemany("INSERT INTO tv VALUES (?, ?, ?)", rows)
+    want = {
+        (r[0], r[1]): ([r[2], r[3]], r[4])
+        for r in con.execute(
+            "SELECT src, k, quantile_cont(v, 0.5), quantile_cont(v, 0.9),"
+            " count(*) FROM tv GROUP BY src, k"
+        ).fetchall()
+    }
+    con.close()
+    _assert_close(got, want)
