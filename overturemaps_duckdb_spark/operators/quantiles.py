@@ -31,10 +31,21 @@ on DOUBLE, NULLs ignored — DuckDB ``quantile_cont``, pandas
 No full-data shuffle anywhere: every scan reads only the group+value
 columns (column pruning), and everything that shuffles is either
 per-group stats (G rows), per-bucket counts (G×B rows), or the selected
-slivers.  At 100 TB the cost is 4 column-pruned scans (2 on the B=1
-fast path) — the price of exactness; ``percentile_approx`` alone
-remains the cheap 1-scan approximation when a rank error of
-~1/accuracy is acceptable.
+slivers.  At 100 TB the cost is 4 column-pruned scans — the price of
+exactness; ``percentile_approx`` alone remains the cheap 1-scan
+approximation when a rank error of ~1/accuracy is acceptable.
+
+**B=1 fast path**: when the sizing probe shows every group fits
+``target_bucket_rows``, the whole machinery above collapses to ONE hash
+aggregation with Spark's exact ``percentile`` (identical quantile_cont
+interpolation — value-pinned against DuckDB in tests/test_compat and
+here).  Its partial buffers collapse duplicates to (value, count) maps,
+so the single Exchange ships at most the per-group distinct-value
+profile — bounded by the same ``target_bucket_rows`` routing that
+selected the path.  Cost: the sizing scan + one agg scan (just the agg
+when the caller forces ``n_buckets=1``); the pre-r6 shape of this path
+(collapse → rank window → target join → pivot) spent ~3 extra stages of
+fixed overhead per call for the same bounded shuffle.
 
 Two join regimes, chosen by the group count probed in pass 1: while
 ``G × max(B, 2·|probs|)`` fits :data:`BROADCAST_GROUP_LIMIT` (the
@@ -103,6 +114,37 @@ def _check_probs(probs: Sequence[float]) -> list[float]:
     return out
 
 
+def _percentile_agg(
+    src: DataFrame,
+    group_cols: list[str],
+    probs: list[float],
+    out_names: list[str],
+    n_name: str,
+) -> DataFrame:
+    """B=1 fast path: one exact-``percentile`` hash aggregation.
+
+    Spark's ``percentile`` implements the same linear interpolation as
+    DuckDB ``quantile_cont`` / pandas ``Series.quantile`` (``h =
+    p·(nn−1)``; value-pinned in tests/test_quantiles.py and
+    tests/test_compat.py), ignores NULLs, and returns NULL for all-NULL
+    groups — exactly this module's contract.  Its partial buffers
+    collapse duplicates to (value, count) maps, so the single group-key
+    Exchange carries at most each group's distinct-value profile; the
+    caller only routes here when every group fits
+    ``target_bucket_rows``, which bounds that buffer.  ``n`` is
+    ``count(*)`` INCLUDING NULL values, per the contract.
+    """
+    qs = F.percentile("_v", F.array(*[F.lit(p) for p in probs]))
+    agg = src.groupBy(*group_cols).agg(
+        qs.alias("_qs"), F.count(F.lit(1)).alias("_n_all")
+    )
+    return agg.select(
+        *group_cols,
+        *[F.col("_qs")[j].alias(name) for j, name in enumerate(out_names)],
+        F.col("_n_all").cast("bigint").alias(n_name),
+    )
+
+
 def grouped_quantile_cont(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -163,6 +205,11 @@ def grouped_quantile_cont(
     # missing hint turned the boundary join into a full-data shuffle).
     if n_buckets is not None and n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if n_buckets == 1:
+        # caller vouches every group fits target_bucket_rows: no sizing
+        # job at all — one exact-percentile hash aggregate (see module
+        # doc, "B=1 fast path").
+        return _percentile_agg(src, group_cols, probs, out_names, n_name)
     stats = (
         src.groupBy(*group_cols)
         .agg(
@@ -180,11 +227,13 @@ def grouped_quantile_cont(
         ).first()
         max_nn = probe[0] or 0
         n_groups = probe[1]
-        B = (
-            1
-            if max_nn <= target_bucket_rows
-            else min(MAX_BUCKETS, max(16, math.ceil(max_nn / target_bucket_rows)))
-        )
+        if max_nn <= target_bucket_rows:
+            # B=1 fast path: the probe's lazy checkpoint already
+            # materialized the stats blocks, but the percentile agg
+            # needs neither them nor any join — drop straight to the
+            # single-aggregation plan (module doc, "B=1 fast path").
+            return _percentile_agg(src, group_cols, probs, out_names, n_name)
+        B = min(MAX_BUCKETS, max(16, math.ceil(max_nn / target_bucket_rows)))
     # Few groups → force-broadcast the reduced frames (checkpoints have no
     # stats; without the hint the planner shuffles the data — see NB).
     # Many groups → the reduced frames are themselves big: leave every
@@ -195,23 +244,22 @@ def grouped_quantile_cont(
     else:
         def mark(f: DataFrame) -> DataFrame:
             return f
-    if B > 1:
-        # Boundaries only steer bucket SIZES — exactness never depends on
-        # them — so the sketch can be cheap: error ≈ nn/acc rows per
-        # boundary, i.e. ~10% of the nn/B bucket target at 10·B.  The
-        # default percentile_approx accuracy (10000) dominated the 10M-row
-        # runtime for zero benefit.  Materialized ONCE (checkpoint): the
-        # bucket-count and selection passes must agree on the
-        # (merge-order-sensitive) percentile_approx boundaries.
-        acc = accuracy or max(100, 10 * B)
-        splits = [i / B for i in range(1, B)]
-        bounds_frame = (
-            src.where(F.col("_v").isNotNull())
-            .groupBy(*group_cols)
-            .agg(F.percentile_approx("_v", splits, acc).alias("_bounds"))
-            .localCheckpoint(eager=True)
-        )
-        stats = stats.join(mark(bounds_frame), group_cols, "left")
+    # Boundaries only steer bucket SIZES — exactness never depends on
+    # them — so the sketch can be cheap: error ≈ nn/acc rows per
+    # boundary, i.e. ~10% of the nn/B bucket target at 10·B.  The
+    # default percentile_approx accuracy (10000) dominated the 10M-row
+    # runtime for zero benefit.  Materialized ONCE (checkpoint): the
+    # bucket-count and selection passes must agree on the
+    # (merge-order-sensitive) percentile_approx boundaries.
+    acc = accuracy or max(100, 10 * B)
+    splits = [i / B for i in range(1, B)]
+    bounds_frame = (
+        src.where(F.col("_v").isNotNull())
+        .groupBy(*group_cols)
+        .agg(F.percentile_approx("_v", splits, acc).alias("_bounds"))
+        .localCheckpoint(eager=True)
+    )
+    stats = stats.join(mark(bounds_frame), group_cols, "left")
 
     # ---- target ranks: pure column math on the stats frame -------------
     plist = F.array(
@@ -254,79 +302,62 @@ def grouped_quantile_cont(
     )
 
     nonnull = src.where(F.col("_v").isNotNull())
-    if B == 1:
-        # Fast path: every group fits one window comfortably; duplicates
-        # still collapse before the sort, so the window partition is the
-        # per-group DISTINCT value count, not the row count.
-        vals = nonnull.groupBy(*group_cols, "_v").agg(
-            F.count(F.lit(1)).alias("_c")
-        )
-        wv = Window.partitionBy(*group_cols).orderBy("_v").rowsBetween(
-            Window.unboundedPreceding, 0
-        )
-        ranged = vals.withColumn("_end", F.sum("_c").over(wv)).withColumn(
-            "_start", F.col("_end") - F.col("_c") + 1
-        )
-        picked = ranged.join(mark(targets), group_cols).where(
-            (F.col("_r") >= F.col("_start")) & (F.col("_r") <= F.col("_end"))
-        )
-    else:
-        bounds = stats.select(*group_cols, "_bounds")
-        # bucket = |{b : b < v}| — monotone in v, ties stay together, so
-        # (bucket, v) ordering is exactly the global value ordering.
-        bucket = F.size(
-            F.filter(F.col("_bounds"), lambda b: b < F.col("_v"))
-        )
-        bucketed = nonnull.join(mark(bounds), group_cols).select(
-            *group_cols, "_v", bucket.alias("_bucket")
-        )
+    bounds = stats.select(*group_cols, "_bounds")
+    # bucket = |{b : b < v}| — monotone in v, ties stay together, so
+    # (bucket, v) ordering is exactly the global value ordering.
+    bucket = F.size(
+        F.filter(F.col("_bounds"), lambda b: b < F.col("_v"))
+    )
+    bucketed = nonnull.join(mark(bounds), group_cols).select(
+        *group_cols, "_v", bucket.alias("_bucket")
+    )
 
-        # ---- pass 2: bucket counts → global rank offsets --------------
-        bcounts = bucketed.groupBy(*group_cols, "_bucket").agg(
-            F.count(F.lit(1)).alias("_bc")
-        )
-        wb = (
-            Window.partitionBy(*group_cols)
-            .orderBy("_bucket")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        bcounts = bcounts.withColumn(
-            "_off", F.coalesce(F.sum("_bc").over(wb), F.lit(0))
-        ).localCheckpoint(eager=True)  # G×B rows; reused twice below
+    # ---- pass 2: bucket counts → global rank offsets --------------
+    bcounts = bucketed.groupBy(*group_cols, "_bucket").agg(
+        F.count(F.lit(1)).alias("_bc")
+    )
+    wb = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bcounts = bcounts.withColumn(
+        "_off", F.coalesce(F.sum("_bc").over(wb), F.lit(0))
+    ).localCheckpoint(eager=True)  # G×B rows; reused twice below
 
-        # which bucket contains each target rank
-        tb = (
-            targets.join(mark(bcounts), group_cols)
-            .where(
-                (F.col("_r") > F.col("_off"))
-                & (F.col("_r") <= F.col("_off") + F.col("_bc"))
-            )
-            .select(*group_cols, "_pi", "_frac", "_w", "_r", "_bucket")
+    # which bucket contains each target rank
+    tb = (
+        targets.join(mark(bcounts), group_cols)
+        .where(
+            (F.col("_r") > F.col("_off"))
+            & (F.col("_r") <= F.col("_off") + F.col("_bc"))
         )
-        needed = tb.select(*group_cols, "_bucket").distinct()
+        .select(*group_cols, "_pi", "_frac", "_w", "_r", "_bucket")
+    )
+    needed = tb.select(*group_cols, "_bucket").distinct()
 
-        # ---- pass 3: selection — only needed buckets survive ----------
-        sel = bucketed.join(
-            mark(needed), [*group_cols, "_bucket"], "left_semi"
-        )
-        vals = sel.groupBy(*group_cols, "_bucket", "_v").agg(
-            F.count(F.lit(1)).alias("_c")
-        )
-        wv = (
-            Window.partitionBy(*group_cols, "_bucket")
-            .orderBy("_v")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        offs = bcounts.select(*group_cols, "_bucket", "_off")
-        ranged = (
-            vals.withColumn("_cum", F.sum("_c").over(wv))
-            .join(mark(offs), [*group_cols, "_bucket"])
-            .withColumn("_end", F.col("_off") + F.col("_cum"))
-            .withColumn("_start", F.col("_end") - F.col("_c") + 1)
-        )
-        picked = ranged.join(mark(tb), [*group_cols, "_bucket"]).where(
-            (F.col("_r") >= F.col("_start")) & (F.col("_r") <= F.col("_end"))
-        )
+    # ---- pass 3: selection — only needed buckets survive ----------
+    sel = bucketed.join(
+        mark(needed), [*group_cols, "_bucket"], "left_semi"
+    )
+    vals = sel.groupBy(*group_cols, "_bucket", "_v").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    wv = (
+        Window.partitionBy(*group_cols, "_bucket")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    offs = bcounts.select(*group_cols, "_bucket", "_off")
+    ranged = (
+        vals.withColumn("_cum", F.sum("_c").over(wv))
+        .join(mark(offs), [*group_cols, "_bucket"])
+        .withColumn("_end", F.col("_off") + F.col("_cum"))
+        .withColumn("_start", F.col("_end") - F.col("_c") + 1)
+    )
+    picked = ranged.join(mark(tb), [*group_cols, "_bucket"]).where(
+        (F.col("_r") >= F.col("_start")) & (F.col("_r") <= F.col("_end"))
+    )
 
     # ---- interpolate + pivot wide --------------------------------------
     # Each (group, _pi, _w) target matches exactly ONE picked row (the

@@ -201,8 +201,7 @@ def test_invalid_args(spark):
         grouped_quantile_cont(df, ["g"], "v", [0.5], out_names=["g"])
 
 
-@pytest.mark.parametrize("n_buckets", [1, 4])
-def test_many_group_regime_unhinted_joins(spark, monkeypatch, n_buckets):
+def test_many_group_regime_unhinted_joins(spark, monkeypatch):
     """Past BROADCAST_GROUP_LIMIT the reduced per-group frames are
     G-proportional, so force-broadcasting them is the OOM path at scale —
     the operator must drop every broadcast hint (shuffle joins on the
@@ -214,7 +213,7 @@ def test_many_group_regime_unhinted_joins(spark, monkeypatch, n_buckets):
     df = _mk(spark, rows)
 
     monkeypatch.setattr(Q, "BROADCAST_GROUP_LIMIT", 0)
-    out = grouped_quantile_cont(df, ["g"], "v", PROBS, n_buckets=n_buckets)
+    out = grouped_quantile_cont(df, ["g"], "v", PROBS, n_buckets=4)
     logical = out._jdf.queryExecution().optimizedPlan().toString()
     assert "broadcast" not in logical.lower(), "hint leaked into many-group plan"
     _assert_close(_spark_rows(out), _oracle_rows(rows, PROBS))
@@ -223,10 +222,30 @@ def test_many_group_regime_unhinted_joins(spark, monkeypatch, n_buckets):
     # frames have no stats — without the hints the planner shuffles the
     # full data; see test_no_full_data_shuffle_in_bucketed_plan)
     monkeypatch.setattr(Q, "BROADCAST_GROUP_LIMIT", 2_000_000)
-    out2 = grouped_quantile_cont(df, ["g"], "v", PROBS, n_buckets=n_buckets)
+    out2 = grouped_quantile_cont(df, ["g"], "v", PROBS, n_buckets=4)
     logical2 = out2._jdf.queryExecution().optimizedPlan().toString()
     assert "broadcast" in logical2.lower()
     _assert_close(_spark_rows(out2), _oracle_rows(rows, PROBS))
+
+
+def test_fast_path_is_single_aggregation(spark):
+    """The B=1 plan (forced or adaptive) is ONE exact-percentile hash
+    aggregate: no join of any kind, no pandas evaluator, and the only
+    Exchange is the group-key one that carries the bounded (value,
+    count) partial buffers.  The regime toggle (BROADCAST_GROUP_LIMIT)
+    is irrelevant here — there is nothing to hint either way."""
+    rows = [(f"g{i % 5}", float(i % 113)) for i in range(2000)]
+    df = _mk(spark, rows)
+    for kwargs in ({"n_buckets": 1}, {}):  # forced, then adaptive probe
+        out = grouped_quantile_cont(df, ["g"], "v", PROBS, **kwargs)
+        plan = out._jdf.queryExecution().executedPlan().toString().split(
+            "== Initial Plan =="
+        )[0]
+        assert "Join" not in plan, f"fast path must not join ({kwargs})"
+        assert "percentile" in plan
+        assert "FlatMapGroupsInPandas" not in plan
+        assert plan.count("Exchange") <= 1, plan
+        _assert_close(_spark_rows(out), _oracle_rows(rows, PROBS))
 
 
 @pytest.mark.parametrize("n_buckets", [1, 4])
