@@ -152,6 +152,38 @@ def test_randomized_parity(spark):
         _assert_close(_spark_rows(out), _oracle_rows(rows, probs))
 
 
+def test_adaptive_regime_boundary(spark):
+    """The ADAPTIVE B>1 route (probe → bucketed machinery) is otherwise
+    only exercised by the 10M off-CI sweeps — small fixtures always probe
+    into B=1.  Shrink `target_bucket_rows` so the same data crosses the
+    boundary both ways; values must match DuckDB on either side."""
+    rng = random.Random(99)
+    rows = [("big", round(rng.uniform(0, 100), 1)) for _ in range(300)] + [
+        ("small", float(i)) for i in range(7)
+    ]
+    df = _mk(spark, rows)
+    want = _oracle_rows(rows, PROBS)
+    # max_nn=300 > 50 → adaptive picks B=16 (clamped), bucketed machinery
+    out_b = grouped_quantile_cont(
+        df, ["g"], "v", PROBS, target_bucket_rows=50
+    )
+    # the checkpointed bounds frame shows up as LogicalRDD (its
+    # percentile_approx already ran), so the route marker is the bucket
+    # assignment column
+    plan = out_b._jdf.queryExecution().optimizedPlan().toString()
+    assert "_bucket" in plan, "expected the bucketed route"
+    _assert_close(_spark_rows(out_b), want)
+    # max_nn=300 <= 300 → B=1 single-aggregate route, same values
+    out_f = grouped_quantile_cont(
+        df, ["g"], "v", PROBS, target_bucket_rows=300
+    )
+    plan_f = out_f._jdf.queryExecution().optimizedPlan().toString()
+    assert "_bucket" not in plan_f and "percentile" in plan_f, (
+        "expected the B=1 single-aggregate route"
+    )
+    _assert_close(_spark_rows(out_f), want)
+
+
 def test_adaptive_bucket_choice_small_data(spark):
     """Small groups auto-select the B=1 fast path (no boundary column in
     the stats plan), and the result still matches."""
