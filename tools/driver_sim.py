@@ -30,9 +30,12 @@ os_ = E.oracle_sql()
 print(f"queries()={len(qs)} oracle_sql()={len(os_)} no-oracle={sorted(set(qs)-set(os_))}")
 
 # 2. run a random sample of 8 queries vs DuckDB oracle at sf0.01, like the driver
-import duckdb, math
+import duckdb, math, os
 
-SF = "/root/testdata/sf0.01"
+# SPARK_GRAFT_SIM_SF overrides the parity fixture — e.g. sf0.001 for the
+# tiny-input edge sweep (empty results, absent groups), sf0.1 for a slow
+# full-value pass.  The driver itself always runs sf0.01.
+SF = os.environ.get("SPARK_GRAFT_SIM_SF", "/root/testdata/sf0.01")
 con = duckdb.connect()
 for name in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{SF}/{name}.parquet')")
