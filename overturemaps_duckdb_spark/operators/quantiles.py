@@ -60,11 +60,14 @@ territory).  Values are identical in both regimes (pinned in tests).
 Determinism note: ``percentile_approx`` results can depend on partial
 merge order, and the bucket-count and selection passes MUST see the same
 boundaries or ranks silently desynchronize.  The counts and boundary
-frames are therefore ``localCheckpoint(eager=True)``-materialized
-(G rows each — tiny): every downstream read comes from the stored
-blocks, never a recompute.  Loss of a checkpoint block fails the job
-loudly; at multi-executor scale prefer a reliable ``checkpoint()`` dir
-for the same guarantee.
+frames are therefore checkpoint-materialized (G rows each — tiny):
+every downstream read comes from the stored blocks, never a recompute.
+When the session has a checkpoint directory configured
+(``sc.setCheckpointDir``) the operator uses reliable ``checkpoint()``
+— on a 1000-executor cluster a lost executor silently kills
+``localCheckpoint`` blocks and fails the job; without one it falls back
+to ``localCheckpoint`` (the single-JVM/dev form, where block loss
+cannot happen).
 
 Reference parity: the reference engine exposes quantiles only through its
 DuckDB SQL front door (``quantile_cont`` — see SURVEY §2.5); this module
@@ -100,6 +103,18 @@ MAX_BUCKETS = 1024
 #: assignment join — the correct many-group plan (per-group state is
 #: small when G is large; the one hot key is AQE skew-join territory).
 BROADCAST_GROUP_LIMIT = 2_000_000
+
+
+def _materialize(df: DataFrame, *, eager: bool) -> DataFrame:
+    """Pin a small frame's contents (merge-order-sensitive upstream —
+    see the determinism note in the module doc).  Reliable
+    ``checkpoint()`` when the session has a checkpoint dir (multi-
+    executor: survives executor loss), ``localCheckpoint()`` otherwise
+    (single-JVM dev form)."""
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isDefined():
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
 
 
 def _check_probs(probs: Sequence[float]) -> list[float]:
@@ -210,13 +225,12 @@ def grouped_quantile_cont(
         # job at all — one exact-percentile hash aggregate (see module
         # doc, "B=1 fast path").
         return _percentile_agg(src, group_cols, probs, out_names, n_name)
-    stats = (
-        src.groupBy(*group_cols)
-        .agg(
+    stats = _materialize(
+        src.groupBy(*group_cols).agg(
             F.count(F.lit(1)).alias("_n_all"),
             F.count("_v").alias("_nn"),
-        )
-        .localCheckpoint(eager=n_buckets is not None)
+        ),
+        eager=n_buckets is not None,
     )
     if n_buckets is not None:
         B = n_buckets
@@ -253,11 +267,11 @@ def grouped_quantile_cont(
     # (merge-order-sensitive) percentile_approx boundaries.
     acc = accuracy or max(100, 10 * B)
     splits = [i / B for i in range(1, B)]
-    bounds_frame = (
+    bounds_frame = _materialize(
         src.where(F.col("_v").isNotNull())
         .groupBy(*group_cols)
-        .agg(F.percentile_approx("_v", splits, acc).alias("_bounds"))
-        .localCheckpoint(eager=True)
+        .agg(F.percentile_approx("_v", splits, acc).alias("_bounds")),
+        eager=True,
     )
     stats = stats.join(mark(bounds_frame), group_cols, "left")
 
@@ -321,9 +335,12 @@ def grouped_quantile_cont(
         .orderBy("_bucket")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    bcounts = bcounts.withColumn(
-        "_off", F.coalesce(F.sum("_bc").over(wb), F.lit(0))
-    ).localCheckpoint(eager=True)  # G×B rows; reused twice below
+    bcounts = _materialize(
+        bcounts.withColumn(
+            "_off", F.coalesce(F.sum("_bc").over(wb), F.lit(0))
+        ),
+        eager=True,
+    )  # G×B rows; reused twice below
 
     # which bucket contains each target rank
     tb = (

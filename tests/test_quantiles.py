@@ -311,3 +311,30 @@ def test_composite_group_key(spark, n_buckets):
     }
     con.close()
     _assert_close(got, want)
+
+
+def test_reliable_checkpoint_when_dir_configured(spark, tmp_path):
+    """On a real cluster a lost executor silently drops localCheckpoint
+    blocks, so when the session has a checkpoint dir the operator's
+    determinism pins (stats / bounds / bucket counts) must go through
+    reliable checkpoint() instead.  Observable: the configured dir gains
+    rdd-* checkpoint data, and values are unchanged on both routes."""
+    sc = spark.sparkContext
+    ckpt = tmp_path / "ckpt"
+    sc.setCheckpointDir(str(ckpt))
+    try:
+        rows = [(f"g{i % 3}", float(i % 53)) for i in range(900)]
+        df = _mk(spark, rows)
+        want = _oracle_rows(rows, PROBS)
+        for nb in (4, None):  # bucketed route, then adaptive B=1
+            out = grouped_quantile_cont(df, ["g"], "v", PROBS, n_buckets=nb)
+            _assert_close(_spark_rows(out), want)
+        written = [p for p in ckpt.rglob("rdd-*") if p.is_dir()]
+        assert written, "expected reliable checkpoint data under the dir"
+    finally:
+        # un-configure so later tests keep the localCheckpoint dev form
+        # (no public unset API; the JVM field setter is bytecode-public)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None)
+        )
+        assert not sc._jsc.sc().getCheckpointDir().isDefined()
