@@ -28,6 +28,7 @@ import math
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from overturemaps_duckdb_spark.operators._util import materialize as _materialize
 from overturemaps_duckdb_spark.functions.text import (
     MINHASH_P,
     char_ngrams,
@@ -989,7 +990,7 @@ def incremental_minhash_pairs(
         # pairs must be computed BEFORE the append lands, and Spark plans
         # are lazy — materialize them first so the new rows aren't seen
         # twice through the store read
-        pairs = pairs.localCheckpoint(eager=True)
+        pairs = _materialize(pairs, eager=True)
         new_idx.write.mode("append" if store_exists else "overwrite").parquet(
             index_path
         )
@@ -1276,9 +1277,10 @@ def dedup_clusters(
     the same per-round join shape.
 
     Iterative DataFrame algorithms grow lineage exponentially, so each
-    round is cut with ``localCheckpoint`` (executor-local storage); on a
-    long-lived 1000-executor job use reliable ``checkpoint`` to survive
-    executor loss.  Convergence is detected driver-side: labels only ever
+    round is checkpoint-cut (operators/_util.materialize: reliable
+    ``checkpoint()`` when the session has a checkpoint dir — configure
+    one on a long-lived 1000-executor job to survive executor loss —
+    else ``localCheckpoint``).  Convergence is detected driver-side: labels only ever
     decrease, so an unchanged ``sum(comp)`` means a fixpoint (one 8-byte
     scalar per round crosses to the driver — never the labels themselves).
 
@@ -1292,7 +1294,8 @@ def dedup_clusters(
     edges = fwd.unionAll(fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
     labels = df.select(
         F.col(id_col).cast("long").alias("id"), F.col(id_col).cast("long").alias("comp")
-    ).localCheckpoint(eager=True)
+    )
+    labels = _materialize(labels, eager=True)
     prev = None
     for _ in range(max_iter):
         nbr = (
@@ -1307,8 +1310,8 @@ def dedup_clusters(
                 labels["id"],
                 F.least(labels["comp"], F.coalesce(F.col("_nc"), labels["comp"])).alias("comp"),
             )
-            .localCheckpoint(eager=True)
         )
+        nxt = _materialize(nxt, eager=True)
         cur = nxt.agg(F.sum("comp")).collect()[0][0]
         labels = nxt
         if cur == prev:

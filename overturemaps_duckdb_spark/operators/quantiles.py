@@ -82,6 +82,8 @@ from collections.abc import Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from overturemaps_duckdb_spark.operators._util import materialize as _materialize
+
 __all__ = ["grouped_quantile_cont", "grouped_quantile_pandas"]
 
 #: default rows-per-bucket target: below this a single within-group window
@@ -103,18 +105,6 @@ MAX_BUCKETS = 1024
 #: assignment join — the correct many-group plan (per-group state is
 #: small when G is large; the one hot key is AQE skew-join territory).
 BROADCAST_GROUP_LIMIT = 2_000_000
-
-
-def _materialize(df: DataFrame, *, eager: bool) -> DataFrame:
-    """Pin a small frame's contents (merge-order-sensitive upstream —
-    see the determinism note in the module doc).  Reliable
-    ``checkpoint()`` when the session has a checkpoint dir (multi-
-    executor: survives executor loss), ``localCheckpoint()`` otherwise
-    (single-JVM dev form)."""
-    sc = df.sparkSession.sparkContext
-    if sc._jsc.sc().getCheckpointDir().isDefined():
-        return df.checkpoint(eager=eager)
-    return df.localCheckpoint(eager=eager)
 
 
 def _check_probs(probs: Sequence[float]) -> list[float]:
