@@ -28,7 +28,6 @@ def materialize(df: DataFrame, *, eager: bool = True) -> DataFrame:
     immediately follows, so the scan, checkpoint write, and probe share
     one job.
     """
-    sc = df.sparkSession.sparkContext
-    if sc._jsc.sc().getCheckpointDir().isDefined():
+    if df.sparkSession.sparkContext.getCheckpointDir() is not None:
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
