@@ -119,6 +119,29 @@ def _check_probs(probs: Sequence[float]) -> list[float]:
     return out
 
 
+def _check_names(
+    probs: list[float],
+    out_names: Sequence[str] | None,
+    group_cols: list[str],
+    n_name: str,
+) -> list[str]:
+    """Shared output-name validation for both quantile forms: default
+    names from the probs, length must match, no duplicates, and no
+    collision with the group columns, ``n_name``, or the internal
+    ``_gk`` struct key."""
+    if out_names is None:
+        out_names = [
+            "q" + f"{p:g}".replace(".", "_").replace("-", "m") for p in probs
+        ]
+    out_names = list(out_names)
+    if len(out_names) != len(probs):
+        raise ValueError("out_names must match probs length")
+    reserved = set(group_cols) | {n_name, "_gk"}
+    if set(out_names) & reserved or len(set(out_names)) != len(out_names):
+        raise ValueError(f"output name collision: {out_names}")
+    return out_names
+
+
 def _percentile_agg(
     src: DataFrame,
     group_cols: list[str],
@@ -178,16 +201,7 @@ def grouped_quantile_cont(
     """
     probs = _check_probs(probs)
     group_cols = list(group_cols)
-    if out_names is None:
-        out_names = [
-            "q" + f"{p:g}".replace(".", "_").replace("-", "m") for p in probs
-        ]
-    out_names = list(out_names)
-    if len(out_names) != len(probs):
-        raise ValueError("out_names must match probs length")
-    reserved = set(group_cols) | {n_name}
-    if set(out_names) & reserved or len(set(out_names)) != len(out_names):
-        raise ValueError(f"output name collision: {out_names}")
+    out_names = _check_names(probs, out_names, group_cols, n_name)
 
     src = df.select(
         *group_cols, F.col(value_col).cast("double").alias("_v")
@@ -215,8 +229,16 @@ def grouped_quantile_cont(
         # job at all — one exact-percentile hash aggregate (see module
         # doc, "B=1 fast path").
         return _percentile_agg(src, group_cols, probs, out_names, n_name)
+    # Every internal join/groupBy below keys on ONE struct column ("_gk")
+    # instead of the raw group columns: Spark's struct equality compares
+    # fields null-safely (ordering semantics), so NULL-keyed groups
+    # survive the stats/bounds/bucket/target joins exactly like the B=1
+    # groupBy path.  Raw-column joins silently dropped them (`NULL = NULL`
+    # is NULL) — the adaptive routing would then flip a group's answer
+    # from a value to NULL as data grew past target_bucket_rows.
+    keyed = src.select(F.struct(*group_cols).alias("_gk"), "_v")
     stats = _materialize(
-        src.groupBy(*group_cols).agg(
+        keyed.groupBy("_gk").agg(
             F.count(F.lit(1)).alias("_n_all"),
             F.count("_v").alias("_nn"),
         ),
@@ -258,12 +280,12 @@ def grouped_quantile_cont(
     acc = accuracy or max(100, 10 * B)
     splits = [i / B for i in range(1, B)]
     bounds_frame = _materialize(
-        src.where(F.col("_v").isNotNull())
-        .groupBy(*group_cols)
+        keyed.where(F.col("_v").isNotNull())
+        .groupBy("_gk")
         .agg(F.percentile_approx("_v", splits, acc).alias("_bounds")),
         eager=True,
     )
-    stats = stats.join(mark(bounds_frame), group_cols, "left")
+    stats = stats.join(mark(bounds_frame), ["_gk"], "left")
 
     # ---- target ranks: pure column math on the stats frame -------------
     plist = F.array(
@@ -276,14 +298,14 @@ def grouped_quantile_cont(
     )
     targets = (
         stats.where(F.col("_nn") > 0)
-        .select(*group_cols, "_nn", F.explode(plist).alias("_pp"))
+        .select("_gk", "_nn", F.explode(plist).alias("_pp"))
         .select(
-            *group_cols,
+            "_gk",
             F.col("_pp._pi").alias("_pi"),
             (F.col("_pp._p") * (F.col("_nn") - 1).cast("double")).alias("_h"),
         )
         .select(
-            *group_cols,
+            "_gk",
             "_pi",
             (F.col("_h") - F.floor("_h").cast("double")).alias("_frac"),
             F.explode(
@@ -300,28 +322,28 @@ def grouped_quantile_cont(
             ).alias("_t"),
         )
         .select(
-            *group_cols, "_pi", "_frac",
+            "_gk", "_pi", "_frac",
             F.col("_t._w").alias("_w"), F.col("_t._r").alias("_r"),
         )
     )
 
-    nonnull = src.where(F.col("_v").isNotNull())
-    bounds = stats.select(*group_cols, "_bounds")
+    nonnull = keyed.where(F.col("_v").isNotNull())
+    bounds = stats.select("_gk", "_bounds")
     # bucket = |{b : b < v}| — monotone in v, ties stay together, so
     # (bucket, v) ordering is exactly the global value ordering.
     bucket = F.size(
         F.filter(F.col("_bounds"), lambda b: b < F.col("_v"))
     )
-    bucketed = nonnull.join(mark(bounds), group_cols).select(
-        *group_cols, "_v", bucket.alias("_bucket")
+    bucketed = nonnull.join(mark(bounds), ["_gk"]).select(
+        "_gk", "_v", bucket.alias("_bucket")
     )
 
     # ---- pass 2: bucket counts → global rank offsets --------------
-    bcounts = bucketed.groupBy(*group_cols, "_bucket").agg(
+    bcounts = bucketed.groupBy("_gk", "_bucket").agg(
         F.count(F.lit(1)).alias("_bc")
     )
     wb = (
-        Window.partitionBy(*group_cols)
+        Window.partitionBy("_gk")
         .orderBy("_bucket")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -334,35 +356,35 @@ def grouped_quantile_cont(
 
     # which bucket contains each target rank
     tb = (
-        targets.join(mark(bcounts), group_cols)
+        targets.join(mark(bcounts), ["_gk"])
         .where(
             (F.col("_r") > F.col("_off"))
             & (F.col("_r") <= F.col("_off") + F.col("_bc"))
         )
-        .select(*group_cols, "_pi", "_frac", "_w", "_r", "_bucket")
+        .select("_gk", "_pi", "_frac", "_w", "_r", "_bucket")
     )
-    needed = tb.select(*group_cols, "_bucket").distinct()
+    needed = tb.select("_gk", "_bucket").distinct()
 
     # ---- pass 3: selection — only needed buckets survive ----------
     sel = bucketed.join(
-        mark(needed), [*group_cols, "_bucket"], "left_semi"
+        mark(needed), ["_gk", "_bucket"], "left_semi"
     )
-    vals = sel.groupBy(*group_cols, "_bucket", "_v").agg(
+    vals = sel.groupBy("_gk", "_bucket", "_v").agg(
         F.count(F.lit(1)).alias("_c")
     )
     wv = (
-        Window.partitionBy(*group_cols, "_bucket")
+        Window.partitionBy("_gk", "_bucket")
         .orderBy("_v")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    offs = bcounts.select(*group_cols, "_bucket", "_off")
+    offs = bcounts.select("_gk", "_bucket", "_off")
     ranged = (
         vals.withColumn("_cum", F.sum("_c").over(wv))
-        .join(mark(offs), [*group_cols, "_bucket"])
+        .join(mark(offs), ["_gk", "_bucket"])
         .withColumn("_end", F.col("_off") + F.col("_cum"))
         .withColumn("_start", F.col("_end") - F.col("_c") + 1)
     )
-    picked = ranged.join(mark(tb), [*group_cols, "_bucket"]).where(
+    picked = ranged.join(mark(tb), ["_gk", "_bucket"]).where(
         (F.col("_r") >= F.col("_start")) & (F.col("_r") <= F.col("_end"))
     )
 
@@ -387,8 +409,8 @@ def grouped_quantile_cont(
             )
         )
         aggs.append(F.max(F.when(pi, F.col("_frac"))).alias(f"_frac{j}"))
-    wide = picked.groupBy(*group_cols).agg(*aggs).select(
-        *group_cols,
+    wide = picked.groupBy("_gk").agg(*aggs).select(
+        "_gk",
         *[
             (
                 F.col(f"_vlo{j}")
@@ -398,8 +420,8 @@ def grouped_quantile_cont(
             for j, name in enumerate(out_names)
         ],
     )
-    return stats.join(mark(wide), group_cols, "left").select(
-        *group_cols,
+    return stats.join(mark(wide), ["_gk"], "left").select(
+        *[F.col("_gk").getField(c).alias(c) for c in group_cols],
         *out_names,
         F.col("_n_all").cast("bigint").alias(n_name),
     )
@@ -427,11 +449,7 @@ def grouped_quantile_pandas(
 
     probs = _check_probs(probs)
     group_cols = list(group_cols)
-    if out_names is None:
-        out_names = [
-            "q" + f"{p:g}".replace(".", "_").replace("-", "m") for p in probs
-        ]
-    out_names = list(out_names)
+    out_names = _check_names(probs, out_names, group_cols, n_name)
 
     src = df.select(*group_cols, F.col(value_col).cast("double").alias("_v"))
     gtypes = dict(zip(src.columns, [f.dataType.simpleString() for f in src.schema]))

@@ -115,6 +115,92 @@ def test_null_handling_matches_quantile_cont(spark):
         assert got["b"] == ([None, None], 2)
 
 
+def test_null_group_key_parity(spark):
+    """ADVICE r06 (high): the bucketed route's internal joins must be
+    null-safe on the group key — plain `=` drops NULL-keyed groups after
+    pass 1, so adaptive routing would flip the group's answer from a
+    value to NULL as data grows.  Every route must agree with DuckDB
+    (whose GROUP BY keeps NULL keys)."""
+    rng = random.Random(13)
+    rows = (
+        [(None, round(rng.uniform(0, 10), 2)) for _ in range(211)]
+        + [("a", round(rng.uniform(0, 10), 2)) for _ in range(190)]
+        + [(None, None), ("a", None)]
+    )
+    df = _mk(spark, rows)
+    want = _oracle_rows(rows, PROBS)
+    for nb in (1, 4, None):  # fast path, forced buckets, adaptive
+        out = grouped_quantile_cont(
+            df, ["g"], "v", PROBS, n_buckets=nb, target_bucket_rows=50
+        )
+        _assert_close(_spark_rows(out), want)
+
+
+def test_null_group_key_many_group_regime(spark, monkeypatch):
+    """Null-safe keying must hold in the UNHINTED (shuffle-join) regime
+    too — the null drop is a join-semantics property, not a broadcast
+    one."""
+    from overturemaps_duckdb_spark.operators import quantiles as Q
+
+    rows = [(None, float(i % 31)) for i in range(400)] + [
+        ("x", float(i % 17)) for i in range(300)
+    ]
+    df = _mk(spark, rows)
+    monkeypatch.setattr(Q, "BROADCAST_GROUP_LIMIT", 0)
+    out = grouped_quantile_cont(df, ["g"], "v", PROBS, n_buckets=4)
+    _assert_close(_spark_rows(out), _oracle_rows(rows, PROBS))
+
+
+@pytest.mark.parametrize("n_buckets", [1, 5])
+def test_null_composite_group_key(spark, n_buckets):
+    """NULL in ONE field of a composite key: the struct key compares
+    fields null-safely, so (NULL, 1) and ('s0', NULL) are real groups
+    distinct from each other — exactly DuckDB's GROUP BY."""
+    import duckdb
+
+    rng = random.Random(31)
+    rows = [
+        (rng.choice(["s0", "s1", None]), rng.choice([0, 1, None]),
+         round(rng.uniform(0, 20), 1))
+        for _ in range(900)
+    ]
+    df = spark.createDataFrame(rows, "src string, k int, v double")
+    out = grouped_quantile_cont(
+        df, ["src", "k"], "v", PROBS, n_buckets=n_buckets
+    )
+    got = {
+        (r["src"], r["k"]): ([r["q0_5"], r["q0_9"]], r["n"])
+        for r in out.collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tv (src VARCHAR, k INT, v DOUBLE)")
+    con.executemany("INSERT INTO tv VALUES (?, ?, ?)", rows)
+    want = {
+        (r[0], r[1]): ([r[2], r[3]], r[4])
+        for r in con.execute(
+            "SELECT src, k, quantile_cont(v, 0.5), quantile_cont(v, 0.9),"
+            " count(*) FROM tv GROUP BY src, k"
+        ).fetchall()
+    }
+    con.close()
+    _assert_close(got, want)
+
+
+def test_pandas_form_validates_like_cont(spark):
+    """ADVICE r06 (low): the applyInPandas form shares the cont path's
+    out_names validation — length mismatch, duplicates, and collisions
+    raise instead of silently truncating via zip."""
+    df = _mk(spark, [("a", 1.0)])
+    with pytest.raises(ValueError):
+        grouped_quantile_pandas(df, ["g"], "v", [0.5, 0.9], out_names=["only"])
+    with pytest.raises(ValueError):
+        grouped_quantile_pandas(df, ["g"], "v", [0.5, 0.9], out_names=["x", "x"])
+    with pytest.raises(ValueError):
+        grouped_quantile_pandas(df, ["g"], "v", [0.5], out_names=["g"])
+    with pytest.raises(ValueError):
+        grouped_quantile_pandas(df, ["g"], "v", [0.5], out_names=["n"])
+
+
 def test_pandas_form_agrees_with_distributed(spark):
     """grouped_quantile_pandas (the applyInPandas showcase) and the
     distributed selection are the same contract."""
