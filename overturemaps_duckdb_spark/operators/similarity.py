@@ -17,8 +17,46 @@ Scale notes:
 
 from __future__ import annotations
 
+import contextlib
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
+
+#: stack of active :func:`probe_cache_scope` buckets; bulk-routed
+#: :func:`ivf_topk_from_store` calls register their persisted probe frame
+#: with the innermost scope so exit can unpersist deterministically.
+_PROBE_CACHE_SCOPES: list[list[DataFrame]] = []
+
+
+@contextlib.contextmanager
+def probe_cache_scope():
+    """Deterministic release for bulk-probe caches (ADVICE r06).
+
+    ``ivf_topk_from_store`` persists the probe frame when a query batch
+    routes distributed (> :data:`MAX_DRIVER_PROBE_QUERIES`).  The raw
+    returned handle exposes it as ``result._probe_cache``, but that
+    attribute is a plain Python attribute — any subsequent
+    transformation (``select``/``filter``/…) returns a NEW DataFrame
+    without it, so composing callers could never reach the cache and
+    release fell back to LRU.  This scope captures every probe frame
+    persisted inside the ``with`` block and unpersists them all on exit::
+
+        with probe_cache_scope():
+            out = ivf_topk_from_store(spark, path, cents, huge_q)
+            out.where(F.col("rank") == 1).write.parquet(dst)
+        # all probe caches from the block are unpersisted here
+
+    Scopes nest (each bulk call registers with the innermost); the
+    ``_probe_cache`` attribute keeps working for raw-handle callers.
+    """
+    bucket: list[DataFrame] = []
+    _PROBE_CACHE_SCOPES.append(bucket)
+    try:
+        yield bucket
+    finally:
+        _PROBE_CACHE_SCOPES.remove(bucket)
+        for frame in bucket:
+            frame.unpersist()
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -561,7 +599,10 @@ def ivf_topk_from_store(
     as ``result._probe_cache`` (ADVICE r05) — long-lived sessions issuing
     many bulk probes should ``result._probe_cache.unpersist()`` once the
     result is materialized instead of waiting for LRU/GC release.  Small
-    batches set it to None."""
+    batches set it to None.  Because that attribute is lost through any
+    subsequent transformation, composing callers should instead wrap the
+    probe-and-consume block in :func:`probe_cache_scope`, which releases
+    every cache persisted inside it on exit (ADVICE r06)."""
     probe_df, probed_lists, small = _ivf_probes(
         spark, centroids, queries, query_id_col, vec_col, n_probe
     )
@@ -569,6 +610,8 @@ def ivf_topk_from_store(
     cand = store.join(F.broadcast(probe_df) if small else probe_df, "_list")
     result = _ivf_score_topk(cand, k)
     result._probe_cache = None if small else probe_df
+    if not small and _PROBE_CACHE_SCOPES:
+        _PROBE_CACHE_SCOPES[-1].append(probe_df)
     return result
 
 

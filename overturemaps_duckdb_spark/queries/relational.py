@@ -769,6 +769,41 @@ def a6_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_distinct_by(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    *,
+    rsd: float = 0.02,
+    out_name: str = "approx_n",
+    certify: bool = False,
+) -> DataFrame:
+    """Per-group HyperLogLog++ cardinality — the PRODUCTION form is
+    sketch-only (``certify=False``): one hash aggregation whose state is
+    a constant-size HLL++ buffer per group, the constant-memory scale
+    path a 100 TB cardinality probe needs (an exact COUNT(DISTINCT)
+    shuffles every distinct (group, value) pair instead).
+
+    ``certify=True`` is the driver-oracle variant (used by the
+    registered ``a7``): it ADDITIONALLY computes the exact distinct
+    count and a bounded-error check column — deliberately paying the
+    exact count-distinct expand so the engine-portable oracle can
+    hash-compare the exact values plus a literal-TRUE error band
+    (ADVICE r06: the registered query buys certifiability, THIS flag
+    keeps the production plan sketch-only)."""
+    approx = F.approx_count_distinct(col, rsd=rsd)
+    if not certify:
+        return df.groupBy(*group_cols).agg(approx.alias(out_name))
+    exact = F.count_distinct(F.col(col)).cast("bigint")
+    return df.groupBy(*group_cols).agg(
+        exact.alias(out_name),
+        (
+            F.abs(approx - exact).cast("double")
+            <= F.greatest(F.lit(1.0), F.lit(5 * rsd) * exact)
+        ).alias("approx_within_5rsd"),
+    )
+
+
 @query(
     "a7_approx_count_distinct",
     oracle="""
@@ -784,26 +819,22 @@ def a7_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Sketch estimates differ across engines, so raw values cannot
     hash-match; the bounded-error oracle (VERDICT r05 #3) instead: the
-    query computes BOTH the sketch and the exact count and emits
-    ``approx_within_5rsd`` = |approx − exact| ≤ max(1, 5·rsd·exact) —
-    5 standard deviations at rsd=0.02, i.e. a 10% band the HLL++
-    guarantee puts astronomically far from violating.  The oracle
-    asserts the same exact counts and a literal TRUE, so the driver's
-    hash compare certifies the sketch's error bound, not its exact
-    value.  The sketch-only production form is the same aggregate minus
-    the countDistinct column."""
-    exact = F.count_distinct(F.col("l_partkey")).cast("bigint")
-    approx = F.approx_count_distinct("l_partkey", rsd=0.02)
-    return (
-        t(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            exact.alias("n_parts"),
-            (
-                F.abs(approx - exact).cast("double")
-                <= F.greatest(F.lit(1.0), F.lit(5 * 0.02) * exact)
-            ).alias("approx_within_5rsd"),
-        )
+    CERTIFY variant of :func:`approx_distinct_by` computes BOTH the
+    sketch and the exact count and emits ``approx_within_5rsd`` =
+    |approx − exact| ≤ max(1, 5·rsd·exact) — 5 standard deviations at
+    rsd=0.02, i.e. a 10% band the HLL++ guarantee puts astronomically
+    far from violating.  The oracle asserts the same exact counts and a
+    literal TRUE, so the driver's hash compare certifies the sketch's
+    error bound, not its exact value.  The sketch-only production form
+    is ``approx_distinct_by(..., certify=False)`` — a single
+    constant-memory aggregation, plan-pinned in tests."""
+    return approx_distinct_by(
+        t(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        "l_partkey",
+        rsd=0.02,
+        out_name="n_parts",
+        certify=True,
     )
 
 

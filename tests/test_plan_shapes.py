@@ -148,3 +148,31 @@ def test_x12_vocab_topk_is_take_ordered(spark, q):
     plan = _plan(q["x12_vocab_topk"](spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan
     assert "Sort [" not in plan  # no global sort stage anywhere
+
+
+def test_a7_production_form_is_sketch_only(spark, q):
+    """ADVICE r06: the registered a7 pays an exact COUNT(DISTINCT) to be
+    driver-certifiable; the PRODUCTION form (approx_distinct_by,
+    certify=False) must stay the constant-memory scale path — one HLL++
+    hash aggregation, no exact-distinct expand/shuffle of (group, value)
+    pairs — and its estimate must equal the certified query's sketch."""
+    from overturemaps_duckdb_spark.queries import t
+    from overturemaps_duckdb_spark.queries.relational import approx_distinct_by
+
+    li = t(spark, SF_SMOKE, "lineitem")
+    prod = approx_distinct_by(li, ["l_returnflag"], "l_partkey")
+    plan = _plan(prod)
+    assert "approx_count_distinct" in plan
+    # exact count-distinct plans as a distinct-keyed pre-aggregation
+    # (extra hashpartitioning on (group, value)); sketch-only has exactly
+    # the one group-key exchange and no distinct anywhere
+    assert "distinct l_partkey" not in plan and "Expand" not in plan
+    assert plan.split("== Initial Plan ==")[0].count(
+        "Exchange hashpartitioning"
+    ) == 1
+
+    # certify variant: 5-rsd band actually true on real data
+    cert = approx_distinct_by(
+        li, ["l_returnflag"], "l_partkey", certify=True
+    ).collect()
+    assert cert and all(r["approx_within_5rsd"] for r in cert)

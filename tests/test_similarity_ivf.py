@@ -423,3 +423,53 @@ def test_ivf_store_probe_cache_handle(spark, tmp_path):
     assert res_bulk.where(F.col("rank") == 1).count() == nq
     cache.unpersist()
     assert not cache.is_cached
+
+
+def test_probe_cache_scope_releases_composed_results(spark, tmp_path):
+    """ADVICE r06: `_probe_cache` dies on the first transformation, so a
+    composing caller needs `probe_cache_scope()` — every probe frame a
+    bulk call persists inside the block is unpersisted on exit, even
+    when only a derived DataFrame (without the attribute) survives."""
+    from overturemaps_duckdb_spark.operators import similarity as S
+    from overturemaps_duckdb_spark.operators.similarity import (
+        ivf_topk_from_store,
+        ivf_write,
+        probe_cache_scope,
+    )
+
+    dim = 4
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: (F.col("id") % 3 + i).cast("double"),
+    )
+    corpus = spark.range(60).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
+    )
+    assigned, centroids = ivf_build(corpus, n_lists=2, seed=42)
+    path = str(tmp_path / "ivf_scope_store")
+    ivf_write(assigned, path)
+
+    nq = S.MAX_DRIVER_PROBE_QUERIES + 50
+    bulk_q = spark.range(nq).select(
+        F.col("id").alias("query_id"), vec.alias("embedding")
+    )
+    with probe_cache_scope() as captured:
+        res = ivf_topk_from_store(
+            spark, path, centroids, bulk_q, n_probe=2, k=1
+        )
+        derived = res.where(F.col("rank") == 1)  # attribute lost here
+        assert not hasattr(derived, "_probe_cache")
+        assert derived.count() == nq
+        assert len(captured) == 1 and captured[0].is_cached
+    assert not captured[0].is_cached  # released on scope exit
+
+    # small batches persist nothing — the scope stays empty
+    small_q = spark.range(3).select(
+        F.col("id").alias("query_id"), vec.alias("embedding")
+    )
+    with probe_cache_scope() as captured2:
+        out = ivf_topk_from_store(
+            spark, path, centroids, small_q, n_probe=2, k=2
+        )
+        assert out.count() > 0
+    assert captured2 == []
