@@ -173,17 +173,56 @@ def quantize_report(
     )
 
 
-@query("n3_ivf_ann_topk")  # rows-only: k-means training is iterative, not SQL
+#: certified lower bound on MEAN recall@10 across the 5 fixture queries
+#: at 4/16 probes.  Measured per-scale means: 0.66 (sf0.001), 0.80
+#: (sf0.01), 0.62 (sf0.1) — the bound sits ~25-45% below every observed
+#: mean.  Per-query recall is too volatile to bound (observed min 0.4 on
+#: the near-orthogonal synthetic corpus); per-query VALUE parity is
+#: carried by the exact-kNN checksum columns instead.
+N3_RECALL_BOUND = 0.45
+
+
+@query(
+    "n3_ivf_ann_topk",
+    oracle=f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               ROUND({_DOT} / ({_NORM_Q} * {_NORM_C}), 6) AS cosine
+        FROM embeddings q JOIN embeddings c ON q.vec_id < 5
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT query_id,
+           CAST(count(*) AS BIGINT) AS k_exact,
+           CAST(CAST(sum(vec_id) AS HUGEINT) AS BIGINT) AS exact_id_sum,
+           ROUND(sum(cosine), 6) AS exact_cos_sum,
+           CAST(10 AS BIGINT) AS k_ivf,
+           TRUE AS recall_ok
+    FROM ranked WHERE rank <= 10 GROUP BY query_id
+    """,
+)
 def n3_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: k-means coarse quantizer (seeded, 16 lists), probe the 4
-    nearest lists per query, exact cosine within candidates.  The inverted
-    lists are the partition key at 100 TB — a probe scans n_probe/n_lists
-    of the corpus; that claim is implemented (ivf_write → `_list`-
-    partitioned parquet + ivf_topk_from_store with a static partition
-    filter) and the pruned PartitionFilters plan is pinned in
-    tests/test_similarity_ivf.py.  Recall vs brute force is also
-    pytest-asserted there; no SQL oracle by design (driver records the
-    rows-only check)."""
+    """IVF ANN certification report (VERDICT r06 #2 — the a7 pattern).
+
+    The index itself: k-means coarse quantizer (seeded, 16 lists), probe
+    the 4 nearest lists per query, exact cosine within candidates
+    (:func:`ivf_topk`; the persisted form is ``ivf_write`` →
+    ``_list``-partitioned parquet + ``ivf_topk_from_store`` with a
+    static partition filter — PartitionFilters pruning pinned in
+    tests/test_similarity_ivf.py).  k-means training is iterative, so
+    DuckDB cannot reproduce the IVF result — what it CAN reproduce is
+    exact brute-force top-10 per query.  The registered query therefore
+    emits, per query: the exact-kNN integer id checksum and rounded
+    cosine sum (value parity with the oracle's brute force), the IVF
+    result-set size (a full k=10 — the probed lists always hold enough
+    candidates), and ``recall_ok`` = mean recall@10 of IVF vs exact
+    across the queries ≥ :data:`N3_RECALL_BOUND`, which the oracle
+    asserts as literal TRUE — a bounded-quality certificate, like a7's
+    bounded-error band."""
     e = t(spark, sf_dir, "embeddings")
     assigned, centroids = ivf_build(
         e, id_col="vec_id", vec_col="embedding", n_lists=16, seed=42
@@ -191,4 +230,46 @@ def n3_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(assigned, centroids, queries, n_probe=4, k=10)
+    ivf = ivf_topk(assigned, centroids, queries, n_probe=4, k=10)
+    exact = cosine_topk(
+        e, queries, id_col="vec_id", vec_col="embedding", k=10
+    )
+    ex_agg = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_exact"),
+        F.sum("vec_id").cast("bigint").alias("exact_id_sum"),
+        F.round(F.sum("cosine"), 6).alias("exact_cos_sum"),
+    )
+    hits = ivf.join(
+        exact.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi"
+    )
+    per_q = (
+        ex_agg.join(
+            ivf.groupBy("query_id").agg(
+                F.count(F.lit(1)).cast("bigint").alias("k_ivf")
+            ),
+            ["query_id"],
+            "left",
+        )
+        .join(
+            hits.groupBy("query_id").agg(
+                F.count(F.lit(1)).alias("_n_hit")
+            ),
+            ["query_id"],
+            "left",
+        )
+        .select(
+            "query_id", "k_exact", "exact_id_sum", "exact_cos_sum",
+            F.coalesce("k_ivf", F.lit(0).cast("bigint")).alias("k_ivf"),
+            (
+                F.coalesce("_n_hit", F.lit(0)).cast("double")
+                / F.col("k_exact")
+            ).alias("_recall"),
+        )
+    )
+    # mean recall across the 5 queries as a 1-row broadcast (stays
+    # in-plan; the per-query value is too volatile to certify directly)
+    mean_r = per_q.agg(F.avg("_recall").alias("_mean_recall"))
+    return per_q.crossJoin(F.broadcast(mean_r)).select(
+        "query_id", "k_exact", "exact_id_sum", "exact_cos_sum", "k_ivf",
+        (F.col("_mean_recall") >= F.lit(N3_RECALL_BOUND)).alias("recall_ok"),
+    )
