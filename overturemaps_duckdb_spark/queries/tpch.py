@@ -32,6 +32,21 @@ from overturemaps_duckdb_spark.queries.relational import cents
 _REV_CENTS_SQL = "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
 
 
+def _fact(
+    spark: SparkSession, sf_dir: str, name: str, bucket_key: str
+) -> DataFrame:
+    """Layout-aware fact-table resolution (VERDICT r06 #4): prefer a
+    registered co-bucketed copy (``sources/layout.register_cobucketed``)
+    bucketed on the key this query joins by — the fact-edge join then
+    plans with NO Exchange — falling back to the plain parquet read.
+    Values are identical either way (the layout is a declared copy);
+    only the plan shape changes, pinned in tests/test_layout.py."""
+    from overturemaps_duckdb_spark.sources.layout import resolve_cobucketed
+
+    got = resolve_cobucketed(spark, sf_dir, name, bucket_key)
+    return got if got is not None else t(spark, sf_dir, name)
+
+
 def _rev_cents(prefix: str = "") -> F.Column:
     p = f"{prefix}." if prefix else ""
     return cents(F.col(f"{p}l_extendedprice") * (1 - F.col(f"{p}l_discount")))
@@ -228,24 +243,49 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``p_retailprice * l_quantity`` stands in for ps_supplycost; both profit
     terms are exact-cents BEFORE the subtraction so the sum is order-stable.
+
+    The fact tables resolve through the layout catalog: when a
+    co-bucketed lineitem/orders(orderkey) layout is registered for
+    ``sf_dir`` the fact-fact join reads co-located buckets with no
+    Exchange (and runs FIRST, so a non-broadcast dim join can't destroy
+    the bucket partitioning before it's consumed); otherwise plain
+    parquet (the driver/oracle path).
     """
+    from overturemaps_duckdb_spark.sources.layout import resolve_cobucketed
+
+    li_b = resolve_cobucketed(spark, sf_dir, "lineitem", "l_orderkey")
+    o_b = resolve_cobucketed(spark, sf_dir, "orders", "o_orderkey")
+    bucketed = li_b is not None and o_b is not None
     return q9_plan(
-        t(spark, sf_dir, "lineitem"),
+        li_b if bucketed else t(spark, sf_dir, "lineitem"),
         t(spark, sf_dir, "part"),
         t(spark, sf_dir, "supplier"),
-        t(spark, sf_dir, "orders"),
+        o_b if bucketed else t(spark, sf_dir, "orders"),
         t(spark, sf_dir, "nation"),
+        fact_first=bucketed,
     )
 
 
 def q9_plan(
-    li: DataFrame, p: DataFrame, s: DataFrame, o: DataFrame, n: DataFrame
+    li: DataFrame,
+    p: DataFrame,
+    s: DataFrame,
+    o: DataFrame,
+    n: DataFrame,
+    *,
+    fact_first: bool = False,
 ) -> DataFrame:
     """Q9's plan over caller-supplied frames — the registered query passes
-    plain parquet reads; the bucketed variant (bench extras + test_layout)
-    passes lineitem/orders bucketed on the orderkey, which deletes the one
-    fact-fact Exchange (the repeated l_orderkey shuffle VERDICT r04 flagged)
-    while the dim joins stay broadcast."""
+    plain parquet reads; the bucketed variant (layout catalog, bench
+    extras, test_layout) passes lineitem/orders bucketed on the orderkey,
+    which deletes the one fact-fact Exchange (the repeated l_orderkey
+    shuffle VERDICT r04 flagged) while the dim joins stay broadcast.
+
+    ``fact_first`` joins lineitem⋈orders BEFORE the dim joins: on the
+    co-bucketed layout the bucket partitioning must be consumed before
+    any non-broadcast dim join re-shuffles lineitem on a dim key and
+    destroys it.  Plain-path callers keep the default (selective dim
+    joins first shrink lineitem before the big fact shuffle)."""
     li, p, s, o, n = (
         li.alias("l"),
         p.where(F.col("p_type") == "ECONOMY").alias("p"),
@@ -254,11 +294,22 @@ def q9_plan(
         n.alias("n"),
     )
     profit = _rev_cents("l") - cents(F.col("p.p_retailprice") * F.col("l.l_quantity"))
+    if fact_first:
+        joined = (
+            li.join(o, F.col("o.o_orderkey") == F.col("l.l_orderkey"))
+            .join(dim(p), F.col("p.p_partkey") == F.col("l.l_partkey"))
+            .join(dim(s), F.col("s.s_suppkey") == F.col("l.l_suppkey"))
+        )
+    else:
+        joined = (
+            li.join(dim(p), F.col("p.p_partkey") == F.col("l.l_partkey"))
+            .join(dim(s), F.col("s.s_suppkey") == F.col("l.l_suppkey"))
+            .join(o, F.col("o.o_orderkey") == F.col("l.l_orderkey"))
+        )
     return (
-        li.join(dim(p), F.col("p.p_partkey") == F.col("l.l_partkey"))
-        .join(dim(s), F.col("s.s_suppkey") == F.col("l.l_suppkey"))
-        .join(o, F.col("o.o_orderkey") == F.col("l.l_orderkey"))
-        .join(F.broadcast(n), F.col("n.n_nationkey") == F.col("s.s_nationkey"))
+        joined.join(
+            F.broadcast(n), F.col("n.n_nationkey") == F.col("s.s_nationkey")
+        )
         .groupBy(
             F.col("n.n_name").alias("nation"),
             F.year("o.o_orderdate").cast("int").alias("o_year"),
@@ -330,8 +381,15 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     The join predicate filter lives IN the left-join condition (not a WHERE,
     which would drop zero-order customers).  count("o_orderkey") counts
     non-null matches only — the outer-join null row contributes 0.
+
+    Facts resolve through the layout catalog (see q9): with a
+    customer/orders(custkey) co-bucketed layout registered, the outer
+    join AND the per-customer count are Exchange-free.
     """
-    return q13_plan(t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders"))
+    return q13_plan(
+        _fact(spark, sf_dir, "customer", "c_custkey"),
+        _fact(spark, sf_dir, "orders", "o_custkey"),
+    )
 
 
 def q13_plan(c: DataFrame, o: DataFrame) -> DataFrame:

@@ -25,9 +25,60 @@ so the layers compose: partition prune → row-group prune → filter.
 from __future__ import annotations
 
 import math
+import os
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+
+#: layout catalog (VERDICT r06 #4): (realpath(sf_dir), source_table,
+#: bucket_key) → metastore table holding the co-bucketed copy.  Registered
+#: queries consult it via :func:`resolve_cobucketed` so they read the
+#: Exchange-free layout when one exists and fall back to plain parquet
+#: otherwise — the driver/oracle path (nothing registered) is unchanged.
+_COBUCKETED: dict[tuple[str, str, str], str] = {}
+
+
+def _dir_key(sf_dir: str) -> str:
+    return os.path.realpath(sf_dir)
+
+
+def register_cobucketed(
+    sf_dir: str, entries: list[tuple[str, str, str]]
+) -> None:
+    """Declare co-bucketed copies of ``sf_dir``'s tables: ``entries`` is
+    ``[(source_table, bucket_key, metastore_table), ...]`` — e.g.
+    ``[("lineitem", "l_orderkey", "bkt_li"), ("orders", "o_orderkey",
+    "bkt_o")]`` after a :func:`write_cobucketed` of that pair.  The KEY is
+    part of the address because one source table can have several
+    bucketed copies (orders on o_orderkey for q9, on o_custkey for q13)
+    and a join is only Exchange-free on the key it bucketed by.
+
+    Registration asserts the layout copies the SAME rows as the plain
+    table — that is the caller's contract (they just wrote it from the
+    source frame); queries resolved through the catalog keep their
+    results bit-identical and only change plan shape."""
+    for source_table, bucket_key, table in entries:
+        _COBUCKETED[(_dir_key(sf_dir), source_table, bucket_key)] = table
+
+
+def unregister_cobucketed(sf_dir: str) -> None:
+    """Drop every layout registration for ``sf_dir`` (test/bench cleanup)."""
+    key = _dir_key(sf_dir)
+    for k in [k for k in _COBUCKETED if k[0] == key]:
+        del _COBUCKETED[k]
+
+
+def resolve_cobucketed(
+    spark: SparkSession, sf_dir: str, source_table: str, bucket_key: str
+) -> DataFrame | None:
+    """The read side of the layout catalog: the co-bucketed copy of
+    ``source_table`` bucketed on ``bucket_key``, or None when no live
+    registration exists (plain-path fallback — also covers a registered
+    table that was since dropped from the metastore)."""
+    table = _COBUCKETED.get((_dir_key(sf_dir), source_table, bucket_key))
+    if table is None or not spark.catalog.tableExists(table):
+        return None
+    return spark.table(table)
 
 
 def with_grid_cell(

@@ -352,3 +352,107 @@ def test_q9_q13_on_cobucketed_facts(spark):
     plain13 = {tuple(r) for r in QUERIES["q13_customer_distribution"](spark, SF_SMOKE).collect()}
     assert rows9 == plain9
     assert rows13 == plain13
+
+
+def test_registered_q9_q13_resolve_layout_catalog(spark):
+    """VERDICT r06 #4: the REGISTERED q9/q13 (not just the factored plans)
+    read the co-bucketed layout when one is registered for their sf_dir —
+    zero Exchange on the fact keys — and fall back to plain parquet after
+    unregistration (or if the metastore table vanishes), with identical
+    values throughout."""
+    import tempfile
+
+    from overturemaps_duckdb_spark.queries import QUERIES, load_all, t
+    from overturemaps_duckdb_spark.sources.layout import (
+        register_cobucketed,
+        resolve_cobucketed,
+        unregister_cobucketed,
+        write_cobucketed,
+    )
+    from tests.conftest import SF_SMOKE
+
+    load_all()
+    q9 = QUERIES["q9_product_type_profit"]
+    q13 = QUERIES["q13_customer_distribution"]
+
+    # baseline: nothing registered → plain scans, and the values to beat
+    assert resolve_cobucketed(spark, SF_SMOKE, "orders", "o_orderkey") is None
+    plain9 = {tuple(r) for r in q9(spark, SF_SMOKE).collect()}
+    plain13 = {tuple(r) for r in q13(spark, SF_SMOKE).collect()}
+
+    root = tempfile.mkdtemp(prefix="omds_cat_bkt_")
+    write_cobucketed(
+        spark,
+        [
+            (t(spark, SF_SMOKE, "lineitem"), "cat9_lineitem", "l_orderkey"),
+            (t(spark, SF_SMOKE, "orders"), "cat9_orders", "o_orderkey"),
+        ],
+        root,
+        n_buckets=8,
+    )
+    write_cobucketed(
+        spark,
+        [
+            (t(spark, SF_SMOKE, "customer"), "cat13_customer", "c_custkey"),
+            (t(spark, SF_SMOKE, "orders"), "cat13_orders", "o_custkey"),
+        ],
+        root,
+        n_buckets=8,
+    )
+    register_cobucketed(
+        SF_SMOKE,
+        [
+            ("lineitem", "l_orderkey", "cat9_lineitem"),
+            ("orders", "o_orderkey", "cat9_orders"),
+            ("customer", "c_custkey", "cat13_customer"),
+            ("orders", "o_custkey", "cat13_orders"),
+        ],
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # broadcast off so the fact edge must co-locate (Catalyst would
+        # broadcast orders at SMOKE size and hide the claim).  The
+        # registered q9's dim() hints go unhinted at threshold -1, so its
+        # dim joins SMJ-shuffle on part/supp keys — the targeted pin is
+        # therefore "no Exchange on the BUCKET keys", not a plan slice.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out9 = q9(spark, SF_SMOKE)
+        rows9 = {tuple(r) for r in out9.collect()}
+        plan9 = (
+            out9._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert "SelectedBucketsCount" in plan9, "q9 not reading the layout"
+        assert "hashpartitioning(l_orderkey" not in plan9
+        assert "hashpartitioning(o_orderkey" not in plan9
+        assert rows9 == plain9
+
+        out13 = q13(spark, SF_SMOKE)
+        rows13 = {tuple(r) for r in out13.collect()}
+        plan13 = (
+            out13._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert "SelectedBucketsCount" in plan13, "q13 not reading the layout"
+        assert "hashpartitioning(c_custkey" not in plan13
+        assert "hashpartitioning(o_custkey" not in plan13
+        assert rows13 == plain13
+
+        # a registration whose metastore table vanished falls back silently
+        spark.sql("DROP TABLE IF EXISTS cat9_orders")
+        assert (
+            resolve_cobucketed(spark, SF_SMOKE, "orders", "o_orderkey") is None
+        )
+        assert {tuple(r) for r in q9(spark, SF_SMOKE).collect()} == plain9
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        unregister_cobucketed(SF_SMOKE)
+        for tbl in ("cat9_lineitem", "cat9_orders", "cat13_customer", "cat13_orders"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+    # unregistered again: plain plans, same values
+    assert resolve_cobucketed(spark, SF_SMOKE, "customer", "c_custkey") is None
+    plan_after = (
+        q9(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SelectedBucketsCount" not in plan_after
