@@ -295,6 +295,19 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["fact_bucketed"] = f"extras: {exc}"[:300]
 
+    # e4 steady state (VERDICT r06 #5): the headline e4 pays the adaptive
+    # sizing probe (first touch of the fixture in the session); repeat
+    # calls hit the (app, sf_dir) sizing memo and run the single exact-
+    # percentile aggregate with no sizing job — the per-query cost of a
+    # session issuing many quantile queries over a stable table.
+    try:
+        frame = _q.QUERIES["e4_grouped_quantiles"](spark, sf_dir)
+        t0 = time.monotonic()
+        frame.write.format("noop").mode("overwrite").save()
+        extras["e4_steady_state"] = round(time.monotonic() - t0, 3)
+    except Exception as exc:  # noqa: BLE001
+        errors["e4_steady"] = f"extras: {exc}"[:300]
+
     # FTS amortization split (NOTES r4 backlog #4): fts_index_write is the
     # one-time ingest-side build+persist of the term-sorted postings
     # tables; t2_bm25_persisted is the same BM25 top-k t2 runs, but over

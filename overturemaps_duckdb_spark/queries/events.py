@@ -202,6 +202,14 @@ def i3_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "events_seen", "value_cents")
 
 
+#: session-lifetime sizing memo for e4's adaptive bucket probe — keyed
+#: (applicationId, realpath(sf_dir)) like the FTS index cache; dies with
+#: the session, so fixture regeneration between sessions can't serve a
+#: stale decision (and a stale decision could only mis-route perf, never
+#: values).
+_E4_SIZING: dict = {}
+
+
 @query(
     "e4_grouped_quantiles",
     oracle="""
@@ -225,7 +233,14 @@ def e4_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     values, no full-data shuffle, ≤ linear at any group size.  The
     grouped-map pandas form survives as
     `operators.quantiles.grouped_quantile_pandas` (equality pinned in
-    tests/test_quantiles.py)."""
+    tests/test_quantiles.py).
+
+    The adaptive sizing probe memoizes per (app, sf_dir) — the FTS-index
+    pattern (VERDICT r06 #5): the first call in a session pays the ~one
+    fixed probe job, repeat calls over the same fixture route directly
+    (a B=1 decision re-runs as the no-sizing single aggregate)."""
+    import os as _os
+
     from overturemaps_duckdb_spark.operators.quantiles import (
         grouped_quantile_cont,
     )
@@ -238,6 +253,11 @@ def e4_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         [0.5, 0.9],
         out_names=["p50", "p90"],
         n_name="n",
+        sizing_cache=_E4_SIZING,
+        sizing_key=(
+            spark.sparkContext.applicationId,
+            _os.path.realpath(sf_dir),
+        ),
     )
     return out.select(
         "event_type",

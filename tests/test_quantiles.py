@@ -424,3 +424,56 @@ def test_reliable_checkpoint_when_dir_configured(spark, tmp_path):
             sc._jvm.scala.Option.apply(None)
         )
         assert not sc._jsc.sc().getCheckpointDir().isDefined()
+
+
+def test_sizing_cache_memoizes_probe(spark):
+    """VERDICT r06 #5: the adaptive sizing probe is a real job a repeat
+    caller shouldn't re-pay.  A miss probes and stores the decision; a
+    hit routes like a forced n_buckets — a stored 1 must produce the
+    no-join single-aggregate plan with NO sizing job, a stored B>1 the
+    bucketed machinery — and values match DuckDB on every route."""
+    rows = [(f"g{i % 3}", float(i % 41)) for i in range(600)]
+    df = _mk(spark, rows)
+    want = _oracle_rows(rows, PROBS)
+
+    cache: dict = {}
+    out = grouped_quantile_cont(
+        df, ["g"], "v", PROBS, sizing_cache=cache, sizing_key="k1"
+    )
+    _assert_close(_spark_rows(out), want)
+    assert cache == {"k1": 1}  # every group fits -> fast path stored
+
+    # hit: same single-aggregation plan as a FORCED n_buckets=1 (the
+    # probe-free route — no stats subtree, no join)
+    out2 = grouped_quantile_cont(
+        df, ["g"], "v", PROBS, sizing_cache=cache, sizing_key="k1"
+    )
+    plan = out2._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "Join" not in plan and "percentile" in plan
+    assert plan.count("Exchange") <= 1
+    _assert_close(_spark_rows(out2), want)
+
+    # adaptive big-group decision is stored and replayed as bucketed
+    cache2: dict = {}
+    out3 = grouped_quantile_cont(
+        df, ["g"], "v", PROBS,
+        target_bucket_rows=50, sizing_cache=cache2, sizing_key="k2",
+    )
+    _assert_close(_spark_rows(out3), want)
+    assert cache2["k2"] >= 16
+    out4 = grouped_quantile_cont(
+        df, ["g"], "v", PROBS,
+        target_bucket_rows=50, sizing_cache=cache2, sizing_key="k2",
+    )
+    assert "_bucket" in out4._jdf.queryExecution().optimizedPlan().toString()
+    _assert_close(_spark_rows(out4), want)
+
+    # forced n_buckets ignores the cache entirely (no store, no read)
+    cache3: dict = {}
+    grouped_quantile_cont(
+        df, ["g"], "v", PROBS, n_buckets=1,
+        sizing_cache=cache3, sizing_key="k3",
+    ).collect()
+    assert cache3 == {}
