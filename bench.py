@@ -274,6 +274,18 @@ def main() -> None:
                 ("orders", "o_custkey", "omds_bench_bkt_oc"),
             ],
         )
+        # ADVICE r07: at small fixtures Catalyst may broadcast orders/
+        # customer, and autoBucketedScan would then legitimately DROP the
+        # bucketed scan — failing the assert for a planner choice, not a
+        # layout-resolution bug.  Pin autoBucketedScan off so the check
+        # tracks what it claims to: the registered path resolving the
+        # co-bucketed layout.
+        _abs_old = spark.conf.get(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        )
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
         try:
             for qn, key in (
                 ("q9_product_type_profit", "q9_registered_bucketed"),
@@ -291,6 +303,10 @@ def main() -> None:
                     f"registered {qn} did not read the co-bucketed layout"
                 )
         finally:
+            spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+                _abs_old,
+            )
             unregister_cobucketed(sf_dir)
     except Exception as exc:  # noqa: BLE001
         errors["fact_bucketed"] = f"extras: {exc}"[:300]

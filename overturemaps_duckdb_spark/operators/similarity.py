@@ -54,7 +54,12 @@ def probe_cache_scope():
     try:
         yield bucket
     finally:
-        _PROBE_CACHE_SCOPES.remove(bucket)
+        # Pop by IDENTITY, not equality: list.remove() compares by value,
+        # and two empty buckets are ==, so a nested scope whose inner
+        # bucket was still empty would remove the OUTER scope's bucket
+        # (ADVICE r07).  Scopes exit LIFO, so the innermost is ours.
+        assert _PROBE_CACHE_SCOPES[-1] is bucket, "probe scopes must exit LIFO"
+        _PROBE_CACHE_SCOPES.pop()
         for frame in bucket:
             frame.unpersist()
 

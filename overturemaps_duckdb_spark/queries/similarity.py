@@ -14,6 +14,7 @@ from overturemaps_duckdb_spark.operators.similarity import (
     lsh_bucket_neighbors,
     quantize_embeddings,
 )
+from overturemaps_duckdb_spark.operators._util import materialize
 from overturemaps_duckdb_spark.queries import query, t
 
 _DOT = (
@@ -266,8 +267,15 @@ def n3_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("_recall"),
         )
     )
-    # mean recall across the 5 queries as a 1-row broadcast (stays
-    # in-plan; the per-query value is too volatile to certify directly)
+    # mean recall across the 5 queries as a 1-row broadcast (the
+    # per-query value is too volatile to certify directly).  per_q is
+    # materialized first (ADVICE r07): deriving the mean from the live
+    # lineage would re-execute the whole exact-kNN cross join + IVF
+    # scoring a second time for one scalar.  Note the certification
+    # query pays brute-force exact kNN BY DESIGN (it is the oracle
+    # anchor); ivf_topk/ivf_topk_from_store remain the production form
+    # and their cost is what the bench extras measure.
+    per_q = materialize(per_q)
     mean_r = per_q.agg(F.avg("_recall").alias("_mean_recall"))
     return per_q.crossJoin(F.broadcast(mean_r)).select(
         "query_id", "k_exact", "exact_id_sum", "exact_cos_sum", "k_ivf",

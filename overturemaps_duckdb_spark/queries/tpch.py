@@ -32,21 +32,6 @@ from overturemaps_duckdb_spark.queries.relational import cents
 _REV_CENTS_SQL = "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
 
 
-def _fact(
-    spark: SparkSession, sf_dir: str, name: str, bucket_key: str
-) -> DataFrame:
-    """Layout-aware fact-table resolution (VERDICT r06 #4): prefer a
-    registered co-bucketed copy (``sources/layout.register_cobucketed``)
-    bucketed on the key this query joins by — the fact-edge join then
-    plans with NO Exchange — falling back to the plain parquet read.
-    Values are identical either way (the layout is a declared copy);
-    only the plan shape changes, pinned in tests/test_layout.py."""
-    from overturemaps_duckdb_spark.sources.layout import resolve_cobucketed
-
-    got = resolve_cobucketed(spark, sf_dir, name, bucket_key)
-    return got if got is not None else t(spark, sf_dir, name)
-
-
 def _rev_cents(prefix: str = "") -> F.Column:
     p = f"{prefix}." if prefix else ""
     return cents(F.col(f"{p}l_extendedprice") * (1 - F.col(f"{p}l_discount")))
@@ -384,11 +369,20 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Facts resolve through the layout catalog (see q9): with a
     customer/orders(custkey) co-bucketed layout registered, the outer
-    join AND the per-customer count are Exchange-free.
+    join AND the per-customer count are Exchange-free.  The gate is
+    both-or-neither like q9's (ADVICE r07): a partial registration (one
+    side's metastore table dropped) would otherwise plan a mixed
+    bucketed/plain join that silently re-shuffles the bucketed side —
+    values identical, Exchange-free claim quietly lost.
     """
+    from overturemaps_duckdb_spark.sources.layout import resolve_cobucketed
+
+    c_b = resolve_cobucketed(spark, sf_dir, "customer", "c_custkey")
+    o_b = resolve_cobucketed(spark, sf_dir, "orders", "o_custkey")
+    bucketed = c_b is not None and o_b is not None
     return q13_plan(
-        _fact(spark, sf_dir, "customer", "c_custkey"),
-        _fact(spark, sf_dir, "orders", "o_custkey"),
+        c_b if bucketed else t(spark, sf_dir, "customer"),
+        o_b if bucketed else t(spark, sf_dir, "orders"),
     )
 
 

@@ -444,6 +444,21 @@ def test_registered_q9_q13_resolve_layout_catalog(spark):
             resolve_cobucketed(spark, SF_SMOKE, "orders", "o_orderkey") is None
         )
         assert {tuple(r) for r in q9(spark, SF_SMOKE).collect()} == plain9
+
+        # ADVICE r07: q13's gate is both-or-neither like q9's — with one
+        # side's table dropped the query must read BOTH sides plain (a
+        # mixed bucketed/plain join would silently re-shuffle the
+        # bucketed side), and values are unchanged.
+        spark.sql("DROP TABLE IF EXISTS cat13_orders")
+        out13p = q13(spark, SF_SMOKE)
+        plan13p = (
+            out13p._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert "SelectedBucketsCount" not in plan13p, (
+            "q13 must not read a half-registered layout"
+        )
+        assert {tuple(r) for r in out13p.collect()} == plain13
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         unregister_cobucketed(SF_SMOKE)

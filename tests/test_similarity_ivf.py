@@ -473,3 +473,30 @@ def test_probe_cache_scope_releases_composed_results(spark, tmp_path):
         )
         assert out.count() > 0
     assert captured2 == []
+
+
+def test_probe_cache_scope_nesting_pops_by_identity():
+    """ADVICE r07: exiting an inner scope whose bucket is still EMPTY must
+    not remove the outer scope's (equal-but-distinct) empty bucket.  With
+    list.remove()'s equality semantics the outer bucket died first, later
+    probes registered into the dead inner bucket (persist leak), and the
+    outer exit raised ValueError.  Pure stack mechanics — no Spark."""
+    from overturemaps_duckdb_spark.operators import similarity as S
+
+    class _Frame:
+        def __init__(self):
+            self.unpersisted = False
+
+        def unpersist(self):
+            self.unpersisted = True
+
+    with S.probe_cache_scope() as outer:
+        with S.probe_cache_scope() as inner:
+            pass  # inner bucket stays empty (== outer's empty bucket)
+        # the OUTER bucket must still be the live innermost scope
+        assert S._PROBE_CACHE_SCOPES[-1] is outer
+        f = _Frame()
+        S._PROBE_CACHE_SCOPES[-1].append(f)
+        assert inner == []  # nothing leaked into the exited inner bucket
+    assert f.unpersisted
+    assert S._PROBE_CACHE_SCOPES == []
