@@ -31,79 +31,74 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q.QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-#: Certification rotation, round 6 (VERDICT r05 finding #1): lead with the
-#: only five rows whose driver certification is older than the query's last
-#: behavior change (d6/d7/d8 lineage-cut landed r4, their rows are r2;
-#: f4 de-vacuated r4, row r3; i5's pyarrow metadata write changed r4,
-#: row r3), then the four queries whose behavior changes THIS round
-#: (e4's exact-quantile path goes distributed, a7 gains a bounded-error
-#: oracle, x3/x4's tokenization binds once), then freshen the oldest
-#: remaining cohort — the r3-certified TPC-H q2–q22 and the p/f/a/o
-#: relational families (unchanged since r3).  Exactly 50 entries; o5/o6 and
-#: the u/w families (also r3, unchanged) roll to the next rotation.  A
-#: green round 6 leaves no certification in the registry
-#: older than its query's last behavior change.  Regression cover for
-#: everything behind the prefix: tests/test_oracle_parity.py re-verifies
-#: all 154 against DuckDB locally every round.
+#: Certification rotation, round 8 (VERDICT r07 finding #1 — the r7
+#: rotation was skipped, so this one clears EVERY stale row at once):
+#: n3 first (its bounded-recall oracle landed r7 and has never produced
+#: a driver CORRECTNESS row), then the 3 r1 rows, the 4 r2 rows, the 22
+#: r3 rows, and 20 of the 25 r4 rows to pad to exactly 50.  The 5 r4
+#: rows left for r9 are d2/t2/pl6 (headline-bench-exercised and
+#: plan-asserted every round) and t5/ep3-ctas (operator paths shared
+#: with the included t2-family/ep3_sql_console).  A green round 8 leaves
+#: no driver row older than r4 and n3 at 154/154 driver-oracled.
+#: Regression cover for everything behind the prefix:
+#: tests/test_oracle_parity.py re-verifies all 154 against DuckDB
+#: locally every round.
 _CERT_PRIORITY = [
-    # the five stale certifications (driver row predates an r4 change)
-    "d6_dedup_clusters",
-    "d7_cluster_canonical",
-    "d8_cross_corpus_neardup",
-    "f4_ilike_substring",
-    "i5_stream_foreachbatch_ingest",
-    # behavior changes landing in round 6 (e4 distributed-selection
-    # rewrite, a7 bounded-error oracle, x3/x4 bind-once tokenization)
-    "e4_grouped_quantiles",
-    "a7_approx_count_distinct",
-    "x3_lang_id",
-    "x4_fingerprints",
-    # r3-certified TPC-H cohort, unchanged since — freshen
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_nation_revenue",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_shipmode_priority",
-    "q13_customer_distribution",
-    "q14_promo_revenue_ratio",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    "q20_excess_inventory",
-    "q21_waiting_suppliers",
-    "q22_dormant_customers",
-    # r3-certified projection family
-    "p2_struct_field_access",
-    "p3_array_index_1based",
-    "p4_coalesce_cast_empty",
-    "p6_concat_ws_search_name",
-    "p7_round",
-    "p8_regexp_replace",
-    "p9_p10_length_abs",
-    "p11_literal_source_tag",
-    "p13_json_extract",
-    # r3-certified filter family (f4 already leads the rotation)
-    "f1_interval_overlap",
-    "f3_between",
-    "f5_is_not_null",
-    "f8_in_subquery_semi",
-    # r3-certified aggregate family
-    "a2_distinct",
-    "a3_groupby_source",
-    "a6_count_distinct",
-    "a8_rollup",
-    "a9_cube",
-    # r3-certified ordering family
-    "o1_topk_order_limit",
-    "o4_limit_offset",
+    # never driver-oracled: the r7 bounded-recall certification report
+    "n3_ivf_ann_topk",
+    # r1-certified rows
+    "pl3_bbox_filter",
+    "pl4_within_filter",
+    "pl5_exclude_filter",
+    # r2-certified rows
+    "dc1_decontaminate",
+    "i6_stream_dedup_replay",
+    "s14_bucketed_join",
+    "s15_table_profile",
+    # r3-certified rows
+    "aj1_asof_join",
+    "j1_inner_band_theta_join",
+    "j2_semi_join_within",
+    "j3_anti_join_exclude",
+    "j4_bidirectional_match",
+    "j5_join_distinct_matched_b",
+    "j6_pip_fold_collect",
+    "mx1_token_budget_mix",
+    "n1_cosine_topk",
+    "o5_balanced_union_limit",
+    "o6_nulls_last_sort",
+    "q1_pricing_summary",
+    "s1_scan_filter_project",
+    "s5_ctas_ingest_budget",
+    "s6_incremental_append",
+    "s11_count_probe",
+    "u1_union_all_aligned",
+    "u2_union_distinct",
+    "u3_intersect_except",
+    "w1_topk_per_group",
+    "w2_running_sum",
+    "w3_rank_dense_rank",
+    # r4-certified rows (oldest remaining cohort, 20 of 25)
+    "d5_embedding_neardup",
+    "n2_lsh_ann_pairs",
+    "s4_discover_catalog",
+    "m5_ppm_resize",
+    "ep3_sql_console",
+    "ep4_sql_fts_console",
+    "x1_token_count",
+    "x2_quality_score",
+    "x5_redaction",
+    "x6_bpe_token_count",
+    "x7_repetition_signals",
+    "x8_sliding_chunks",
+    "x9_gopher_rules",
+    "x10_corpus_composition",
+    "x11_quality_percentile_filter",
+    "sa1_hash_sample",
+    "sa2_stratified_sample",
+    "pk1_sequence_packing",
+    "sh1_deterministic_shuffle",
+    "sk1_salted_agg",
 ]
 
 
