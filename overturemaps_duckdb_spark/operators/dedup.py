@@ -214,11 +214,9 @@ def fuzzy_pairs(
     )
     if groups is None:
         return rep_pairs
-    intra = (
-        groups.where(F.size("gids") > 1)
-        .select(F.explode(_ordered_pair_structs(F.col("gids"))).alias("p"))
-        .select("p.a_id", "p.b_id", F.lit(0).alias("dist"))
-    )
+    intra = _explode_ordered_pairs(
+        groups.where(F.size("gids") > 1), "gids", []
+    ).select("a_id", "b_id", F.lit(0).alias("dist"))
     cross = _fanout_members(
         rep_pairs, groups, groups, ["dist"], normalize_order=True
     )
@@ -475,7 +473,12 @@ def _exact_groups(
 
 def _ordered_pair_structs(ids: Column) -> Column:
     """array<struct<a_id,b_id>> of all ordered pairs from a sorted id
-    array — the in-group / in-bucket expansion HOF."""
+    array — the in-group / in-bucket expansion HOF.
+
+    Reference construction only (tests pin the streamed form against it):
+    materializing the C(n,2) pair array inside ONE array value is the
+    r8-measured 79× slowdown at 1000-member groups — use
+    :func:`_explode_ordered_pairs` in any executed path."""
     return F.flatten(
         F.transform(
             ids,
@@ -483,6 +486,35 @@ def _ordered_pair_structs(ids: Column) -> Column:
                 F.slice(ids, i + F.lit(2), F.size(ids)),
                 lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
             ),
+        )
+    )
+
+
+def _explode_ordered_pairs(
+    df: DataFrame, ids_col: str, payload: list[str]
+) -> DataFrame:
+    """All ordered (a_id, b_id) pairs from each row's sorted id array,
+    streamed as a two-stage posexplode + tail-slice explode.
+
+    Output-identical to ``F.explode(_ordered_pair_structs(ids))`` but the
+    largest intermediate array is the member list itself, never the
+    C(n,2) pair array: at the 1000-member group/bucket caps that array is
+    ~500k structs built and GC'd per row, and generating the 2M-vector
+    fixture's 999M intra pairs took 69 s through it vs 0.9 s through this
+    shape (measured r8; the struct construction happens in a non-codegen
+    HOF lambda, the explode chain stays in codegen).  ``payload`` columns
+    must already exist on ``df`` and are carried through per pair."""
+    return (
+        df.select(
+            F.col(ids_col).alias("_ids"),
+            *payload,
+            F.posexplode(ids_col).alias("_pi", "a_id"),
+        ).select(
+            "a_id",
+            F.explode(
+                F.slice(F.col("_ids"), F.col("_pi") + F.lit(2), F.size("_ids"))
+            ).alias("b_id"),
+            *payload,
         )
     )
 
@@ -610,11 +642,9 @@ def minhash_lsh_pairs(
         )
         # intra-group: every pair of docs sharing a normalized text is an
         # exact duplicate — Jaccard 1.0 by definition, no verify needed
-        intra = (
-            groups.where(F.size("gids") > 1)
-            .select(F.explode(_ordered_pair_structs(F.col("gids"))).alias("p"))
-            .select("p.a_id", "p.b_id", F.lit(1.0).alias("jaccard"))
-        )
+        intra = _explode_ordered_pairs(
+            groups.where(F.size("gids") > 1), "gids", []
+        ).select("a_id", "b_id", F.lit(1.0).alias("jaccard"))
         if jaccard_threshold > 1.0:
             intra = intra.where(F.lit(False))
         # cross-group: representative pairs fan back out to member ids —
@@ -685,28 +715,28 @@ def _self_pairs_from_index(
             ).alias("capped_buckets"),
         ).withColumn("ids", F.slice("ids", 1, bucket_cap))
         minhash_lsh_pairs.last_cap_observation = obs
+    # Pair expansion streams through the two-stage posexplode + tail-slice
+    # shape (_explode_ordered_pairs): the old form materialized the whole
+    # C(n,2) pair array inside one array value per bucket — ~500k structs
+    # per row at bucket_cap=1000, the r8-measured 79× slowdown.  With the
+    # signature gate on, the agreement estimate is still computed and
+    # filtered per pair BEFORE the shingle-carrying verify join — the gate
+    # semantics are unchanged, only the array materialization is gone.
     if gate_k is not None:
-        pair_structs = F.filter(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
-                        lambda y: F.struct(
-                            x["id"].alias("a_id"),
-                            y["id"].alias("b_id"),
-                            _sig_matches(x["sig"], y["sig"]).alias("k"),
-                        ),
-                    ),
-                )
-            ),
-            lambda p: p["k"] >= gate_k,
+        staged = buckets.select(
+            F.col("ids").alias("_ids"),
+            F.posexplode("ids").alias("_pi", "_ma"),
+        ).select(
+            "_ma",
+            F.explode(
+                F.slice(F.col("_ids"), F.col("_pi") + F.lit(2), F.size("_ids"))
+            ).alias("_mb"),
         )
+        cand = staged.where(
+            _sig_matches(F.col("_ma.sig"), F.col("_mb.sig")) >= gate_k
+        ).select(F.col("_ma.id").alias("a_id"), F.col("_mb.id").alias("b_id"))
     else:
-        pair_structs = _ordered_pair_structs(F.col("ids"))
-    cand = buckets.select(F.explode(pair_structs).alias("p")).select(
-        "p.a_id", "p.b_id"
-    )
+        cand = _explode_ordered_pairs(buckets, "ids", []).select("a_id", "b_id")
     # Dedup multi-band duplicate candidates BEFORE the verify join, not
     # after: a near-dup pair typically collides in several bands (an exact
     # dup in all of them), and the verify join carries both docs' full
@@ -1242,13 +1272,13 @@ def embedding_neardup_pairs(
         return rep_pairs
     # intra-group: identical vectors — score computed, not assumed, so
     # zero-norm/NaN vectors drop exactly like the per-document path
-    intra = (
+    intra = _explode_ordered_pairs(
         groups.where(F.size("gids") > 1)
         .withColumn("cosine", F.round(cosine_expr(F.col("v"), F.col("v")), 6))
-        .where(F.col("cosine") >= threshold)
-        .select(F.explode(_ordered_pair_structs(F.col("gids"))).alias("p"), "cosine")
-        .select("p.a_id", "p.b_id", "cosine")
-    )
+        .where(F.col("cosine") >= threshold),
+        "gids",
+        ["cosine"],
+    ).select("a_id", "b_id", "cosine")
     cross = _fanout_members(
         rep_pairs, groups, groups, ["cosine"], normalize_order=True
     )

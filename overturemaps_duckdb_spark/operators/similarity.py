@@ -709,8 +709,8 @@ def lsh_bucket_neighbors(
     75 s to ~2 s at identical output."""
     from overturemaps_duckdb_spark.operators.dedup import (
         _exact_groups,
+        _explode_ordered_pairs,
         _fanout_members,
-        _ordered_pair_structs,
     )
 
     v0 = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
@@ -749,14 +749,14 @@ def lsh_bucket_neighbors(
     # identical vectors always share a bucket, so every intra-group pair is
     # a candidate; cosine(v, v) is computed (zero-norm/NaN vectors drop
     # exactly as the per-vector path drops them)
-    intra = (
+    intra = _explode_ordered_pairs(
         groups.where(F.size("gids") > 1)
         .withColumn("bucket", bucket)
         .withColumn("cosine", F.round(cosine_expr(F.col("v"), F.col("v")), 6))
-        .where(F.col("cosine") >= min_cosine)
-        .select(F.explode(_ordered_pair_structs(F.col("gids"))).alias("p"), "bucket", "cosine")
-        .select("p.a_id", "p.b_id", "bucket", "cosine")
-    )
+        .where(F.col("cosine") >= min_cosine),
+        "gids",
+        ["bucket", "cosine"],
+    ).select("a_id", "b_id", "bucket", "cosine")
     cross = _fanout_members(
         rep_pairs, groups, groups, ["bucket", "cosine"], normalize_order=True
     )

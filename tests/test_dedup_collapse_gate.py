@@ -161,3 +161,42 @@ def test_cross_corpus_collapse_matches_doc_level(spark):
 
     a, b = run(True), run(False)
     assert a == b and len(a) >= 20
+
+
+def test_streamed_pair_explode_matches_reference_construction(spark):
+    """r8 scale fix: every intra/in-bucket pair expansion now streams
+    through `_explode_ordered_pairs` (two-stage posexplode + tail-slice)
+    instead of exploding the C(n,2)-struct array `_ordered_pair_structs`
+    builds inside one value (69 s vs 0.9 s for the 2M fixture's 999M
+    intra pairs).  Pin the two constructions pair-for-pair equal on
+    randomized ragged groups, including payload carry-through and the
+    degenerate 1-member/empty shapes."""
+    import random
+
+    from overturemaps_duckdb_spark.operators.dedup import (
+        _explode_ordered_pairs,
+        _ordered_pair_structs,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for g in range(40):
+        n = rng.choice([0, 1, 2, 3, 7, 25])
+        ids = sorted(rng.sample(range(10_000), n))
+        rows.append((g, ids, float(g) / 10.0))
+    df = spark.createDataFrame(rows, "g int, gids array<int>, pay double")
+
+    ref = (
+        df.select("pay", F.explode(_ordered_pair_structs(F.col("gids"))).alias("p"))
+        .select("p.a_id", "p.b_id", "pay")
+    )
+    streamed = _explode_ordered_pairs(df, "gids", ["pay"]).select(
+        "a_id", "b_id", "pay"
+    )
+    key = lambda r: (r["a_id"], r["b_id"], r["pay"])
+    assert sorted(map(key, streamed.collect())) == sorted(map(key, ref.collect()))
+    # sanity: C(n,2) totals for the generated sizes
+    import math
+
+    expected = sum(math.comb(len(r[1]), 2) for r in rows)
+    assert streamed.count() == expected

@@ -11,7 +11,13 @@ replicate with offset ids and identical payloads — a corpus with heavy
 duplication, which is exactly the workload dedup operators exist for.
 
 Usage: python tools/make_scaled_fixture.py [src_dir] [dst_dir] [replicas]
-Defaults: /root/testdata/sf0.1 → ./benchdata/sf1, 10 replicas.
+       [tables]
+Defaults: /root/testdata/sf0.1 → ./benchdata/sf1, 10 replicas, all tables.
+`tables` is a comma-separated subset (e.g. ``embeddings`` for the
+ANN-slope fixtures, ``events,embeddings`` to upgrade sf5's symlinked
+pair to real 50× replicas).  Replica counts above 32 replicate via a
+``CROSS JOIN range(replicas)`` instead of an unrolled UNION ALL —
+identical rows, bounded SQL size.
 """
 
 from __future__ import annotations
@@ -45,27 +51,49 @@ def main() -> None:
         "benchdata", "sf1",
     )
     replicas = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    only = (
+        {t.strip() for t in sys.argv[4].split(",") if t.strip()}
+        if len(sys.argv) > 4
+        else None
+    )
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     for table, keys in KEYS.items():
+        if only is not None and table not in only:
+            continue
         src_file = os.path.join(src, f"{table}.parquet")
         dst_file = os.path.join(dst, f"{table}.parquet")
+        if os.path.islink(dst_file):
+            # COPY TO follows symlinks — writing through one would corrupt
+            # the TARGET fixture (sf5's events/embeddings pointed at sf1)
+            os.unlink(dst_file)
         if not keys:
             sel = f"SELECT * FROM read_parquet('{src_file}')"
         else:
             cols = [c[0] for c in con.execute(
                 f"DESCRIBE SELECT * FROM read_parquet('{src_file}')"
             ).fetchall()]
-            parts = []
-            for r in range(replicas):
+            if replicas > 32:
+                # bounded-SQL form: one scan crossed with a replica index
                 proj = ", ".join(
-                    f"{c} + {r * STRIDE} AS {c}" if c in keys else c
+                    f"{c} + _r.i * {STRIDE} AS {c}" if c in keys else c
                     for c in cols
                 )
-                parts.append(
-                    f"SELECT {proj} FROM read_parquet('{src_file}')"
+                sel = (
+                    f"SELECT {proj} FROM read_parquet('{src_file}') "
+                    f"CROSS JOIN range({replicas}) _r(i)"
                 )
-            sel = " UNION ALL ".join(parts)
+            else:
+                parts = []
+                for r in range(replicas):
+                    proj = ", ".join(
+                        f"{c} + {r * STRIDE} AS {c}" if c in keys else c
+                        for c in cols
+                    )
+                    parts.append(
+                        f"SELECT {proj} FROM read_parquet('{src_file}')"
+                    )
+                sel = " UNION ALL ".join(parts)
         con.execute(f"COPY ({sel}) TO '{dst_file}' (FORMAT PARQUET)")
         n = con.execute(
             f"SELECT count(*) FROM read_parquet('{dst_file}')"
