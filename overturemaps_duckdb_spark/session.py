@@ -80,11 +80,19 @@ def get_spark(
     )
     # --- streaming state store: default (HDFS-backed, in-heap) wins while
     #     state fits the executor heap — measured on the i4 stream-stream
-    #     interval join at 1M events: 9.0 s in-heap vs 28.2 s RocksDB
-    #     (RocksDB pays JNI + block-cache churn for spill-to-disk ability
-    #     this state size never uses).  At 100 TB-scale state (join state
-    #     or dedup watermarks larger than executor heap) flip to RocksDB:
-    #     SPARK_GRAFT_STATE_STORE=rocksdb, incremental checkpointing on.
+    #     interval join (the largest-state operator here) at 10M events /
+    #     5.5 GB state: 66.6 s in-heap vs 300.9 s RocksDB at a 32g heap,
+    #     still 3.9x ahead with state at ~65% of an 8g heap.  FLIP TO
+    #     ROCKSDB WHEN PROJECTED PER-EXECUTOR STREAMING STATE EXCEEDS ~1/2
+    #     OF EXECUTOR HEAP (SPARK_GRAFT_STATE_STORE=rocksdb): past that the
+    #     in-heap store does not degrade, it GC-LIVELOCKS — at 4g the same
+    #     job made no progress in 580 s with GCLocker retry warnings and
+    #     heartbeat RPC timeouts, i.e. on a cluster it presents as dying
+    #     executors, not a readable OOM.  RocksDB itself is heap-
+    #     insensitive (flat 300-323 s from 32g down to 2g, ~1.3 GB native
+    #     memory) so the flip never needs heap re-sizing.  Full matrix:
+    #     BENCH_COMPARE.md round-8 crossover section; harness:
+    #     tools/state_heap_ab.py.
     state_store = os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower()
     if state_store not in ("", "default", "rocksdb"):
         # a typo must not silently fall back to the in-heap store — that is
