@@ -2,18 +2,39 @@
 
 Deliberately does NOT use the repo's session helper or test fixtures —
 the driver builds its own session with its own confs.
+
+Config-fuzz overrides (defaults reproduce the driver exactly):
+- SPARK_GRAFT_SIM_MASTER / SPARK_GRAFT_SIM_SHUFFLE: session shape —
+  e.g. local[3] + 7 shuffle partitions surfaces any result that
+  silently depends on partition/core counts (nondeterministic top-k
+  tie-breaks, per-partition ids leaking into values).
+- SPARK_GRAFT_SIM_CONF: comma-separated extra k=v confs — e.g.
+  spark.sql.adaptive.enabled=false or
+  spark.sql.codegen.wholeStage=false to pin parity on the interpreted
+  expression-eval path.  Every query must value-hash MATCH the oracle
+  under ANY legal config; a config-dependent result is a real bug.
 """
+import os as _os
 import sys, time, random
 
 sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
 
-spark = (
-    SparkSession.builder.master("local[8]")
+_builder = (
+    SparkSession.builder.master(
+        _os.environ.get("SPARK_GRAFT_SIM_MASTER", "local[8]")
+    )
     .appName("driver-sim")
-    .config("spark.sql.shuffle.partitions", "32")
-    .getOrCreate()
+    .config(
+        "spark.sql.shuffle.partitions",
+        _os.environ.get("SPARK_GRAFT_SIM_SHUFFLE", "32"),
+    )
 )
+for _kv in _os.environ.get("SPARK_GRAFT_SIM_CONF", "").split(","):
+    if _kv.strip():
+        _k, _v = _kv.split("=", 1)
+        _builder = _builder.config(_k.strip(), _v.strip())
+spark = _builder.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 
 import __spark_entry__ as E
