@@ -128,13 +128,13 @@ def st_centroid_lonlat(geom: pd.Series) -> pd.DataFrame:
             return pd.DataFrame({"lon": cenx, "lat": ceny})
     lons, lats = [], []
     for b in geom:
-        if b is None:
+        c = None if b is None else wkb.centroid(wkb.loads(b))
+        if c is None:  # NULL input, or an empty geometry (no members)
             lons.append(None)
             lats.append(None)
         else:
-            x, y = wkb.centroid(wkb.loads(b))
-            lons.append(x)
-            lats.append(y)
+            lons.append(c[0])
+            lats.append(c[1])
     return pd.DataFrame({"lon": lons, "lat": lats})
 
 
@@ -224,17 +224,24 @@ def st_point(lon: pd.Series, lat: pd.Series) -> pd.Series:
     Batch-packed via numpy (header + two LE doubles per row) — byte-identical
     to wkb.dumps(wkb.point(...))."""
     n = len(lon)
+    lon_f = np.asarray(lon, dtype="<f8")
+    lat_f = np.asarray(lat, dtype="<f8")
     buf = np.empty((n, _PT_LEN), dtype=np.uint8)
     buf[:, :5] = np.frombuffer(_PT_HDR, dtype=np.uint8)
-    buf[:, 5:13] = (
-        np.ascontiguousarray(np.asarray(lon, dtype="<f8")).view(np.uint8).reshape(n, 8)
-    )
-    buf[:, 13:21] = (
-        np.ascontiguousarray(np.asarray(lat, dtype="<f8")).view(np.uint8).reshape(n, 8)
-    )
+    buf[:, 5:13] = np.ascontiguousarray(lon_f).view(np.uint8).reshape(n, 8)
+    buf[:, 13:21] = np.ascontiguousarray(lat_f).view(np.uint8).reshape(n, 8)
     raw = buf.tobytes()
+    # NULL coordinate → NULL geometry (SQL row-level null propagation, and
+    # what every other UDF here does) — asarray silently encoded None as a
+    # structurally-valid NaN-coordinate point that passed IS NOT NULL
+    # filters and poisoned downstream bbox/intersects math.
+    null = np.isnan(lon_f) | np.isnan(lat_f)
     return pd.Series(
-        [raw[i * _PT_LEN : (i + 1) * _PT_LEN] for i in range(n)], dtype="object"
+        [
+            None if null[i] else raw[i * _PT_LEN : (i + 1) * _PT_LEN]
+            for i in range(n)
+        ],
+        dtype="object",
     )
 
 
@@ -258,8 +265,14 @@ def st_box(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series) -
     buf[:, :13] = np.frombuffer(_BOX_HDR, dtype=np.uint8)
     buf[:, 13:] = np.ascontiguousarray(ring).view(np.uint8).reshape(n, 80)
     raw = buf.tobytes()
+    # NULL envelope coordinate → NULL geometry (see st_point)
+    null = np.isnan(a) | np.isnan(b) | np.isnan(c) | np.isnan(d)
     return pd.Series(
-        [raw[i * _BOX_LEN : (i + 1) * _BOX_LEN] for i in range(n)], dtype="object"
+        [
+            None if null[i] else raw[i * _BOX_LEN : (i + 1) * _BOX_LEN]
+            for i in range(n)
+        ],
+        dtype="object",
     )
 
 

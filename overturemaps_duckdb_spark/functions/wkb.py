@@ -188,10 +188,15 @@ def _collect_coords(g: Geometry, xs: list, ys: list) -> None:
             _collect_coords(sub, xs, ys)
 
 
-def centroid(g: Geometry) -> tuple[float, float]:
+def centroid(g: Geometry) -> tuple[float, float] | None:
     """Planar centroid with GEOS-compatible dimensional promotion: for mixed
-    collections only the highest-dimension members contribute."""
+    collections only the highest-dimension members contribute.  Empty
+    geometries (MULTIPOLYGON EMPTY parses to zero members) yield None —
+    GEOS returns POINT EMPTY; raising here would fail the whole Arrow
+    batch for one empty row."""
     prims = g.geometries()
+    if not prims:
+        return None
     best_dim = max(_dim(p) for p in prims)
     members = [p for p in prims if _dim(p) == best_dim]
     if best_dim == 2:
@@ -218,6 +223,8 @@ def centroid(g: Geometry) -> tuple[float, float]:
             return (ax / aw, ay / aw)
         members = [Geometry("POINT", p.coords[0]) for p in members if p.coords]
     n = len(members)
+    if n == 0:  # all-empty linestrings after the fallbacks
+        return None
     return (sum(p.coords[0] for p in members) / n, sum(p.coords[1] for p in members) / n)
 
 
@@ -498,31 +505,52 @@ def intersection(a: Geometry, b: Geometry) -> Geometry | None:
         return a
     if b.kind == "POINT":
         return b
-    if a.kind == "POLYGON" and b.kind == "POLYGON":
-        subj, clip = a.coords[0], b.coords[0]
-        if _is_convex(subj) and _is_convex(clip):
-            # convex∩convex is always a single convex piece — one SH pass
-            clipped = _clip_polygon(subj, clip)
-            rings = [clipped] if len(clipped) >= 3 else []
-        else:
-            # any concave operand can yield multiple components — SH would
-            # fuse them through zero-width corridors; GH splits them
-            rings = _overlay_intersection(subj, clip)
-        rings = [r for r in rings if len(r) >= 3]
+    # Flatten multiparts like intersects()/distance() do: a valid
+    # MULTIPOLYGON's parts are disjoint, so its intersection with another
+    # (multi)polygon is exactly the union of pairwise part overlays, and
+    # those pieces are themselves disjoint — collecting them into one
+    # MULTIPOLYGON is the correct overlay.  (Before this, any MULTIPOLYGON
+    # operand fell through to `return None` — NULL for a genuinely
+    # overlapping pair, even though Overture emits multipolygon
+    # footprints.)
+    polys_a = [g for g in a.geometries() if g.kind == "POLYGON"]
+    polys_b = [g for g in b.geometries() if g.kind == "POLYGON"]
+    if polys_a and polys_b:
+        rings = []
+        for ga in polys_a:
+            for gb in polys_b:
+                if not _prim_intersects(ga, gb):
+                    continue
+                rings.extend(_polygon_pair_rings(ga.coords[0], gb.coords[0]))
         if not rings:
             return None
-        closed = []
-        for r in rings:
-            r = list(r)
-            if r[0] != r[-1]:
-                r.append(r[0])
-            closed.append(r)
-        if len(closed) == 1:
-            return Geometry("POLYGON", [closed[0]])
+        if len(rings) == 1:
+            return Geometry("POLYGON", [rings[0]])
         return Geometry(
-            "MULTIPOLYGON", [Geometry("POLYGON", [r]) for r in closed]
+            "MULTIPOLYGON", [Geometry("POLYGON", [r]) for r in rings]
         )
     return None  # line overlays not required by the reference surface
+
+
+def _polygon_pair_rings(subj, clip) -> list[list]:
+    """Closed overlay rings of one polygon×polygon pair (exterior rings)."""
+    if _is_convex(subj) and _is_convex(clip):
+        # convex∩convex is always a single convex piece — one SH pass
+        clipped = _clip_polygon(subj, clip)
+        rings = [clipped] if len(clipped) >= 3 else []
+    else:
+        # any concave operand can yield multiple components — SH would
+        # fuse them through zero-width corridors; GH splits them
+        rings = _overlay_intersection(subj, clip)
+    closed = []
+    for r in rings:
+        if len(r) < 3:
+            continue
+        r = list(r)
+        if r[0] != r[-1]:
+            r.append(r[0])
+        closed.append(r)
+    return closed
 
 
 def _is_convex(ring) -> bool:

@@ -52,9 +52,10 @@ from overturemaps_duckdb_spark.operators.spatial_join import (
     spatial_join,
 )
 
-#: meters→degrees rounding used by the reference: (d/111320).toFixed(6)
-#: (pipeline.js:128)
-METERS_PER_DEGREE = 111320.0
+#: meters→degrees conversion shared with functions/geo.py — one constant,
+#: so a correction can never diverge the two paths; the toFixed(6)
+#: rounding (pipeline.js:128) stays here in distance_degrees()
+from overturemaps_duckdb_spark.functions.geo import METERS_PER_DEGREE
 
 #: default within/exclude distance in meters (pipeline.js:128)
 DEFAULT_DISTANCE_M = 250.0

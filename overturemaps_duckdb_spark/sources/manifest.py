@@ -80,11 +80,18 @@ def file_bbox(path: str) -> FileBBox | None:
             for rg in range(meta.num_row_groups):
                 st = meta.row_group(rg).column(i).statistics
                 if st is None or not st.has_min_max:
-                    return None
+                    # this candidate column lacks stats in SOME row group —
+                    # fall through to the next candidate name instead of
+                    # giving up on the axis (a bbox column written without
+                    # stats must not disable pruning while centroid_lon
+                    # still carries them; conservative either way, but the
+                    # fallback list exists exactly for this)
+                    lo = None
+                    break
                 lo = st.min if lo is None else min(lo, st.min)
                 hi = st.max if hi is None else max(hi, st.max)
             if lo is None:
-                return None
+                continue
             return float(hi) if want_max else float(lo)
         return None
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -54,8 +55,21 @@ def _update(
         events_seen, value_cents, update_count = 0, 0, 0
     for pdf in pdfs:
         events_seen += len(pdf)
-        # exact cents, never float accumulation
-        value_cents += int(round(pdf["value"].astype(float).mul(100).round().sum()))
+        # exact cents, never float accumulation.  Rounding must match the
+        # batch/SQL twins (Spark F.round / DuckDB ROUND = HALF_UP, away
+        # from zero) — pandas/numpy .round() is half-to-EVEN, so 12.50
+        # cents rounded to 12 while the twins say 13.  The two modes only
+        # differ on EXACT .5 fractions (binary-representable), so round
+        # half-to-even first and adjust just those — no floor(x+0.5)
+        # float trap.  NULL values are skipped like SQL SUM (they used to
+        # NaN-poison the sum and crash int()).
+        v = pdf["value"].astype(float).mul(100).to_numpy()
+        v = v[~np.isnan(v)]
+        r = np.round(v)
+        t = np.trunc(v)
+        half = np.abs(v - t) == 0.5
+        r[half] = t[half] + np.sign(v[half])
+        value_cents += int(r.sum())
     update_count += 1
     state.update((events_seen, value_cents, update_count))
     yield pd.DataFrame(

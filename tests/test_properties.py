@@ -131,3 +131,60 @@ def test_char_ngrams_shape_and_edges(spark):
     assert rows[1]["g"] == ["ab"]   # shorter than n → whole text
     assert rows[2]["g"] == [""]
     assert rows[3]["g"] == [None]   # NULL text → [NULL], not NULL
+
+
+def test_st_point_box_null_inputs_yield_null_geometry(spark):
+    """r8 review fix: np.asarray silently encoded NULL coordinates as
+    NaN-coordinate WKB — a structurally valid point that passed
+    `geometry IS NOT NULL` and poisoned bbox/intersects math.  NULL in →
+    NULL geometry out (SQL row-level null propagation, like every other
+    geo UDF); non-null rows stay byte-identical to the kernel."""
+    import pyspark.sql.functions as F
+
+    from overturemaps_duckdb_spark.functions import wkb
+    from overturemaps_duckdb_spark.functions.geo import st_box, st_point
+
+    rows = (
+        spark.createDataFrame(
+            [(1.5, 2.5), (None, 2.0), (3.0, None), (None, None)],
+            "lon double, lat double",
+        )
+        .select(
+            st_point("lon", "lat").alias("p"),
+            st_box("lon", "lat", F.col("lon") + 1, F.col("lat") + 1).alias("b"),
+        )
+        .collect()
+    )
+    assert bytes(rows[0]["p"]) == wkb.dumps(wkb.point(1.5, 2.5))
+    assert bytes(rows[0]["b"]) == wkb.dumps(wkb.box(1.5, 2.5, 2.5, 3.5))
+    for r in rows[1:]:
+        assert r["p"] is None and r["b"] is None
+
+
+def test_manifest_stats_fallback_column(spark, tmp_path):
+    """r8 review fix: a candidate bbox column written WITHOUT parquet
+    statistics must fall through to the next candidate (centroid_lon/lat),
+    not abort the axis — a stats-less bbox column used to disable file
+    pruning entirely."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from overturemaps_duckdb_spark.sources.manifest import file_bbox
+
+    tbl = pa.table(
+        {
+            "bbox.xmin": [0.0, 1.0],
+            "bbox.xmax": [2.0, 3.0],
+            "bbox.ymin": [0.0, 1.0],
+            "bbox.ymax": [2.0, 3.0],
+            "centroid_lon": [10.0, 20.0],
+            "centroid_lat": [30.0, 40.0],
+        }
+    )
+    p = str(tmp_path / "nostats.parquet")
+    # stats only on the centroid columns — the bbox.* axis candidates are
+    # present in the schema but carry no min/max
+    pq.write_table(tbl, p, write_statistics=["centroid_lon", "centroid_lat"])
+    fb = file_bbox(p)
+    assert fb is not None, "stats-less bbox column must not disable pruning"
+    assert (fb.xmin, fb.xmax, fb.ymin, fb.ymax) == (10.0, 20.0, 30.0, 40.0)

@@ -189,3 +189,46 @@ def test_load_theme_snapview_cache_roundtrip(spark, tmp_path):
         spark, **dict(kwargs, table="theme_cache_test", bbox=(-181.0, -91.0, 10.0, 91.0))
     )
     assert not wider.cached
+
+
+def test_fts_sniff_ignores_unrelated_substrings():
+    """r8 review fix: the degrade sniff matched bare 'fts'/'_score'
+    substrings, so an unrelated error naming '/data/drafts/...' or a
+    quality_score column silently cleared the FTS capability cache and
+    permanently changed ranking.  FTS-specific tokens only."""
+    from overturemaps_duckdb_spark.plans.runner import looks_like_fts_failure
+
+    assert not looks_like_fts_failure(
+        Exception("FileNotFoundException: /data/drafts/part-0.parquet")
+    )
+    assert not looks_like_fts_failure(
+        Exception("cannot resolve column quality_score")
+    )
+    assert looks_like_fts_failure(Exception("match_bm25 scoring failed"))
+    assert looks_like_fts_failure(Exception("bm25 term weights overflow"))
+    assert looks_like_fts_failure(
+        Exception("missing file /tmp/store/postings/term=a")
+    )
+    assert looks_like_fts_failure(Exception("fts index unavailable"))
+    assert looks_like_fts_failure(Exception("broken FTS capability"))
+
+
+def test_debounced_failure_surfaces_in_flush(spark):
+    """r8 review fix: an exception on the debounce timer thread vanished
+    into threading's excepthook — on_result never fired and the caller
+    had no way to learn the run failed.  flush() now re-raises it."""
+    cat = catalog_cs(spark, SF_SMOKE)
+    cat.tables["theme_customer"] = spark.createDataFrame([(1,)], "only_col int")
+    r = PipelineRunner(cat, debounce_s=0.01)
+    r.update(nodes=[SRC_C])  # schedules the failing run on the timer thread
+    time.sleep(0.1)
+    with pytest.raises(Exception):
+        r.flush()
+    assert r.last_error is None  # consumed by the flush that raised
+    # a healthy runner flushes clean
+    cat2 = catalog_cs(spark, SF_SMOKE)
+    r2 = PipelineRunner(cat2, debounce_s=0.01)
+    r2.update(nodes=[SRC_C], limit=3)
+    time.sleep(0.1)
+    r2.flush()
+    assert r2.run_count == 1

@@ -120,3 +120,42 @@ def test_dedup_within_watermark_bounded_state(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_cents_rounding_matches_batch_twin_on_halves_and_nulls(spark, tmp_path):
+    """The state accumulator's rounding must equal the batch/SQL twin
+    (Spark F.round / DuckDB ROUND = HALF_UP, away from zero) — pandas
+    .round() is half-to-even, so 0.125 (= 12.5 cents exactly in float64)
+    accumulated 12 while the twin said 13.  A NULL value must be skipped
+    like SQL SUM, not NaN-poison the batch (int(NaN) raised and killed
+    the streaming query)."""
+    rows = [
+        (1, 10, 0.125),   # 12.5 cents exactly — the tie case
+        (2, 10, 0.375),   # 37.5 cents exactly
+        (3, 10, -0.125),  # negative tie: away from zero → -13
+        (4, 10, None),    # SQL SUM skips NULL
+        (5, 10, 2.675),   # 2.675*100 is EXACTLY 267.5 in float64 → 268
+        (6, 20, 0.005),   # 0.5 cents exactly
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, value double"
+    )
+    stage = str(tmp_path / "halves")
+    ev.coalesce(1).write.parquet(stage)
+
+    stream = spark.readStream.schema(ev.schema).parquet(stage)
+    from overturemaps_duckdb_spark.streaming.windows import run_to_batch
+
+    out = run_to_batch(
+        user_running_totals(stream), "test_half_cents", output_mode="update"
+    )
+    got = {r["user_id"]: r["value_cents"] for r in out.collect()}
+
+    batch = (
+        ev.groupBy("user_id")
+        .agg(F.sum(cents("value")).alias("value_cents"))
+        .collect()
+    )
+    want = {r["user_id"]: r["value_cents"] for r in batch}
+    assert got == want  # {10: 13+38-13+0+268 = 306, 20: 1}
+    assert got[10] == 306 and got[20] == 1

@@ -269,3 +269,41 @@ def test_overlay_matches_convex_clip_areas():
         rings = _overlay_intersection(stair_c, clip_c)
         gh_area = sum(abs(_ring_area(rr + [rr[0]])) for rr in rings)
         assert abs(gh_area - sh_area) <= 1e-6 * max(1.0, sh_area)
+
+
+def test_multipolygon_intersection_overlay():
+    """r8 review fix: MULTIPOLYGON operands used to fall through to
+    `return None` even when genuinely overlapping (Overture emits
+    multipolygon footprints).  A valid multipolygon's parts are disjoint,
+    so the overlay is the union of pairwise part intersections."""
+    mp = wkb.Geometry("MULTIPOLYGON", [_poly(0, 0, 2), _poly(10, 0, 2)])
+    big = wkb.box(-1, -1, 13, 1)  # clips the lower half of both parts
+    out = wkb.intersection(mp, big)
+    assert out is not None
+    assert wkb.geom_type(out) == "MULTIPOLYGON"
+    assert math.isclose(wkb.area(out), 4.0)  # 2x2 halves: 2.0 + 2.0
+    # symmetric operand order
+    out2 = wkb.intersection(big, mp)
+    assert out2 is not None and math.isclose(wkb.area(out2), 4.0)
+    # multi x multi
+    mp2 = wkb.Geometry("MULTIPOLYGON", [wkb.box(-1, -1, 13, 1)])
+    out3 = wkb.intersection(mp, mp2)
+    assert out3 is not None and math.isclose(wkb.area(out3), 4.0)
+    # single overlapping part → plain POLYGON, matches the poly x poly path
+    one = wkb.intersection(mp, wkb.box(1, 1, 3, 3))
+    ref = wkb.intersection(_poly(0, 0, 2), wkb.box(1, 1, 3, 3))
+    assert wkb.dumps(one) == wkb.dumps(ref)
+    # disjoint multipolygon → None, unchanged
+    assert wkb.intersection(mp, wkb.box(5, 5, 6, 6)) is None
+
+
+def test_empty_geometry_centroid_is_none():
+    """r8 review fix: empty collections/multiparts parse to zero members;
+    centroid() used to crash on max()/division instead of yielding the
+    NULL the Arrow batch needs."""
+    for kind in ("MULTIPOLYGON", "MULTIPOINT", "GEOMETRYCOLLECTION"):
+        empty = wkb.loads(wkb.dumps(wkb.Geometry(kind, [])))
+        assert wkb.centroid(empty) is None
+    # all-empty linestrings exercise the point-fallback guard
+    mls = wkb.Geometry("MULTILINESTRING", [wkb.Geometry("LINESTRING", [])])
+    assert wkb.centroid(mls) is None
