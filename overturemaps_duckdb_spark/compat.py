@@ -136,7 +136,15 @@ def _rewrite_subscripts(sql: str) -> str:
     never an error; `[0]` — which DuckDB also answers with NULL but Spark
     rejects as INVALID_INDEX_OF_ZERO even in the try_ form — becomes a NULL
     literal outright.  Runs on literal-masked text so paren matching is
-    exact."""
+    exact.
+
+    Also rewrites NEGATIVE literal indexes (DuckDB `arr[-1]` = last
+    element, matching try_element_at) and bare identifier/column indexes
+    (`arr[n]`) — a variable index left untouched kept Spark's 0-based
+    semantics, the exact off-by-one this shim exists to prevent; for maps
+    try_element_at is the same key lookup both engines do.  String-literal
+    subscripts (masked) stay native: they are struct/map field access,
+    which try_element_at does not support on structs."""
 
     def _sub(expr: str, idx: str) -> str:
         if idx == "0":
@@ -144,7 +152,7 @@ def _rewrite_subscripts(sql: str) -> str:
         return f"try_element_at({expr}, {idx})"
 
     while True:
-        m = re.search(r"\[(\d+)\]", sql)
+        m = re.search(r"\[\s*(-?\d+|[A-Za-z_][\w.]*)\s*\]", sql)
         if m is None:
             return sql
         idx = m.group(1)
@@ -176,6 +184,44 @@ def _rewrite_subscripts(sql: str) -> str:
             # brackets so the scan can proceed, restore at the end
             sql = sql[: m.start()] + "\x01" + m.group(1) + "\x02" + sql[m.end() :]
     return sql
+
+
+def _strip_regexp_g(text: str, literals: list[str]) -> str:
+    """Drop a 4th-argument 'g' flag from EVERY regexp_replace call, however
+    nested.  Operates on literal-masked text (string literals are
+    \\x00Ln\\x00 placeholders), so paren/comma scanning is exact."""
+    m = re.search(r"(?is)regexp_replace\s*\(", text)
+    if m is None:
+        return text
+    start = m.end()
+    depth, j = 1, start
+    while j < len(text):
+        c = text[j]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        j += 1
+    if depth != 0:  # unbalanced — leave untouched (Spark will error loudly)
+        return text
+    args = _strip_regexp_g(text[start:j], literals)  # nested calls first
+    lvl, commas = 0, []
+    for k, c in enumerate(args):
+        if c == "(":
+            lvl += 1
+        elif c == ")":
+            lvl -= 1
+        elif c == "," and lvl == 0:
+            commas.append(k)
+    if len(commas) == 3:
+        lm = re.fullmatch(r"\s*\x00L(\d+)\x00\s*", args[commas[2] + 1 :])
+        if lm and literals[int(lm.group(1))] == "'g'":
+            args = args[: commas[2]]
+    return (
+        text[:start] + args + ")" + _strip_regexp_g(text[j + 1 :], literals)
+    )
 
 
 def translate(sql: str) -> str:
@@ -211,36 +257,34 @@ def translate(sql: str) -> str:
     text = re.sub(r"\blen\s*\(", "duck_len(", text, flags=re.IGNORECASE)
 
     # DuckDB's regexp_replace global flag: Spark replaces globally by
-    # default and takes a position (int) as arg 4 — strip a trailing 'g'
-    def _strip_g(m: re.Match) -> str:
-        return m.group(1) + ")" if literals[int(m.group(2))] == "'g'" else m.group(0)
-
-    text = re.sub(
-        r"(?is)(regexp_replace\s*\((?:[^()]|\([^()]*\))*?),\s*\x00L(\d+)\x00\s*\)",
-        _strip_g,
-        text,
-    )
+    # default and takes a position (int) as arg 4 — strip a trailing 'g'.
+    # Balanced-paren scan (text is literal-masked), recursing into the
+    # argument list: the old single regex pass only stripped the OUTERMOST
+    # call's flag in nested regexp_replace(regexp_replace(...,'g'),...,'g')
+    # and Spark then read the surviving inner 'g' as the integer position
+    # argument.
+    text = _strip_regexp_g(text, literals)
 
     for i, lit in enumerate(literals):
         text = text.replace(f"\x00L{i}\x00", lit)
     return text
 
 
-#: per-SparkSession fallback SessionState for console `_session` statements
-#: issued outside an Engine (reference: every console shares the app's
-#: session table, sessionState.js:59-68 — raising here broke that contract)
-_DEFAULT_STATE: dict[int, object] = {}
-
-
 def _default_session_state(spark: SparkSession):
+    """Per-SparkSession fallback SessionState for console `_session`
+    statements issued outside an Engine (reference: every console shares
+    the app's session table, sessionState.js:59-68 — raising here broke
+    that contract).  Stored as an attribute ON the session object — an
+    id(spark)-keyed dict handed a NEW session the DEAD session's state
+    whenever CPython reused the address after a stop()+GC."""
     import tempfile
 
     from overturemaps_duckdb_spark.state import SessionState
 
-    ss = _DEFAULT_STATE.get(id(spark))
+    ss = getattr(spark, "_omds_default_session_state", None)
     if ss is None:
         ss = SessionState(spark, tempfile.mkdtemp(prefix="omd_session_"))
-        _DEFAULT_STATE[id(spark)] = ss
+        spark._omds_default_session_state = ss
     return ss
 
 
@@ -334,16 +378,16 @@ def _materialize_read_parquet(spark: SparkSession, sql: str) -> str:
                   r"(?:,[^)]*)?\)", repl, sql)
 
 
-#: SparkSessions that already registered the polymorphic duck_len UDF
-_LEN_REGISTERED: set[int] = set()
-
-
 def _ensure_len_udf(spark: SparkSession) -> None:
-    if id(spark) not in _LEN_REGISTERED:
+    """Register the polymorphic duck_len UDF once per session.  The
+    registered-marker lives ON the session object (see
+    _default_session_state): an id()-keyed set skipped registration for a
+    new session that happened to reuse a stopped session's address."""
+    if not getattr(spark, "_omds_len_registered", False):
         spark.udf.register(
             "duck_len", lambda x: None if x is None else len(x), "bigint"
         )
-        _LEN_REGISTERED.add(id(spark))
+        spark._omds_len_registered = True
 
 
 #: the reference's canonical FTS call (pipeline.js:78,89 / fts.js:85-91):

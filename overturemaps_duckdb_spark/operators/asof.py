@@ -50,13 +50,19 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"unsupported direction {direction!r}")
     order_col = right_order or right_cols[0]
-    sign = 1 if direction == "backward" else -1
+    # NULL timestamps never match (DuckDB ASOF semantics): right rows with
+    # NULL ts are unmatchable — drop them BEFORE the union, or they would
+    # sort ahead of everything (ASC NULLS FIRST) and their payload would be
+    # carried forward as a bogus match.  NULL-ts LEFT rows sort before any
+    # (non-null) right row in both directions below, so they correctly get
+    # a NULL match while still appearing in the output (left join).
+    right = right.where(F.col(right_ts).isNotNull())
     l_tagged = left.select(
         *[F.col(c) for c in by],
-        (F.col(left_ts) * sign).alias("_ats"),
+        F.col(left_ts).alias("_ats"),
         F.lit(1).alias("_side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_lpay"),
-        F.lit(None).cast("long").alias("_rord"),
+        F.lit(None).cast(dict(right.dtypes)[order_col]).alias("_rord"),
         F.lit(None)
         .cast(
             "struct<"
@@ -67,20 +73,30 @@ def asof_join(
     )
     r_tagged = right.select(
         *[F.col(c) for c in by],
-        (F.col(right_ts) * sign).alias("_ats"),
+        F.col(right_ts).alias("_ats"),
         F.lit(0).alias("_side"),
         F.lit(None).cast(l_tagged.schema["_lpay"].dataType.simpleString()).alias(
             "_lpay"
         ),
-        (F.col(order_col) * sign).cast("long").alias("_rord"),
+        F.col(order_col).alias("_rord"),
         F.struct(*[F.col(c) for c in right_cols]).alias("_rpay"),
     )
     merged = r_tagged.unionByName(l_tagged)
-    # right rows sort before left rows at equal ts (side 0 < 1) → "≤" match;
-    # among equal-ts right rows the largest order value is carried
+    # Direction is the SORT AXIS, not a sign multiply — `ts * sign` crashed
+    # on TimestampType even for backward, and casting the order column to
+    # long corrupted double/string tie-breaks.  Right rows sort before left
+    # rows at equal ts (side 0 < 1) → "≤"/"≥" match; among equal-ts right
+    # rows, backward carries the largest order value, forward the smallest
+    # (the old negate-then-asc semantics, kept).  NULLS FIRST on both axes:
+    # a NULL-ts left row matches nothing; a NULL order value loses ties.
+    if direction == "backward":
+        ts_ord, rord_ord = F.col("_ats").asc(), F.col("_rord").asc_nulls_first()
+    else:
+        ts_ord = F.col("_ats").desc_nulls_first()
+        rord_ord = F.col("_rord").desc_nulls_first()
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col("_ats").asc(), F.col("_side").asc(), F.col("_rord").asc())
+        .orderBy(ts_ord, F.col("_side").asc(), rord_ord)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = merged.withColumn("_match", F.last("_rpay", ignorenulls=True).over(w))

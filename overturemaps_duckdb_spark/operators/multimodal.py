@@ -245,12 +245,41 @@ def decode_assets(assets: DataFrame, *, use_real_codec: bool = False) -> DataFra
 
 def with_meta(assets: DataFrame, *, use_real_codec: bool = False) -> DataFrame:
     """Attach the typed `meta` struct next to the payload (the asset-table
-    form downstream operators consume)."""
-    decoded = decode_assets(assets, use_real_codec=use_real_codec).select(
-        "asset_id",
-        F.struct("byte_len", "width", "height", "n_frames").alias("meta"),
+    form downstream operators consume).
+
+    ONE mapInPandas pass emitting payload + meta together — the previous
+    join-on-asset_id form hash-shuffled the full payload bytes across the
+    cluster and scanned the asset table twice, violating this module's own
+    'payload never travels through wide transformations' design."""
+    meta_type = StructType(
+        [
+            StructField("byte_len", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("n_frames", IntegerType()),
+        ]
     )
-    return assets.join(decoded, "asset_id")
+    schema = StructType(assets.schema.fields + [StructField("meta", meta_type)])
+
+    def attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [
+                _real_decode_image(p) if use_real_codec else _fake_decode(p)
+                for p in pdf["payload"]
+            ]
+            out = pdf.copy()
+            out["meta"] = [
+                {
+                    "byte_len": len(p),
+                    "width": d[0],
+                    "height": d[1],
+                    "n_frames": d[2],
+                }
+                for p, d in zip(pdf["payload"], dims)
+            ]
+            yield out
+
+    return assets.mapInPandas(attach, schema=schema)
 
 
 # ---------------------------------------------------------------------------
@@ -370,9 +399,14 @@ def sample_frames(
         for pdf in batches:
             rows = []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                # the real decode's frame count drives the sampling — it
+                # used to be decoded then DISCARDED, emitting frame indexes
+                # fabricated from the fake byte-length hash (16 "frames"
+                # for a 1-frame image)
                 if use_real_codec:
-                    _real_decode_image(bytes(payload))
-                _w, _h, n_frames = _fake_decode(bytes(payload))
+                    _w, _h, n_frames = _real_decode_image(bytes(payload))
+                else:
+                    _w, _h, n_frames = _fake_decode(bytes(payload))
                 for i in range(0, n_frames, every_n):
                     rows.append((aid, i))
             yield pd.DataFrame(rows, columns=["asset_id", "frame_idx"])

@@ -28,6 +28,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from overturemaps_duckdb_spark.operators._util import materialize
+
 
 def pack_sequences(
     df: DataFrame,
@@ -54,7 +56,16 @@ def pack_sequences(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = ranged.withColumn("_lcum", F.sum(F.col(weight_col)).over(w)).persist()
+    # materialize (checkpoint), not persist(): the _pid assignment must be
+    # frozen between the totals collect and the final pass, but a persist
+    # here was never unpersisted — the CacheManager pinned one cached plan
+    # per call for the application lifetime.  Checkpoint blocks are
+    # reclaimed by the ContextCleaner once the result is unreferenced.
+    # eager=False: the totals collect below is the materializing action.
+    local = materialize(
+        ranged.withColumn("_lcum", F.sum(F.col(weight_col)).over(w)),
+        eager=False,
+    )
     # one row per partition → driver; exclusive prefix back as a broadcast
     totals = sorted(
         (r["_pid"], r["_tot"])
@@ -65,11 +76,18 @@ def pack_sequences(
         offsets.append((pid, run))
         run += tot
     off = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _poff long")
-    before = F.col("_poff") + F.col("_lcum") - F.col(weight_col)
+    # integer DIV, not float division: (before / budget).cast('long')
+    # routed the prefix sum through a DOUBLE, losing exactness once
+    # cumulative token counts approach 2^53 (weights are non-negative, so
+    # truncating DIV == floor and values below 2^53 are unchanged).
     out = (
         local.join(F.broadcast(off), "_pid")
-        .withColumn("seq_id", (before / budget).cast("long"))
-        .withColumn("offset", (before - F.col("seq_id") * budget).cast("long"))
-        .drop("_pid", "_lcum", "_poff")
+        .withColumn(
+            "_before",
+            (F.col("_poff") + F.col("_lcum") - F.col(weight_col)).cast("long"),
+        )
+        .withColumn("seq_id", F.expr(f"_before DIV {int(budget)}"))
+        .withColumn("offset", F.col("_before") - F.col("seq_id") * int(budget))
+        .drop("_pid", "_lcum", "_poff", "_before")
     )
     return out

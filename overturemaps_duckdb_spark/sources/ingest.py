@@ -36,6 +36,7 @@ from dataclasses import dataclass, field
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from overturemaps_duckdb_spark.operators._util import materialize
 from overturemaps_duckdb_spark.sources.manifest import build_manifest, prune_files
 from overturemaps_duckdb_spark.state import SnapviewStore, append_load_history
 
@@ -174,10 +175,18 @@ def load_theme(
                     & (F.col(lat_col) >= ymin) & (F.col(lat_col) <= ymax)
                 )
                 clipped.createOrReplaceTempView(table)
-                return LoadResult(
-                    table, clipped.count(), 0, 0, 0, True,
-                    (time.monotonic() - t0) * 1e3, clipped,
-                )
+                n = clipped.count()
+                elapsed = (time.monotonic() - t0) * 1e3
+                if state_root is not None:
+                    # the reference logs EVERY load with its cached flag
+                    # (themes.js:391) — cache-served loads used to return
+                    # before step 5 and silently vanish from the history
+                    append_load_history(
+                        state_root, key=table, bbox=str(list(bbox)),
+                        lim=limit, cached=True, row_count=n,
+                        file_count=0, load_time_ms=elapsed,
+                    )
+                return LoadResult(table, n, 0, 0, 0, True, elapsed, clipped)
 
     # 2. file-level pruning (themes.js:267-275 / worker/index.js:174-179)
     manifest = build_manifest(files)
@@ -198,6 +207,12 @@ def load_theme(
             (F.col(lon_col) >= xmin) & (F.col(lon_col) <= xmax)
             & (F.col(lat_col) >= ymin) & (F.col(lat_col) <= ymax)
         ).limit(remaining)
+        # checkpoint at the budget count (eager=False: the count IS the
+        # materializing job).  Without this every batch executed TWICE —
+        # once for the count, again when the union fed the layout write —
+        # and the re-executed unordered LIMIT could materialize a
+        # DIFFERENT row subset than the one the budget counted.
+        clipped = materialize(clipped, eager=False)
         batch_rows = clipped.count()
         loaded = clipped if loaded is None else loaded.unionByName(clipped)
         rows_so_far += batch_rows

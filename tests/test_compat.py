@@ -212,3 +212,57 @@ def test_quantile_cont_translation_matches_duckdb(spark):
     }
     con.close()
     assert got == want
+
+
+def test_variable_and_negative_subscripts_translate(spark):
+    """r8 review fix: only literal integer subscripts were rewritten, so
+    `arr[n]` silently kept Spark's 0-based semantics — the exact
+    off-by-one the shim exists to prevent.  Identifier and negative
+    indexes now route through try_element_at (1-based, NULL OOR,
+    matching DuckDB); string-literal subscripts stay native struct/map
+    access."""
+    import duckdb
+
+    from overturemaps_duckdb_spark.compat import duck_sql
+
+    spark.createDataFrame(
+        [(["a", "b", "c"], 2)], "arr array<string>, n int"
+    ).createOrReplaceTempView("subs_t")
+    q = "SELECT arr[n] AS byvar, arr[-1] AS neg, arr[9] AS oor FROM subs_t"
+    got = duck_sql(spark, q).collect()[0]
+    want = duckdb.sql(
+        "SELECT arr[n] AS byvar, arr[-1] AS neg, arr[9] AS oor "
+        "FROM (SELECT ['a','b','c'] AS arr, 2 AS n)"
+    ).fetchone()
+    assert (got["byvar"], got["neg"], got["oor"]) == want == ("b", "c", None)
+
+
+def test_nested_regexp_replace_g_flags(spark):
+    """r8 review fix: the old single-pass regex stripped only the
+    OUTERMOST call's 'g' flag; Spark then parsed the surviving inner 'g'
+    as the integer position argument."""
+    import duckdb
+
+    from overturemaps_duckdb_spark.compat import duck_sql
+
+    spark.createDataFrame([("aacac",)], "s string").createOrReplaceTempView(
+        "regex_t"
+    )
+    q = (
+        "SELECT regexp_replace(regexp_replace(s, 'a', 'b', 'g'), "
+        "'c', 'd', 'g') AS r FROM regex_t"
+    )
+    got = duck_sql(spark, q).collect()[0]["r"]
+    want = duckdb.sql(
+        "SELECT regexp_replace(regexp_replace('aacac', 'a', 'b', 'g'), "
+        "'c', 'd', 'g')"
+    ).fetchone()[0]
+    assert got == want == "bbdbd"
+    # 'g' as a REPLACEMENT string must survive the stripper (note: Spark
+    # replaces globally by default, so a flag-less DuckDB regexp_replace
+    # — first-occurrence-only — is a documented dialect divergence; the
+    # reference's generated SQL always passes 'g')
+    from overturemaps_duckdb_spark.compat import translate
+
+    t = translate("SELECT regexp_replace(s, 'a', 'g') FROM regex_t")
+    assert "'g'" in t  # the replacement literal, not a stripped flag

@@ -324,3 +324,61 @@ def test_write_training_shards_contract(spark, tmp_path):
     write_training_shards(df, "doc_id", out3, n_shards=8, seed=8)
     m3 = sorted((r["_shard"], r["doc_id"]) for r in spark.read.parquet(out3).collect())
     assert m3 != m1
+
+
+def test_asof_null_timestamps_and_real_timestamp_type(spark):
+    """r8 review fixes: (1) a right row with NULL ts sorted first
+    (ASC NULLS FIRST) and its payload was carried as a bogus match for
+    left rows with no genuine predecessor — DuckDB ASOF never matches
+    NULL keys; a NULL-ts left row must appear with a NULL match.
+    (2) direction was a sign MULTIPLY on the ts column, which crashed
+    analysis on real TimestampType even for backward."""
+    import datetime as dt
+
+    trades = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", None)], "tid long, key string, ts long"
+    )
+    quotes = spark.createDataFrame(
+        [(100, "a", None), (101, "a", 20)], "qid long, key string, ts long"
+    )
+    out = asof_join(
+        trades, quotes, by=["key"], left_ts="ts", right_ts="ts",
+        right_cols=["qid"], right_order="qid",
+    )
+    got = {r["tid"]: r["r_qid"] for r in out.collect()}
+    # no quote at-or-before ts 10 (the NULL-ts quote must NOT match)
+    assert got == {1: None, 2: None}
+
+    t0 = dt.datetime(2026, 1, 1)
+    trades_t = spark.createDataFrame(
+        [(1, "a", t0 + dt.timedelta(minutes=5))], "tid long, key string, ts timestamp"
+    )
+    quotes_t = spark.createDataFrame(
+        [(7, "a", t0), (8, "a", t0 + dt.timedelta(minutes=9))],
+        "qid long, key string, ts timestamp",
+    )
+    back = asof_join(
+        trades_t, quotes_t, by=["key"], left_ts="ts", right_ts="ts",
+        right_cols=["qid"], right_order="qid",
+    ).collect()
+    assert back[0]["r_qid"] == 7
+    fwd = asof_join(
+        trades_t, quotes_t, by=["key"], left_ts="ts", right_ts="ts",
+        right_cols=["qid"], right_order="qid", direction="forward",
+    ).collect()
+    assert fwd[0]["r_qid"] == 8
+
+
+def test_asof_double_order_tiebreak_not_truncated(spark):
+    """r8 review fix: the tie-break order column was cast('long'), so
+    equal-ts quotes at px 1.2 and 1.9 collapsed to the same rank and the
+    'deterministic' tie-break became arbitrary."""
+    trades = spark.createDataFrame([(1, "a", 10)], "tid long, key string, ts long")
+    quotes = spark.createDataFrame(
+        [(1.2, "a", 10), (1.9, "a", 10)], "px double, key string, ts long"
+    )
+    out = asof_join(
+        trades, quotes, by=["key"], left_ts="ts", right_ts="ts",
+        right_cols=["px"],
+    ).collect()
+    assert out[0]["r_px"] == 1.9  # largest order value wins the tie
