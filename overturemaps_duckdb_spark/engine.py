@@ -115,7 +115,13 @@ class Engine:
             self._load_gen += 1
             self.catalog.tables[spec.table] = res.df
             if spec.build_fts:
-                # catalog indexes live for the session — materialize once
+                # catalog indexes live for the session — materialize once;
+                # a RELOAD of the same theme must release the old index's
+                # cached frames first (the CacheManager never frees them on
+                # Python GC — repeated area loads leaked executor storage)
+                old = self.catalog.fts.get(spec.table)
+                if old is not None:
+                    old.unpersist()
                 self.catalog.fts[spec.table] = build_fts_index(
                     res.df, "id", "search_name"
                 ).persist()

@@ -74,6 +74,15 @@ class FtsIndex:
             self.termstats = self.termstats.persist()
         return self
 
+    def unpersist(self) -> None:
+        """Release the cached index frames.  Call before REPLACING a
+        session-lived index (Engine.load_area reload, runner degrade):
+        Spark's CacheManager never releases caches on Python GC, so a
+        dropped-but-persisted index pins executor storage forever."""
+        for frame in (self.postings, self.docstats, self.stats, self.termstats):
+            if frame is not None:
+                frame.unpersist()
+
     @property
     def n_docs(self) -> int:
         return int(self.stats.collect()[0]["n"])
@@ -306,11 +315,18 @@ def search_all_tables(
     """T5 — cross-table search fan-out (fts.js:70-127): search every user
     table, merge per-table top-k with a `_table` tag.  Pre-built (persisted)
     indexes are used when supplied; missing ones are built inline."""
+    # Unify the merged id column WITHOUT losing string keys: the union
+    # needs one type, but a blanket cast('long') turned every id of a
+    # string-keyed table (Overture GERS ids) into NULL — the rest of the
+    # FTS stack deliberately follows the index's id type (bm25_score).
+    # Same-typed tables keep their type; mixed types widen to string.
+    id_types = {dict(df.dtypes)[id_col] for (df, id_col, _t) in tables.values()}
+    id_type = id_types.pop() if len(id_types) == 1 else "string"
     out = None
     for name, (df, id_col, text_col) in tables.items():
         idx = (indexes or {}).get(name) or build_fts_index(df, id_col, text_col)
         top = bm25_topk(idx, df, id_col, q, limit=limit).select(
-            F.col(id_col).cast("long").alias("id"),
+            F.col(id_col).cast(id_type).alias("id"),
             F.col(text_col).alias("text"),
             F.col("_score"),
             F.lit(name).alias("_table"),

@@ -34,17 +34,28 @@ def profile_table(
     cols = columns or df.columns
     types = dict(df.dtypes)
     nd = F.countDistinct if exact_distinct else F.approx_count_distinct
+    # Backtick-quoted references everywhere a name enters parsed text:
+    # SUMMARIZE-any-table means arbitrary column names — a space, dash, or
+    # dot in a name broke the generated expression (F.count('a.b')
+    # resolved as struct-field access, '_cnt_min zoom' failed to parse).
+    def bq(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in cols:
+        lit_col = F.col(bq(c))  # literal-name lookup, dots not parsed
         aggs += [
-            F.count(c).alias(f"_cnt_{c}"),
-            nd(c).alias(f"_nd_{c}"),
-            F.min(c).cast("string").alias(f"_min_{c}"),
-            F.max(c).cast("string").alias(f"_max_{c}"),
+            F.count(lit_col).alias(f"_cnt_{c}"),
+            nd(lit_col).alias(f"_nd_{c}"),
+            F.min(lit_col).cast("string").alias(f"_min_{c}"),
+            F.max(lit_col).cast("string").alias(f"_max_{c}"),
         ]
     row = df.agg(*aggs)
+
     stacked = ", ".join(
-        f"'{c}', '{types[c]}', _n - _cnt_{c}, _nd_{c}, _min_{c}, _max_{c}"
+        f"'{c.replace(chr(39), chr(39) * 2)}', '{types[c]}', "
+        f"_n - {bq(f'_cnt_{c}')}, {bq(f'_nd_{c}')}, "
+        f"{bq(f'_min_{c}')}, {bq(f'_max_{c}')}"
         for c in cols
     )
     return row.select(

@@ -73,12 +73,27 @@ def mixture_rates(
         *[F.lit(x) for kv in weights_permille.items() for x in kv]
     )
     w_pm = F.coalesce(wmap[F.col(stratum_col)], F.lit(0)).cast("bigint")
-    rate = F.least(
-        F.lit(1000).cast("bigint"),
-        F.floor(
-            (w_pm * F.lit(budget_tokens)).cast("double")
-            / F.col("_stratum_tokens")
-        ).cast("bigint"),
+    # NULL/zero-token strata are decided EXPLICITLY, not by IEEE edge
+    # semantics: a stratum whose token column is entirely NULL sums to
+    # NULL, the division went NULL, and F.least SKIPS NULLs — the rate
+    # came out 1000 (keep everything) even for weight-0/unlisted strata,
+    # violating the explicit-mixture contract (and a coalesce-to-0
+    # divisor trips ANSI DIVIDE_BY_ZERO).  Tokens present → the original
+    # bit-identical IEEE division; no tokens → keep-all when listed
+    # (budget unmeetable), drop when unlisted.
+    toks = F.col("_stratum_tokens")
+    rate = (
+        F.when(
+            toks > 0,
+            F.least(
+                F.lit(1000).cast("bigint"),
+                F.floor(
+                    (w_pm * F.lit(budget_tokens)).cast("double") / toks
+                ).cast("bigint"),
+            ),
+        )
+        .when(w_pm > 0, F.lit(1000).cast("bigint"))
+        .otherwise(F.lit(0).cast("bigint"))
     )
     return totals.select(stratum_col, rate.alias("rate_pm"))
 
@@ -215,8 +230,10 @@ def write_training_shards(
     mode: str = "overwrite",
 ) -> None:
     """Export the corpus as ``n_shards`` shard directories
-    (``path/shard=K/``) in deterministic training order — the final step
-    between a prepared corpus and a data loader.
+    (``path/_shard=K/`` — Hive partition layout; the name contains ``=``
+    so Hadoop/Spark listing does NOT hide the underscore-prefixed dirs)
+    in deterministic training order — the final step between a prepared
+    corpus and a data loader.
 
     Contract (all retry/re-run stable, seed-keyed):
     - shard assignment: ``md5(id:seed) mod n_shards`` — a pure function
@@ -225,8 +242,12 @@ def write_training_shards(
       by hash uniformity (≈N/n_shards ± √ noise).
     - within-shard order: rows are sorted by the independent
       :func:`shuffle_key` hex digest, giving each shard its own unbiased
-      sub-permutation — a loader reading ``shard=K`` front-to-back
-      streams the seeded global order restricted to that shard.
+      sub-permutation — a loader reading ``_shard=K`` front-to-back
+      streams the seeded global order restricted to that shard.  The
+      ``_shuffle_key`` column is PERSISTED on purpose: it is how a reader
+      (and the ex1 driver oracle) can verify the stored order without
+      re-deriving the hash — order certification is part of the export's
+      contract, not an implementation leak.
     - one exchange total: rows repartition straight onto their shard
       (plus local sort); no global sort, no driver involvement.  A loader
       epoch over a different permutation is a new ``seed``, not a data

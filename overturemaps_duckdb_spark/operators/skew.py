@@ -17,10 +17,29 @@ from pyspark.sql import Column, DataFrame
 
 
 def salted(df: DataFrame, n_salts: int = 16, salt_col: str = "_salt") -> DataFrame:
-    """Deterministic per-row salt (hash-based, no RNG → retries/replays
-    produce identical partitioning)."""
+    """Per-row salt without RNG: xxhash64 over the row's hashable columns
+    plus the row's position id.
+
+    Two fixes over hashing every column alone: (1) xxhash64 rejects
+    MapType columns (common in Overture schemas — names/sources), which
+    made salted_agg error outright on such tables; (2) a hot key whose
+    rows are IDENTICAL across all columns — the exact heavy-state case
+    salting targets — hashed to ONE salt, funnelling the whole key into a
+    single stage-1 task anyway.  monotonically_increasing_id is position-
+    based, so identical rows spread across salts, and it is reproducible
+    for a deterministic input partitioning (retries replay the same
+    lineage); the aggregate result is salt-invariant regardless."""
+    hashable = [
+        f.name
+        for f in df.schema.fields
+        if not f.dataType.simpleString().startswith("map<")
+    ]
     return df.withColumn(
-        salt_col, F.pmod(F.xxhash64(*df.columns), F.lit(n_salts)).cast("int")
+        salt_col,
+        F.pmod(
+            F.xxhash64(*hashable, F.monotonically_increasing_id()),
+            F.lit(n_salts),
+        ).cast("int"),
     )
 
 

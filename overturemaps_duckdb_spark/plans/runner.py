@@ -190,7 +190,13 @@ class PipelineRunner:
         except Exception as exc:  # noqa: BLE001 — mirror ref catch-all
             if not (fts_in_play and self.is_fts_failure(exc)):
                 raise
-            # clear FTS capability + recompile with ILIKE (fts.js:93-96)
+            # clear FTS capability + recompile with ILIKE (fts.js:93-96);
+            # release the dropped indexes' cached frames (the CacheManager
+            # never frees them on Python GC)
+            for idx in self.catalog.fts.values():
+                unp = getattr(idx, "unpersist", None)
+                if unp is not None:
+                    unp()
             self.catalog.fts.clear()
             degraded = True
             with self._lock:

@@ -140,11 +140,21 @@ class SessionState:
             }
         )
         os.makedirs(self.path, exist_ok=True)
-        # overwrite semantics: one part file, stale parts removed
+        # Atomic overwrite: write a temp part then os.replace() over the
+        # live one.  The old remove-then-write left a window (crash, or a
+        # concurrent reader) with NO part file — and _hydrate's deliberate
+        # corruption tolerance would then restart the store EMPTY, so the
+        # next set() permanently overwrote everything it used to hold.
+        final = os.path.join(self.path, "part-00000.parquet")
+        # dot-prefixed temp: hidden to Spark/Hadoop AND pyarrow dataset
+        # discovery, so a crash mid-write can never be read as data
+        tmp = os.path.join(self.path, ".part-00000.parquet.tmp")
+        pq.write_table(table, tmp)
+        os.replace(tmp, final)
         for name in os.listdir(self.path):
-            if name.endswith(".parquet"):
+            # stale extra parts from older layouts (never the live file)
+            if name.endswith(".parquet") and name != "part-00000.parquet":
                 os.remove(os.path.join(self.path, name))
-        pq.write_table(table, os.path.join(self.path, "part-00000.parquet"))
 
 
 # ---------------------------------------------------------------------------

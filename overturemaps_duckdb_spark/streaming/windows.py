@@ -98,7 +98,7 @@ def session_counts(stream: DataFrame, *, gap: str = "30 minutes") -> DataFrame:
         with_event_time(stream)
         .withWatermark("event_time", gap)
         .groupBy(F.session_window("event_time", gap), "user_id")
-        .agg(F.count("*").alias("n_events"), F.min("event_time").alias("_start"))
+        .agg(F.count("*").alias("n_events"))
         .select(
             "user_id",
             F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
@@ -129,6 +129,12 @@ def session_counts_to_batch(
     src = f"{sf_dir}/events.parquet"
     batch = spark.read.parquet(src)
     max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    if max_ts is None:  # empty source: no sessions, and no ts to anchor
+        # the sentinel to — `max_ts + delta` would TypeError on None
+        utype = batch.schema["user_id"].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"user_id {utype}, session_start_us long, n_events long"
+        )
 
     # Stage = a SYMLINK to the source file (constant cost — the events
     # table is never copied; at 100 TB the staging dir is a manifest of
@@ -178,7 +184,11 @@ def session_counts_to_batch(
     )
     out = session_counts(stream, gap=gap)
     result = run_to_batch(out, "i2_sessions", output_mode="append")
-    return result.where(F.col("user_id") >= 0)
+    # exclude ONLY the sentinel's session (user_id -1 is reserved for it
+    # above).  The old `user_id >= 0` range predicate silently dropped
+    # legitimate NULL-user sessions (NULL >= 0 is NULL → filtered) and any
+    # negative real id — the oracle sessionizes ALL events.
+    return result.where(F.coalesce(F.col("user_id") != -1, F.lit(True)))
 
 
 def followup_events_join(
@@ -274,7 +284,11 @@ def foreach_batch_ingest(
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     stage = os.path.join(root, "stage")
     for i in range(n_splits):
-        part = batch.where(F.col("event_id") % n_splits == i)
+        # pmod, not %: Spark's % keeps the dividend's sign, so a negative
+        # event_id's remainder matches no split in 0..n-1 and the row
+        # silently never reaches the sink (repo convention — sampling.py,
+        # skew.py use pmod for exactly this)
+        part = batch.where(F.pmod(F.col("event_id"), F.lit(n_splits)) == i)
         pdir = os.path.join(stage, f"split_{i}")
         part.coalesce(1).write.mode("overwrite").parquet(pdir)
         for fn in os.listdir(pdir):

@@ -121,3 +121,28 @@ def test_skew_report_tiny_percentile_names_sql_safe(spark):
     assert "p99_999951_key_rows" in out.columns
     for c in out.columns:
         assert re.fullmatch(r"[A-Za-z0-9_]+", c), c
+
+
+def test_salted_handles_map_columns_and_identical_rows(spark):
+    """r8 review fix: xxhash64 rejects MapType columns (Overture
+    names/sources), and a hot key whose rows are identical across all
+    columns hashed to ONE salt — the exact heavy-state case salting
+    targets.  Maps are skipped and position enters the hash, so identical
+    rows spread."""
+    import pyspark.sql.functions as F
+
+    from overturemaps_duckdb_spark.operators.skew import salted, salted_agg
+
+    df = spark.range(0, 1000).select(
+        F.lit("hot").alias("k"),
+        F.lit(1).alias("v"),
+        F.create_map(F.lit("a"), F.lit("b")).alias("m"),  # MapType column
+    )
+    s = salted(df, n_salts=8)
+    n_salt_values = s.select("_salt").distinct().count()
+    assert n_salt_values > 1  # identical rows no longer funnel into one salt
+
+    out = salted_agg(
+        df, ["k"], {"n": (F.count("*"), F.sum("n")), "s": (F.sum("v"), F.sum("s"))}
+    ).collect()
+    assert len(out) == 1 and out[0]["n"] == 1000 and out[0]["s"] == 1000
