@@ -147,20 +147,25 @@ def hashed_shingles(text: str | Column, k: int) -> Column:
     (queries/_sql.poly_shingles_sql)."""
     norm = normalize(text)
     codes = char_codes(text)
+    mod = F.lit(1 << MINHASH_BASE_BITS)
     h = F.transform(codes, lambda c: c.cast("bigint"))
     for j in range(1, k):
         shifted = F.slice(codes, j + 1, F.greatest(F.size(codes) - j, F.lit(0)))
-        # zip_with pads the shorter side with NULL → missing codes count as 0
+        # zip_with pads the shorter side with NULL → missing codes count
+        # as 0.  The accumulator is reduced mod 2^30 at EVERY step — mod
+        # distributes over * and +, so the final hashes are bit-identical
+        # to the end-only reduction (and to the oracle's exact-HUGEINT
+        # form), while the intermediate stays ≤ ~2^38: the unreduced
+        # rolling value overflowed int64 at k ≥ 9, which under Spark's
+        # default ANSI mode threw ARITHMETIC_OVERFLOW at runtime.
         h = F.zip_with(
             h,
             shifted,
-            lambda a, b: a * F.lit(SHINGLE_B) + F.coalesce(b, F.lit(0)),
+            lambda a, b: (a % mod) * F.lit(SHINGLE_B) + F.coalesce(b, F.lit(0)),
         )
     count = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
     return F.array_distinct(
-        F.transform(
-            F.slice(h, 1, count), lambda v: v % F.lit(1 << MINHASH_BASE_BITS)
-        )
+        F.transform(F.slice(h, 1, count), lambda v: v % mod)
     )
 
 
@@ -242,8 +247,16 @@ def quality_score(text: str | Column) -> Column:
         tok_ok = F.when(
             (mean_len >= 3.0) & (mean_len <= 10.0), F.lit(1.0)
         ).otherwise(F.lit(0.0))
+        # the stopword component saturates at ratio 0.2 (ratio*5 capped at
+        # 1.0) — uncapped, ordinary stopword-dense English pushed the
+        # "[0,1] composite" past 1.0 (max 2.2: 'the the the…' scored 1.8),
+        # breaking any absolute-threshold consumer.  The weights sum to
+        # 1.0 exactly because every component is ∈ [0,1].
         return (
-            0.4 * alpha_ratio(c) + 0.3 * ratio * 5.0 + 0.15 * len_ok + 0.15 * tok_ok
+            0.4 * alpha_ratio(c)
+            + 0.3 * F.least(ratio * 5.0, F.lit(1.0))
+            + 0.15 * len_ok
+            + 0.15 * tok_ok
         )
 
     # NULL text: tokens() is NULL so aggregate() is NULL — the composed

@@ -161,6 +161,13 @@ def spatial_join(
     cell id instead of degenerating to a quadratic nested loop.  True
     forces the broadcast form, False forces the grid form; results are
     identical either way (pytest-asserted).
+
+    PRECONDITION for semi/anti: `a.id` identifies rows uniquely (the
+    Overture GERS contract).  The exact predicate is a Python UDF, which
+    Spark cannot evaluate inside a semi/anti join condition — so matched
+    ids are collected from the inner form and re-joined (null-safely: a
+    lone NULL id round-trips correctly; rows SHARING an id cannot be
+    distinguished by any id-based shape).
     """
     if broadcast_b is None:
         broadcast_b = bnlj_affordable(a, b)
@@ -187,7 +194,7 @@ def spatial_join(
             .select(a["id"].alias("_mid"))
             .distinct()
         )
-        return a.join(F.broadcast(matched), a["id"] == matched["_mid"], how)
+        return a.join(F.broadcast(matched), a["id"].eqNullSafe(matched["_mid"]), how)
     raise ValueError(f"unsupported join type {how!r}")
 
 
@@ -403,7 +410,7 @@ def banded_join(
             .select(a_cells["id"].alias("_mid"))
             .distinct()
         )
-        return a.join(matched, a["id"] == matched["_mid"], how)
+        return a.join(matched, a["id"].eqNullSafe(matched["_mid"]), how)
     # inner: b lives only in its home cell (and exactly one salt shard), so
     # each qualifying (a, b) pair matches in exactly one cell — no pair
     # duplication to clean up.
@@ -464,5 +471,5 @@ def spatial_join_grid(
         return matched_pairs
     if how in ("left_semi", "left_anti"):
         matched = matched_pairs.select(a["id"].alias("_mid")).distinct()
-        return a.join(matched, a["id"] == matched["_mid"], how)
+        return a.join(matched, a["id"].eqNullSafe(matched["_mid"]), how)
     raise ValueError(f"unsupported join type {how!r}")

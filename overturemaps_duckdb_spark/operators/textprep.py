@@ -58,13 +58,21 @@ def ngram_decontaminate(
     map-side — the corpus is never shuffled and never re-scanned.  The
     groupBy(id) count shuffles only the (rare) hit rows.
     """
+    # The empty gram is excluded on BOTH sides: token_ngrams' whole-doc
+    # fallback turns a zero-token document (punctuation-only text
+    # normalizes to '') into the gram '' — one such bench row would
+    # otherwise flag EVERY empty-normalized training doc as contaminated
+    # despite sharing no actual n-gram (the oracle states the same
+    # exclusion).
     tg = (
         train.select(F.col(id_col).alias("id"), tokens(text_col).alias("_tk"))
         .select("id", F.explode(F.array_distinct(token_ngrams(F.col("_tk"), n))).alias("gram"))
+        .where(F.col("gram") != "")
     )
     bg = (
         bench.select(tokens(text_col).alias("_tk"))
         .select(F.explode(token_ngrams(F.col("_tk"), n)).alias("gram"))
+        .where(F.col("gram") != "")
         .distinct()
     )
     return (
@@ -127,6 +135,14 @@ def sliding_chunks(
     """
     if stride <= 0 or chunk_chars <= 0:
         raise ValueError("chunk_chars and stride must be positive")
+    if stride > chunk_chars:
+        # chunks [1..chunk], [1+stride..] would skip chars chunk+1..stride —
+        # silent coverage gaps in training samples, violating the full-
+        # coverage invariant the docstring states
+        raise ValueError(
+            f"stride ({stride}) > chunk_chars ({chunk_chars}) leaves "
+            "coverage gaps"
+        )
     n = F.length(F.col(text_col))
     n_chunks = (
         F.lit(1)

@@ -83,8 +83,13 @@ def bm25_sql(
     b: float = 0.75,
 ) -> str:
     """Full BM25 CTE pipeline over (table, id, text) for a fixed term list —
-    the oracle twin of operators.fts.bm25_score.  Yields (id, _score)."""
-    term_list = ", ".join(f"'{t}'" for t in terms)
+    the oracle twin of operators.fts.bm25_score.  Yields (id, _score).
+
+    Terms are SQL-escaped (quote doubling): this is the public oracle
+    builder, and an apostrophe term ("o'brien") used to render malformed
+    SQL — the opposite of the tokenizer it mirrors, which strips such
+    characters."""
+    term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
     toks = tokens_sql(text_col)
     return f"""
     WITH toks AS (

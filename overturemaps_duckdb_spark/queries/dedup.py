@@ -484,7 +484,7 @@ tg AS (
     FROM tk WHERE doc_id % 7 <> 0
 )
 SELECT tg.doc_id AS id, CAST(count(*) AS BIGINT) AS n_hit_grams
-FROM tg JOIN bg ON tg.gram = bg.gram
+FROM tg JOIN bg ON tg.gram = bg.gram AND tg.gram <> ''
 GROUP BY tg.doc_id
 """
 

@@ -82,7 +82,8 @@ _QUALITY_CTES = f"""
     ),
     q AS (
         SELECT doc_id,
-               ROUND(0.4 * alpha + 0.3 * stop_ratio * 5.0 + 0.15 * len_ok + 0.15 * tok_ok, 6)
+               ROUND(0.4 * alpha + 0.3 * LEAST(stop_ratio * 5.0, 1.0)
+                     + 0.15 * len_ok + 0.15 * tok_ok, 6)
                    AS quality
         FROM feats
     )

@@ -69,3 +69,31 @@ def test_salt_key_in_join_condition(spark):
     exec_plan = salted._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in exec_plan
     assert "CartesianProduct" not in exec_plan
+
+
+def test_semi_anti_null_id_row_roundtrips(spark):
+    """r8 review fix: the matched-id re-join used plain equality, so a
+    NULL-id row that spatially MATCHED was returned by the anti join
+    (and dropped by semi) — NULL == NULL is never true.  eqNullSafe
+    round-trips the lone NULL id correctly (unique-id precondition
+    documented on spatial_join)."""
+    import pyspark.sql.functions as F
+
+    from overturemaps_duckdb_spark.functions.geo import st_point
+    from overturemaps_duckdb_spark.operators.spatial_join import spatial_join
+
+    a = spark.createDataFrame(
+        [(None, 0.0, 0.0), (1, 50.0, 50.0)], "id int, lon double, lat double"
+    ).select("id", st_point("lon", "lat").alias("geometry"),
+             F.col("lon").alias("centroid_lon"), F.col("lat").alias("centroid_lat"))
+    b = spark.createDataFrame(
+        [(100, 0.0, 0.0)], "id int, lon double, lat double"
+    ).select("id", st_point("lon", "lat").alias("geometry"),
+             F.col("lon").alias("centroid_lon"), F.col("lat").alias("centroid_lat"))
+
+    semi = spatial_join(a, b, how="left_semi", distance_m=1000.0,
+                        broadcast_b=True, assume_points=True)
+    anti = spatial_join(a, b, how="left_anti", distance_m=1000.0,
+                        broadcast_b=True, assume_points=True)
+    assert [r["id"] for r in semi.collect()] == [None]  # NULL-id row matched
+    assert [r["id"] for r in anti.collect()] == [1]     # far row is the miss

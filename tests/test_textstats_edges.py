@@ -47,3 +47,103 @@ def test_shingle_fingerprint_matches_reference_construction(spark):
         ).collect()
         for i, r in enumerate(rows):
             assert r["got"] == r["want"], (k, texts[i])
+
+
+def test_quality_score_bounded_unit_interval(spark):
+    """r8 review fix: the stopword component was uncapped (0.3*ratio*5),
+    so stopword-dense English scored past 1.0 (max 2.2, 'the the the…'
+    scored 1.8) — breaking the documented [0,1] composite for any
+    absolute-threshold consumer.  It now saturates at ratio 0.2; the
+    oracle CTE states the same LEAST."""
+    from overturemaps_duckdb_spark.functions.text import quality_score
+
+    texts = [
+        ("the the the the the the the the the the the the the "
+         "the the the the the the the the the the the the the",),
+        ("the cat and the dog sat in a field of the tall grass "
+         "for most of it and then the sun set in the west",),
+        ("zzz qqq xxx",),
+        (None,),
+    ]
+    rows = (
+        spark.createDataFrame(texts, "t string")
+        .select(quality_score("t").alias("q"))
+        .collect()
+    )
+    for r in rows:
+        assert 0.0 <= r["q"] <= 1.0, r
+    assert rows[1]["q"] > rows[2]["q"]  # real English still outranks junk
+
+
+def test_hashed_shingles_no_overflow_and_values_stable(spark):
+    """r8 review fix: the rolling polynomial reduced mod 2^30 only at the
+    END, overflowing int64 at k ≥ 9 (ANSI ARITHMETIC_OVERFLOW at
+    runtime).  Stepwise reduction is bit-identical (mod distributes over
+    * and +) — pinned against a pure-Python evaluation for both a
+    previously-working k and a previously-overflowing one."""
+    import pyspark.sql.functions as F
+
+    from overturemaps_duckdb_spark.functions.text import (
+        MINHASH_BASE_BITS,
+        SHINGLE_B,
+        hashed_shingles,
+    )
+
+    def py_shingles(text: str, k: int) -> list[int]:
+        import re
+
+        norm = re.sub(r"\s+", " ", text.lower()).strip()
+        codes = [ord(c) for c in norm]
+        m = 1 << MINHASH_BASE_BITS
+        n = max(len(codes) - k + 1, 1)
+        out = []
+        for i in range(n):
+            window = codes[i : i + k] + [0] * max(0, k - (len(codes) - i))
+            h = 0
+            for c in window[:k]:
+                h = h * SHINGLE_B + c
+            v = h % m
+            if v not in out:
+                out.append(v)
+        return out
+
+    text = "the quick brown fox jumps over the lazy dog zzzzzzzzzzzzzz"
+    for k in (5, 12):  # 12 overflowed int64 before the fix
+        got = (
+            spark.createDataFrame([(text,)], "t string")
+            .select(hashed_shingles("t", k).alias("h"))
+            .collect()[0]["h"]
+        )
+        assert got == py_shingles(text, k), f"k={k}"
+
+
+def test_decontaminate_empty_normalized_docs_not_flagged(spark):
+    """r8 review fix: zero-token documents fell into token_ngrams'
+    whole-doc fallback as the EMPTY gram, so one punctuation-only bench
+    row flagged every empty-normalized training doc as contaminated."""
+    from overturemaps_duckdb_spark.operators.textprep import ngram_decontaminate
+
+    train = spark.createDataFrame(
+        [(1, "---"), (2, "a real sentence with eight shared tokens here ok")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(10, "!!!"), (11, "a real sentence with eight shared tokens here ok")],
+        "doc_id long, text string",
+    )
+    hits = {
+        r["id"]: r["n_hit_grams"]
+        for r in ngram_decontaminate(train, bench, "doc_id", "text", n=8).collect()
+    }
+    assert 1 not in hits  # punctuation-only doc shares NO real gram
+    assert hits.get(2, 0) >= 1  # genuine verbatim overlap still flagged
+
+
+def test_sliding_chunks_rejects_gapped_stride(spark):
+    import pytest
+
+    from overturemaps_duckdb_spark.operators.textprep import sliding_chunks
+
+    df = spark.createDataFrame([(1, "x" * 500)], "doc_id long, text string")
+    with pytest.raises(ValueError, match="coverage gaps"):
+        sliding_chunks(df, "doc_id", "text", chunk_chars=200, stride=300)
