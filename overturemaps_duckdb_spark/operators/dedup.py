@@ -6,8 +6,8 @@ column functions only (no Python in the hot path) so the whole pipeline
 stays in whole-stage codegen and scales to 100 TB corpora.
 
 Scale shapes:
-- exact:    hash the normalized text FIRST (64-bit portable hash), group on
-            the hash — the shuffle carries 8-byte keys, not documents.
+- exact:    hash the normalized text FIRST (128-bit two-seed key), group on
+            the key — the shuffle carries 16-byte keys, not documents.
 - MinHash:  signatures are computed per-row with array expressions (no
             explode), then only (band_hash → id) pairs shuffle; candidate
             verification joins tiny id-pair lists back to shingle sets.
@@ -44,22 +44,41 @@ from overturemaps_duckdb_spark.functions.text import (
 # ---------------------------------------------------------------------------
 
 
+def _content_key(text_col: str | Column) -> Column:
+    """128-bit internal content identity of the normalized text: two
+    independently-seeded xxhash64 halves over ONE bound normalization
+    (a struct groups/joins like any key).  64 bits is not enough where
+    these keys stand in for text equality at corpus scale — birthday
+    collisions (~n²/2⁶⁵) silently merge distinct documents; 128 bits
+    makes the chance negligible for any real corpus.  xxhash64 of a NULL
+    input is its seed constant on both halves, so NULL texts still
+    compare equal (the IS NOT DISTINCT FROM convention corpus_diff
+    documents)."""
+    n = normalize(text_col)
+    return F.struct(
+        F.xxhash64(n).alias("h1"), F.xxhash64(n, F.lit(1)).alias("h2")
+    )
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Keep the lowest-id representative per exact (normalized) text.
 
-    ONE shuffle, no sort: ``min_by(struct(row), id)`` per 60-bit content
-    hash.  Unlike the earlier window-rank form (which shuffles EVERY row to
+    ONE shuffle, no sort: ``min_by(struct(row), id)`` per 128-bit content
+    key.  Unlike the earlier window-rank form (which shuffles EVERY row to
     its hash partition and sorts there), min_by partially aggregates
     map-side — on a heavily-duplicated corpus the shuffle carries ~one row
     per (hash, input partition), not the corpus.  ``id`` is unique, so the
     winner is deterministic.
 
     The grouping hash is internal (never reaches the output — the oracle
-    groups by the normalized text itself), so it uses xxhash64 (64-bit,
-    one JVM pass) instead of the engine-portable 60-bit md5 prefix the
-    value-checked operators need."""
+    groups by the normalized text itself), so it uses xxhash64 instead of
+    the engine-portable 60-bit md5 prefix the value-checked operators
+    need — WIDENED to a 128-bit two-seed key (:func:`_content_key`): at
+    the stated corpus scale (billions of docs) 64-bit birthday collisions
+    are expected (~n²/2⁶⁵) and a collision here silently DROPS a
+    non-duplicate document; at 2⁻¹²⁸ the risk is gone for any corpus."""
     cols = df.columns
-    keyed = df.withColumn("_h", F.xxhash64(normalize(text_col)))
+    keyed = df.withColumn("_h", _content_key(text_col))
     agg = keyed.groupBy("_h").agg(
         F.min_by(F.struct(*cols), F.col(id_col)).alias("_r")
     )
@@ -75,14 +94,14 @@ def dup_rate_report(
     duplicate count/rate, and the largest duplicate group.
 
     Scale shape: two map-side-combinable shuffles on small keys — (stratum,
-    64-bit content hash) counts first (the shuffle carries ~one row per
+    128-bit content key) counts first (the shuffle carries ~one row per
     group per input partition, never documents), then one row per distinct
     text into the per-stratum rollup.  Like :func:`exact_dedup`, the
     grouping hash is internal (xxhash64 over the normalized text; the
     oracle groups by the normalized text itself)."""
     g = df.groupBy(
         F.col(stratum_col),
-        F.xxhash64(normalize(text_col)).alias("_h"),
+        _content_key(text_col).alias("_h"),
     ).agg(F.count("*").alias("_n"))
     n_docs = F.sum("_n")
     n_distinct = F.count("*")
@@ -105,8 +124,8 @@ def corpus_diff(
     are added / removed / changed / unchanged, so downstream stages touch
     only the delta instead of reprocessing the corpus).
 
-    Shape: each side reduces to (id, 64-bit content hash) at scan — the
-    full-outer join shuffles 16 bytes per row, never text; the status is a
+    Shape: each side reduces to (id, 128-bit content key) at scan — the
+    full-outer join shuffles 24 bytes per row, never text; the status is a
     null-pattern/compare CASE.  Returns (id, status) with status in
     {'added', 'removed', 'changed', 'unchanged'}.  Content identity is the
     normalized text (same convention as :func:`exact_dedup`; whitespace/
@@ -114,10 +133,10 @@ def corpus_diff(
     a NULL text on both sides compares 'unchanged' — the null-safe
     equality an oracle states as IS NOT DISTINCT FROM)."""
     o = old.select(
-        F.col(id_col).alias("id"), F.xxhash64(normalize(text_col)).alias("_ho")
+        F.col(id_col).alias("id"), _content_key(text_col).alias("_ho")
     )
     n = new.select(
-        F.col(id_col).alias("id"), F.xxhash64(normalize(text_col)).alias("_hn")
+        F.col(id_col).alias("id"), _content_key(text_col).alias("_hn")
     )
     joined = o.join(n, "id", "full_outer")
     status = (
@@ -378,6 +397,15 @@ def band_keys(
     banded row (n_hashes longs — ~128 B at the default 16) so downstream
     bucket grouping can run the signature-agreement pre-verify gate inline,
     without joining back to the index."""
+    if n_hashes % bands:
+        # a non-dividing band count silently ignored the signature tail
+        # (16 hashes / 3 bands banded positions 1..15 and dropped #16) —
+        # candidate recall quietly differed from the documented
+        # r = n_hashes/bands banding, and the DuckDB oracle's seed//rows
+        # grouping would form a DIFFERENT partial band
+        raise ValueError(
+            f"bands ({bands}) must divide n_hashes ({n_hashes})"
+        )
     rows = n_hashes // bands
     sig = index.select(
         "id", F.array(*[F.col(f"_m{i}") for i in range(n_hashes)]).alias("sig")
@@ -652,16 +680,25 @@ def minhash_lsh_pairs(
         cross = _fanout_members(
             rep_pairs, groups, groups, ["jaccard"], normalize_order=True
         )
+        if bucket_cap is not None:
+            minhash_lsh_pairs.last_cap_observation = (
+                _self_pairs_from_index.last_cap_observation
+            )
         return intra.unionByName(cross)
     index = minhash_index(
         df, id_col, text_col,
         n_hashes=n_hashes, shingle_k=shingle_k, stop_df_cap=stop_df_cap,
     )
-    return _self_pairs_from_index(
+    out = _self_pairs_from_index(
         index, n_hashes=n_hashes, bands=bands,
         jaccard_threshold=jaccard_threshold, bucket_cap=bucket_cap,
         sig_gate_margin=sig_gate_margin,
     )
+    if bucket_cap is not None:
+        minhash_lsh_pairs.last_cap_observation = (
+            _self_pairs_from_index.last_cap_observation
+        )
+    return out
 
 
 def _self_pairs_from_index(
@@ -714,7 +751,11 @@ def _self_pairs_from_index(
                 F.sum((F.size("ids") > bucket_cap).cast("long")), F.lit(0)
             ).alias("capped_buckets"),
         ).withColumn("ids", F.slice("ids", 1, bucket_cap))
-        minhash_lsh_pairs.last_cap_observation = obs
+        # recorded on this helper's OWN attribute: callers copy it onto
+        # their documented telemetry names — writing minhash_lsh_pairs'
+        # attribute from here cross-wired incremental_minhash_pairs'
+        # new-vs-new drops onto the wrong function (r8 review fix)
+        _self_pairs_from_index.last_cap_observation = obs
     # Pair expansion streams through the two-stage posexplode + tail-slice
     # shape (_explode_ordered_pairs): the old form materialized the whole
     # C(n,2) pair array inside one array value per bucket — ~500k structs
@@ -750,9 +791,19 @@ def _self_pairs_from_index(
 
 
 def _verify_jaccard(cand: DataFrame, sig: DataFrame, threshold: float) -> DataFrame:
-    sh = sig.select("id", "shingles")
-    a = sh.select(F.col("id").alias("a_id"), F.col("shingles").alias("a_sh"))
-    b = sh.select(F.col("id").alias("b_id"), F.col("shingles").alias("b_sh"))
+    return _verify_jaccard_two(cand, sig, sig, threshold)
+
+
+def _verify_jaccard_two(
+    cand: DataFrame, sig_a: DataFrame, sig_b: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact shingle-Jaccard verification of (a_id, b_id) candidates, with
+    each side's shingle sets drawn from its OWN index — the single
+    implementation every LSH family member routes through (self pairs,
+    cross-corpus, incremental; r8 review fix: three inlined copies had to
+    be kept in lockstep by hand)."""
+    a = sig_a.select(F.col("id").alias("a_id"), F.col("shingles").alias("a_sh"))
+    b = sig_b.select(F.col("id").alias("b_id"), F.col("shingles").alias("b_sh"))
     joined = cand.join(a, "a_id").join(b, "b_id")
     inter = F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
     union = F.size(F.array_union("a_sh", "b_sh")).cast("double")
@@ -847,17 +898,7 @@ def cross_corpus_minhash_pairs(
     if keep:
         cand = cand.where(_sig_matches(F.col("a_sig"), F.col("b_sig")) >= gate_k)
     cand = cand.select("a_id", "b_id").distinct()
-    a = idx_a.select(F.col("id").alias("a_id"), F.col("shingles").alias("a_sh"))
-    b = idx_b.select(F.col("id").alias("b_id"), F.col("shingles").alias("b_sh"))
-    joined = cand.join(a, "a_id").join(b, "b_id")
-    inter = F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
-    union = F.size(F.array_union("a_sh", "b_sh")).cast("double")
-    jac = F.round(inter / union, 6)
-    rep_pairs = (
-        joined.withColumn("jaccard", jac)
-        .where(F.col("jaccard") >= jaccard_threshold)
-        .select("a_id", "b_id", "jaccard")
-    )
+    rep_pairs = _verify_jaccard_two(cand, idx_a, idx_b, jaccard_threshold)
     if groups_a is None:
         return rep_pairs
     # fan (rep_a, rep_b) back out to member pairs — sides stay namespaced
@@ -939,8 +980,6 @@ def incremental_minhash_pairs(
     Returns (a_id, b_id, jaccard); with ``update_index=False`` the store is
     left untouched (dry-run / what-if mode).
     """
-    import os
-
     gate_k = _sig_gate_k(jaccard_threshold, sig_gate_margin, n_hashes, bands)
     keep = gate_k is not None
     new_idx = minhash_index(
@@ -951,7 +990,22 @@ def incremental_minhash_pairs(
         jaccard_threshold=jaccard_threshold, bucket_cap=bucket_cap,
         sig_gate_margin=sig_gate_margin,
     )
-    store_exists = os.path.exists(index_path)
+    # telemetry starts FRESH each call (stale handles from a previous call
+    # leaked through the store-missing path) and includes the new-vs-new
+    # side's observation, as the docstring promises
+    incremental_minhash_pairs.last_cap_observations = (
+        [_self_pairs_from_index.last_cap_observation]
+        if bucket_cap is not None
+        else []
+    )
+    # Hadoop FS check, not os.path.exists: the persisted index is the
+    # operator's 100 TB form and lives on whatever filesystem the session
+    # uses — a local-only check treated an existing hdfs://... or s3a://...
+    # store as ABSENT, silently skipping every new-vs-corpus pair and (with
+    # update_index=True) OVERWRITING the whole index with this one batch.
+    _jpath = spark._jvm.org.apache.hadoop.fs.Path(index_path)
+    _jfs = _jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    store_exists = _jfs.exists(_jpath)
     if store_exists:
         old_idx = spark.read.parquet(index_path)
         bo = band_keys(old_idx, n_hashes=n_hashes, bands=bands, keep_sig=keep).select(
@@ -992,26 +1046,19 @@ def incremental_minhash_pairs(
                 obs_pairs.append(obs)
                 capped.append(frame)
             bo, bn = capped
-            incremental_minhash_pairs.last_cap_observations = obs_pairs
+            incremental_minhash_pairs.last_cap_observations.extend(obs_pairs)
         cand = bo.join(bn, "bkey")
         if keep:
             cand = cand.where(
                 _sig_matches(F.col("a_sig"), F.col("b_sig")) >= gate_k
             )
         cand = cand.select("a_id", "b_id").distinct()
-        a = old_idx.select(F.col("id").alias("a_id"), F.col("shingles").alias("a_sh"))
-        b = new_idx.select(F.col("id").alias("b_id"), F.col("shingles").alias("b_sh"))
-        joined = cand.join(a, "a_id").join(b, "b_id")
-        inter = F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
-        union = F.size(F.array_union("a_sh", "b_sh")).cast("double")
-        cross = (
-            joined.withColumn("jaccard", F.round(inter / union, 6))
-            .where(F.col("jaccard") >= jaccard_threshold)
-            .select(
-                F.least("a_id", "b_id").alias("a_id"),
-                F.greatest("a_id", "b_id").alias("b_id"),
-                "jaccard",
-            )
+        cross = _verify_jaccard_two(
+            cand, old_idx, new_idx, jaccard_threshold
+        ).select(
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
+            "jaccard",
         )
         pairs = new_new.unionByName(cross)
     else:
@@ -1322,11 +1369,17 @@ def dedup_clusters(
     acol, bcol = pairs.columns[0], pairs.columns[1]
     fwd = pairs.select(F.col(acol).alias("u"), F.col(bcol).alias("v"))
     edges = fwd.unionAll(fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
+    # ids keep their OWN type (r8 review fix): the old cast('long') turned
+    # string/UUID doc ids into NULLs, the neighbor join never matched, and
+    # the sum(comp)-based convergence probe compared None == None — one
+    # round, then all-(NULL, NULL) assignments with no error.  min-label
+    # propagation only needs an ORDERABLE id; convergence is now an exact
+    # changed-row count, type-agnostic.
     labels = df.select(
-        F.col(id_col).cast("long").alias("id"), F.col(id_col).cast("long").alias("comp")
+        F.col(id_col).alias("id"), F.col(id_col).alias("comp")
     )
     labels = _materialize(labels, eager=True)
-    prev = None
+    converged = False
     for _ in range(max_iter):
         nbr = (
             edges.join(labels.select(F.col("id").alias("_vid"), "comp"),
@@ -1334,20 +1387,32 @@ def dedup_clusters(
             .groupBy("u")
             .agg(F.min("comp").alias("_nc"))
         )
+        new_comp = F.least(
+            labels["comp"], F.coalesce(F.col("_nc"), labels["comp"])
+        )
         nxt = (
             labels.join(nbr, labels["id"] == nbr["u"], "left")
             .select(
                 labels["id"],
-                F.least(labels["comp"], F.coalesce(F.col("_nc"), labels["comp"])).alias("comp"),
+                new_comp.alias("comp"),
+                (new_comp != labels["comp"]).cast("long").alias("_chg"),
             )
         )
         nxt = _materialize(nxt, eager=True)
-        cur = nxt.agg(F.sum("comp")).collect()[0][0]
-        labels = nxt
-        if cur == prev:
+        changed = nxt.agg(F.sum("_chg")).collect()[0][0] or 0
+        labels = nxt.drop("_chg")
+        if changed == 0:
+            converged = True
             break
-        prev = cur
     edges.unpersist()
+    if not converged:
+        # silent non-convergence hands the caller WRONG clusters (one true
+        # cluster split across labels) — a chain longer than max_iter must
+        # fail loudly, not quietly keep duplicate "representatives"
+        raise RuntimeError(
+            f"dedup_clusters did not converge in max_iter={max_iter} "
+            "rounds (pair-graph diameter exceeds it); raise max_iter"
+        )
     return labels.select(F.col("id"), F.col("comp").alias("cluster_id"))
 
 
@@ -1372,8 +1437,10 @@ def canonical_per_cluster(
     DISTINCT, src/lib/analysisQueries.js:50-52) to the selection step."""
     from pyspark.sql import Window
 
+    # id keeps its own type (see dedup_clusters): cast('long') NULLed
+    # string/UUID ids and the quality join dropped every row
     q = df.select(
-        F.col(id_col).cast("long").alias("_qid"), F.col(quality_col).alias("_q")
+        F.col(id_col).alias("_qid"), F.col(quality_col).alias("_q")
     )
     joined = clusters.join(q, clusters["id"] == q["_qid"]).select(
         "cluster_id", "id", "_q"

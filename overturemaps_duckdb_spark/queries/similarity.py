@@ -92,8 +92,12 @@ def n2_lsh_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: 8-hyperplane LSH bucket equi-join + exact verify at
     cosine ≥ 0.35 — candidate generation shuffles on an int key instead of
     the O(N²) cross product.  (0.35 chosen so the certification is
-    non-vacuous on the synthetic near-orthogonal corpus: 13 pairs at
-    sf0.01, 235 at sf0.1 — a 0.5 threshold matches on 0 rows at sf0.01.)"""
+    non-vacuous on the synthetic near-orthogonal corpus: 2 pairs at
+    sf0.01, 99 at sf0.1 with the r8 non-degenerate planes — the r4-era
+    13/235 counts came from the 7-periodic plane family whose correlated
+    buckets inflated collisions ~3×; single-bucket recall at θ≈69° is
+    honestly ~p⁸≈2%, which is why production near-dup work runs the
+    banded d5 form, not n2's single bucket.)"""
     e = t(spark, sf_dir, "embeddings")
     return lsh_bucket_neighbors(
         e, id_col="vec_id", vec_col="embedding", n_planes=8, dim=64, min_cosine=0.35

@@ -200,3 +200,57 @@ def test_streamed_pair_explode_matches_reference_construction(spark):
 
     expected = sum(math.comb(len(r[1]), 2) for r in rows)
     assert streamed.count() == expected
+
+
+def test_dedup_clusters_string_ids(spark):
+    """r8 review fix: cluster ids were cast('long'), so string/UUID doc
+    ids NULLed out, the neighbor join never matched, and the sum-based
+    convergence probe compared None == None — all-(NULL, NULL)
+    assignments with no error.  Ids now keep their own (orderable)
+    type."""
+    from overturemaps_duckdb_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [("doc-a",), ("doc-b",), ("doc-c",), ("doc-z",)], "doc_id string"
+    )
+    pairs = spark.createDataFrame(
+        [("doc-a", "doc-b"), ("doc-b", "doc-c")], "a_id string, b_id string"
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in dedup_clusters(docs, "doc_id", pairs).collect()
+    }
+    assert got == {
+        "doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a", "doc-z": "doc-z"
+    }
+
+
+def test_dedup_clusters_nonconvergence_raises(spark):
+    """r8 review fix: hitting max_iter without a fixpoint used to return
+    silently-wrong split clusters; it must fail loudly."""
+    import pytest
+
+    from overturemaps_duckdb_spark.operators.dedup import dedup_clusters
+
+    n = 10  # chain diameter 9 > max_iter=3
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a_id long, b_id long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(docs, "doc_id", pairs, max_iter=3)
+    # and a sufficient max_iter still converges to one cluster
+    got = dedup_clusters(docs, "doc_id", pairs, max_iter=15)
+    assert {r["cluster_id"] for r in got.collect()} == {0}
+
+
+def test_band_keys_rejects_non_dividing_bands(spark):
+    """r8 review fix: 16 hashes / 3 bands silently banded positions 1..15
+    and dropped #16 from every band."""
+    import pytest
+
+    from overturemaps_duckdb_spark.operators.dedup import minhash_lsh_pairs
+
+    d = spark.createDataFrame([(1, "some text")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="must divide"):
+        minhash_lsh_pairs(d, "doc_id", "text", n_hashes=16, bands=3)

@@ -500,3 +500,30 @@ def test_probe_cache_scope_nesting_pops_by_identity():
         assert inner == []  # nothing leaked into the exited inner bucket
     assert f.unpersisted
     assert S._PROBE_CACHE_SCOPES == []
+
+
+def test_probe_guard_rejects_null_elements_and_short_vectors(spark):
+    """r8 review fix: a correct-length query with one NULL element passed
+    the in-plan guard (every distance folded NULL → probed lists 0..n-1,
+    NULL-cosine top-k); the ≤1024-row driver path numpy-broadcast a
+    length-1 vector instead of raising.  Both paths now reject both."""
+    import pytest
+
+    from overturemaps_duckdb_spark.operators.similarity import (
+        _ivf_probes,
+        _probe_assign,
+    )
+
+    centroids = [[1.0, 0.0], [0.0, 1.0]]
+    bad_elem = spark.createDataFrame(
+        [(1, [0.5, None])], "query_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="_probe_assign"):
+        _probe_assign(centroids, bad_elem, "query_id", "embedding", 1).collect()
+
+    short = spark.createDataFrame(
+        [(2, [0.5])], "query_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="_ivf_probes"):
+        _ivf_probes(spark, __import__("numpy").asarray(centroids), short,
+                    "query_id", "embedding", 1)
