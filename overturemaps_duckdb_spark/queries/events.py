@@ -25,20 +25,22 @@ WINDOW_US = 300_000_000
 SESSION_GAP_US = 1_800_000_000
 
 
-def cents(col) -> F.Column:
-    c = F.col(col) if isinstance(col, str) else col
-    return F.round(c * 100).cast("bigint")
+# one cents() definition repo-wide (r8 review fix: a duplicate here could
+# silently fork the exact-cents contract between the relational and
+# events/streaming families if the rounding convention ever changed)
+from overturemaps_duckdb_spark.queries.relational import cents  # noqa: E402,F401
 
 
 @query(
     "e1_tumbling_window",
     oracle=f"""
-    SELECT (epoch_us(ts) // {WINDOW_US}) * {WINDOW_US} AS window_start_us,
+    SELECT epoch_us(ts) - ((epoch_us(ts) % {WINDOW_US} + {WINDOW_US}) % {WINDOW_US})
+               AS window_start_us,
            event_type,
            CAST(count(*) AS BIGINT) AS n,
            CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
     FROM events
-    GROUP BY (epoch_us(ts) // {WINDOW_US}) * {WINDOW_US}, event_type
+    GROUP BY 1, event_type
     """,
 )
 def e1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -48,7 +50,12 @@ def e1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-cardinality shuffle key at scale."""
     ev = t(spark, sf_dir, "events")
     ev = ev.withColumn("us", us_col(ev))
-    window_start = F.expr(f"us DIV {WINDOW_US} * {WINDOW_US}")
+    # FLOOR-aligned window start (us - pmod), not truncating DIV: the
+    # streaming twin's F.window() floor-aligns, so a pre-1970 event would
+    # bucket differently here than in i1 — all three forms (e1, i1's
+    # F.window, the shared oracle) now state floor alignment; identical
+    # for every non-negative timestamp (r8 review fix)
+    window_start = F.expr(f"us - pmod(us, {WINDOW_US})")
     return (
         ev.groupBy(window_start.alias("window_start_us"), "event_type")
         .agg(
@@ -112,12 +119,13 @@ def e2_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "i1_stream_tumbling_window",
     oracle=f"""
-    SELECT (epoch_us(ts) // {WINDOW_US}) * {WINDOW_US} AS window_start_us,
+    SELECT epoch_us(ts) - ((epoch_us(ts) % {WINDOW_US} + {WINDOW_US}) % {WINDOW_US})
+               AS window_start_us,
            event_type,
            CAST(count(*) AS BIGINT) AS n,
            CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
     FROM events
-    GROUP BY (epoch_us(ts) // {WINDOW_US}) * {WINDOW_US}, event_type
+    GROUP BY 1, event_type
     """,
 )
 def i1_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -305,6 +313,8 @@ def i6_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals the single-copy batch table — without the dedup every count
     would be doubled.  The training-data twin is ingest dedup at the door:
     a redelivering upstream must not double-weight documents."""
+    import os
+    import shutil
     import tempfile
 
     from overturemaps_duckdb_spark.streaming.windows import (
@@ -312,7 +322,16 @@ def i6_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_to_batch,
     )
 
-    root = tempfile.mkdtemp(prefix="omds_i6_")
+    # deterministic per-(app, fixture) root, like i5/ex1 — the per-call
+    # mkdtemp accumulated 2 full event-table copies per invocation
+    # (replay needs real copies: distinct mtimes drive the batch order,
+    # and a symlink's utime follows to the target)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"omds_i6_{spark.sparkContext.applicationId}_"
+        f"{os.path.basename(os.path.realpath(sf_dir))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
     deduped = replayed_dedup_stream(spark, sf_dir, root=root, n_copies=2)
     out = run_to_batch(deduped, "i6_dedup", output_mode="append")
     return out.groupBy("event_type").agg(
@@ -356,16 +375,33 @@ def i5_stream_foreachbatch_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
     reassembled sink must equal the batch table exactly — proven by the
     per-type count/cents aggregate against the plain-SQL oracle; the log is
     asserted to carry one row per micro-batch with matching row counts."""
+    import os
+    import shutil
     import tempfile
 
     from overturemaps_duckdb_spark.streaming.windows import foreach_batch_ingest
 
-    root = tempfile.mkdtemp(prefix="omds_i5_")
+    # deterministic per-(app, fixture) root, overwritten on reuse — the
+    # ex1 precedent (r8 review fix: a fresh mkdtemp per invocation
+    # accumulated full event-table copies in /tmp across cert/bench
+    # sweeps until the disk filled)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"omds_i5_{spark.sparkContext.applicationId}_"
+        f"{os.path.basename(os.path.realpath(sf_dir))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
     sink, log_root = foreach_batch_ingest(spark, sf_dir, root=root, n_splits=3)
     log = spark.read.parquet(f"{log_root}/_load_history")
     total = t(spark, sf_dir, "events").count()
-    assert log.count() == 3  # one telemetry row per micro-batch
-    assert log.agg(F.sum("row_count")).collect()[0][0] == total
+    # explicit raises, not asserts: the telemetry contract must hold under
+    # python -O too (r8 review fix)
+    n_log = log.count()
+    if n_log != 3:
+        raise RuntimeError(f"i5: expected 3 telemetry rows, got {n_log}")
+    logged = log.agg(F.sum("row_count")).collect()[0][0]
+    if logged != total:
+        raise RuntimeError(f"i5: telemetry rows {logged} != ingested {total}")
     sunk = spark.read.parquet(sink)
     return sunk.groupBy("event_type").agg(
         F.count("*").alias("n"),

@@ -32,7 +32,12 @@ _INDEX_CACHE: dict[tuple[str, str, str], FtsIndex] = {}
 def fts_index_for(
     spark: SparkSession, sf_dir: str, table: str, id_col: str, text_col: str
 ) -> FtsIndex:
-    key = (spark.sparkContext.applicationId, sf_dir, table)
+    import os
+
+    # realpath key (like the e4 sizing memo): the same fixture addressed
+    # via './sf0.01' vs its absolute path vs a symlink used to build and
+    # persist a SECOND full inverted index in executor storage
+    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir), table)
     idx = _INDEX_CACHE.get(key)
     if idx is None:
         idx = build_fts_index(t(spark, sf_dir, table), id_col, text_col).persist()

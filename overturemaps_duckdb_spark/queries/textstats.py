@@ -475,14 +475,17 @@ def x13_intra_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = t(spark, sf_dir, "documents")
+    # F.concat (NULL-propagating, matching the oracle's '||'): concat_ws
+    # SKIPS nulls, so a NULL-text doc produced a staged header/footer row
+    # in Spark while the oracle dropped it — a latent row-set divergence
+    # (r8 review fix; today's fixture has no NULL text)
     staged = d.select(
         "doc_id",
-        F.concat_ws(
-            "\n",
-            F.concat(F.lit("src: "), F.col("source")),
-            F.col("text"),
-            F.concat(F.lit("src: "), F.col("source")),
-            F.col("text"),
+        F.concat(
+            F.lit("src: "), F.col("source"), F.lit("\n"),
+            F.col("text"), F.lit("\n"),
+            F.lit("src: "), F.col("source"), F.lit("\n"),
+            F.col("text"), F.lit("\n"),
             F.lit("footer: snapshot"),
         ).alias("text"),
     )

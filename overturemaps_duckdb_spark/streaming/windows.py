@@ -17,9 +17,9 @@ Scale notes:
   tests and the oracle harness to prove stream/batch equivalence (the twins
   must agree row-for-row).
 - Event time adapts to the fixture's physical `ts` type (probe-then-adapt,
-  like queries.us_col): epoch-nano LONG → `timestamp_micros(ts DIV 1000)`,
-  TIMESTAMP/TIMESTAMP_NTZ → a UTC-pinned cast — identical to the
-  batch/oracle convention either way.
+  like queries.us_col) and is TZ-INDEPENDENT: epoch-nano LONG →
+  `timestamp_micros(ts DIV 1000)`, NTZ → pure timestamp arithmetic, LTZ →
+  `unix_micros` — no session conf is read or mutated.
 
 Boundary semantics: `session_window` starts a NEW session when the gap is
 ``>= gap`` (window end is exclusive); the lag-based batch formulation must
@@ -45,9 +45,15 @@ def events_stream(
     *,
     max_files_per_trigger: int | None = DEFAULT_FILES_PER_TRIGGER,
 ) -> DataFrame:
-    """Streaming view of the events table (file source, schema-pinned)."""
+    """Streaming view of the events table (file source, schema-pinned).
+
+    nanosAsLong is schema-affecting and must be live for the probe read
+    AND the lazy stream, so it stays session-scoped (it only changes how
+    TIMESTAMP(NANOS) parquet is typed — harmless to everything else).
+    The session TZ is deliberately NOT touched (r8 review fix: the old
+    UTC pin leaked to the caller's session forever): with_event_time is
+    TZ-independent now, same as queries.us_col since r4."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file source wants a directory; glob-filter down to the events file
     reader = (
@@ -60,14 +66,23 @@ def events_stream(
 
 def with_event_time(stream: DataFrame) -> DataFrame:
     """TIMESTAMP event-time column from whatever physical `ts` the source
-    carries (epoch-nano LONG / TIMESTAMP / TIMESTAMP_NTZ); the NTZ cast is
-    exact because the loaders pin the session TZ to UTC."""
+    carries (epoch-nano LONG / TIMESTAMP / TIMESTAMP_NTZ) — TZ-INDEPENDENT
+    like queries.us_col (r8 review fix: the NTZ branch used a bare
+    ``cast('timestamp')``, which reads the SESSION time zone at execution,
+    and the loaders compensated by pinning the session TZ to UTC — a
+    setting that leaked to the caller forever).  The NTZ wall time is
+    anchored via pure timestamp arithmetic instead, so no session conf is
+    touched and a hostile session TZ cannot shift event times."""
     dt = stream.schema["ts"].dataType
     if isinstance(dt, T.LongType):
-        ev = F.timestamp_micros(F.expr("ts DIV 1000").cast("bigint"))
-    else:
-        ev = F.col("ts").cast("timestamp")
-    return stream.withColumn("event_time", ev)
+        us = F.expr("ts DIV 1000").cast("bigint")
+    elif isinstance(dt, T.TimestampNTZType):
+        us = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+    else:  # TIMESTAMP (LTZ) — already an absolute instant
+        us = F.unix_micros(F.col("ts"))
+    return stream.withColumn("event_time", F.timestamp_micros(us))
 
 
 def tumbling_counts(
@@ -108,7 +123,7 @@ def session_counts(stream: DataFrame, *, gap: str = "30 minutes") -> DataFrame:
 
 
 def session_counts_to_batch(
-    spark: SparkSession, sf_dir: str, *, gap: str = "30 minutes", gap_us: int = 1_800_000_000
+    spark: SparkSession, sf_dir: str, *, gap: str = "30 minutes"
 ) -> DataFrame:
     """Run the session_window aggregation to completion in APPEND mode.
 
@@ -125,7 +140,9 @@ def session_counts_to_batch(
     import tempfile
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # no session-TZ pin (r8 review fix — it leaked to the caller forever):
+    # with_event_time is TZ-independent, and the sentinel's collect→lit
+    # roundtrip uses one consistent session TZ whatever it is
     src = f"{sf_dir}/events.parquet"
     batch = spark.read.parquet(src)
     max_ts = batch.agg(F.max("ts")).collect()[0][0]
@@ -196,7 +213,6 @@ def followup_events_join(
     sf_dir: str,
     *,
     within: str = "5 minutes",
-    within_us: int = 300_000_000,
 ) -> DataFrame:
     """Stream-stream time-interval self-join: for every event, the same
     user's follow-up events within `within`.
@@ -393,7 +409,6 @@ def replayed_dedup_within_watermark(
     import shutil
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     src = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(src).schema
     stage = os.path.join(root, "stage")

@@ -109,3 +109,34 @@ def test_session_window_flush_type_invariant(spark, drift_dirs):
     assert len(base) > 0
     for name, rows in results.items():
         assert rows == base, f"session flush drifted on {name}"
+
+
+def test_streaming_event_time_tz_independent_and_no_leak(spark):
+    """r8 review fix: events_stream pinned spark.sql.session.timeZone=UTC
+    on the caller's session FOREVER (with_event_time's NTZ branch needed
+    it).  Event time is now pure timestamp arithmetic — a hostile session
+    TZ neither shifts i1's windows nor gets silently overwritten."""
+    import pyspark.sql.functions as F
+
+    from overturemaps_duckdb_spark import queries as _q
+    from tests.conftest import SF_SMOKE
+
+    _q.load_all()
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")
+        out = {
+            tuple(r)
+            for r in _q.QUERIES["i1_stream_tumbling_window"](
+                spark, SF_SMOKE
+            ).collect()
+        }
+        # the streaming helpers must not have clobbered the session TZ
+        assert spark.conf.get("spark.sql.session.timeZone") == "Pacific/Kiritimati"
+        ref = {
+            tuple(r)
+            for r in _q.QUERIES["e1_tumbling_window"](spark, SF_SMOKE).collect()
+        }
+        assert out == ref  # stream/batch equivalence under the hostile TZ
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
