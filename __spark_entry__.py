@@ -31,74 +31,75 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q.QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-#: Certification rotation, round 8 (VERDICT r07 finding #1 — the r7
-#: rotation was skipped, so this one clears EVERY stale row at once):
-#: n3 first (its bounded-recall oracle landed r7 and has never produced
-#: a driver CORRECTNESS row), then the 3 r1 rows, the 4 r2 rows, the 22
-#: r3 rows, and 20 of the 25 r4 rows to pad to exactly 50.  The 5 r4
-#: rows left for r9 are d2/t2/pl6 (headline-bench-exercised and
-#: plan-asserted every round) and t5/ep3-ctas (operator paths shared
-#: with the included t2-family/ep3_sql_console).  A green round 8 leaves
-#: no driver row older than r4 and n3 at 154/154 driver-oracled.
+#: Certification rotation, round 9 (VERDICT r08 next-round #1): the 5 r4
+#: rows held back last round lead (d2/t2/pl6 headline-bench-exercised,
+#: t5/ep3-ctas path-sharing with certified siblings), then the two r7
+#: rows whose BEHAVIOR changed in r8 (p3 try_element_at ANSI parity, i5
+#: deterministic staging roots — their r7 driver rows predate the fix),
+#: then 43 of the 49 r5 rows.  Held back for r10: m1/m6 (unchanged,
+#: dropped to keep exactly 50 per the verdict) and the 4 bench-headline
+#: r5 rows from the NOTES draft (j1_spatial_intersect_join,
+#: g1_g2_polygon_type_centroid_area, e1_tumbling_window,
+#: i1_stream_tumbling_window — e1/i1's r8 floor-alignment change was
+#: driver_sim-MATCHed by the judge directly).  After a green r9 those 6
+#: r5 rows + the 48 remaining r7 rows are the oldest cohorts.
 #: Regression cover for everything behind the prefix:
 #: tests/test_oracle_parity.py re-verifies all 154 against DuckDB
 #: locally every round.
 _CERT_PRIORITY = [
-    # never driver-oracled: the r7 bounded-recall certification report
-    "n3_ivf_ann_topk",
-    # r1-certified rows
-    "pl3_bbox_filter",
-    "pl4_within_filter",
-    "pl5_exclude_filter",
-    # r2-certified rows
-    "dc1_decontaminate",
-    "i6_stream_dedup_replay",
-    "s14_bucketed_join",
-    "s15_table_profile",
-    # r3-certified rows
-    "aj1_asof_join",
-    "j1_inner_band_theta_join",
-    "j2_semi_join_within",
-    "j3_anti_join_exclude",
-    "j4_bidirectional_match",
-    "j5_join_distinct_matched_b",
-    "j6_pip_fold_collect",
-    "mx1_token_budget_mix",
-    "n1_cosine_topk",
-    "o5_balanced_union_limit",
-    "o6_nulls_last_sort",
-    "q1_pricing_summary",
-    "s1_scan_filter_project",
-    "s5_ctas_ingest_budget",
-    "s6_incremental_append",
-    "s11_count_probe",
-    "u1_union_all_aligned",
-    "u2_union_distinct",
-    "u3_intersect_except",
-    "w1_topk_per_group",
-    "w2_running_sum",
-    "w3_rank_dense_rank",
-    # r4-certified rows (oldest remaining cohort, 20 of 25)
-    "d5_embedding_neardup",
-    "n2_lsh_ann_pairs",
-    "s4_discover_catalog",
-    "m5_ppm_resize",
-    "ep3_sql_console",
-    "ep4_sql_fts_console",
-    "x1_token_count",
-    "x2_quality_score",
-    "x5_redaction",
-    "x6_bpe_token_count",
-    "x7_repetition_signals",
-    "x8_sliding_chunks",
-    "x9_gopher_rules",
-    "x10_corpus_composition",
-    "x11_quality_percentile_filter",
-    "sa1_hash_sample",
-    "sa2_stratified_sample",
-    "pk1_sequence_packing",
-    "sh1_deterministic_shuffle",
-    "sk1_salted_agg",
+    # r4-certified rows (oldest cohort — the 5 held back from r8)
+    "d2_minhash_lsh_pairs",
+    "ep3_ctas_copy_roundtrip",
+    "pl6_search_fts",
+    "t2_bm25_topk",
+    "t5_search_fanout",
+    # r7 rows whose queries changed behavior in r8 (VERDICT r08 swap-in)
+    "p3_array_index_1based",
+    "i5_stream_foreachbatch_ingest",
+    # r5-certified rows (43 of 49)
+    "cd1_corpus_diff",
+    "d1_exact_dedup",
+    "d3_simhash_buckets",
+    "d4_ngram_jaccard_pairs",
+    "d9_dup_rate_report",
+    "e2_sessionize",
+    "e3_lag_delta",
+    "ep1_load_theme",
+    "ex1_training_shards",
+    "fz1_fuzzy_pairs",
+    "g1_g2_point_type_centroid",
+    "g3_asgeojson_point",
+    "g5_distance_pairs",
+    "g6_intersection_area",
+    "i2_stream_session_window",
+    "i3_stateful_running_totals",
+    "i4_stream_stream_join",
+    "j2_spatial_within",
+    "j3_spatial_exclude",
+    "j4_spatial_bidirectional",
+    "j8_grid_banded_join",
+    "ld1_line_dedup",
+    "m2_asset_decode",
+    "m3_asset_byte_features",
+    "m4_frame_sample",
+    "o7_zorder_by_area",
+    "pl1_union_balanced_limit",
+    "pl2_search_ilike",
+    "qz1_embedding_quantize",
+    "s13_grid_partitioned_scan",
+    "s2_schema_probe",
+    "s3_manifest_pruned_scan",
+    "s7_s8_snapview_roundtrip",
+    "s9_s10_table_lifecycle",
+    "sa3_source_cap",
+    "sk2_skew_report",
+    "t1_fts_index_build",
+    "t3_ilike_fallback",
+    "t4_search_name_composition",
+    "x12_vocab_topk",
+    "x13_intra_doc_dedup",
+    "y1_session_kv",
+    "y4_url_codec",
 ]
 
 

@@ -149,7 +149,23 @@ def _rewrite_subscripts(sql: str) -> str:
     def _sub(expr: str, idx: str) -> str:
         if idx == "0":
             return "NULL"
-        return f"try_element_at({expr}, {idx})"
+        if re.fullmatch(r"-?\d+", idx):
+            return f"try_element_at({expr}, {idx})"
+        # variable index: Spark's try_element_at still throws
+        # INVALID_INDEX_OF_ZERO when the index EVALUATES to 0 at runtime
+        # (the literal-'0' case above only covers compile-time zeros);
+        # DuckDB answers arr[0] with NULL.  nullif turns a runtime 0 into
+        # NULL, and try_element_at(arr, NULL) is NULL — DuckDB parity.
+        # The nullif guard must apply to ARRAYS ONLY: a map with integer
+        # key 0 is a legal lookup in both engines (no zero-index error),
+        # and nullif would silently NULL it.  typeof() keys the branch on
+        # the subscripted expression's actual type (one branch evaluates
+        # per row; when the input is foldable the CASE folds away).
+        return (
+            f"CASE WHEN typeof({expr}) LIKE 'array%' "
+            f"THEN try_element_at({expr}, nullif({idx}, 0)) "
+            f"ELSE try_element_at({expr}, {idx}) END"
+        )
 
     while True:
         m = re.search(r"\[\s*(-?\d+|[A-Za-z_][\w.]*)\s*\]", sql)

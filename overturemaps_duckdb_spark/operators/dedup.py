@@ -50,13 +50,22 @@ def _content_key(text_col: str | Column) -> Column:
     (a struct groups/joins like any key).  64 bits is not enough where
     these keys stand in for text equality at corpus scale — birthday
     collisions (~n²/2⁶⁵) silently merge distinct documents; 128 bits
-    makes the chance negligible for any real corpus.  xxhash64 of a NULL
-    input is its seed constant on both halves, so NULL texts still
-    compare equal (the IS NOT DISTINCT FROM convention corpus_diff
-    documents)."""
+    makes the chance negligible for any real corpus.
+
+    ARGUMENT ORDER IS LOAD-BEARING for independence.  Spark's multi-arg
+    xxhash64 chains left-to-right (``hash = h(child, prev_seed)``), so
+    ``xxhash64(n, lit(1))`` would be ``h(1, h1)`` — a pure function of
+    h1, meaning any h1 collision implies an h2 collision and the struct
+    has only 64 bits of collision resistance.  With the CONSTANT FIRST,
+    ``xxhash64(lit(1), n)`` = ``h(n, seed=h(1, 42))`` — the same text
+    hashed under a different effective seed, genuinely independent of
+    h1, giving the full ~2⁻¹²⁸ pairwise collision odds.  xxhash64 of a
+    NULL child passes the seed through unchanged, so NULL texts still
+    yield a constant (h1 = 42, h2 = h(1, 42)) on both halves and compare
+    equal (the IS NOT DISTINCT FROM convention corpus_diff documents)."""
     n = normalize(text_col)
     return F.struct(
-        F.xxhash64(n).alias("h1"), F.xxhash64(n, F.lit(1)).alias("h2")
+        F.xxhash64(n).alias("h1"), F.xxhash64(F.lit(1), n).alias("h2")
     )
 
 

@@ -16,19 +16,42 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 
-def salted(df: DataFrame, n_salts: int = 16, salt_col: str = "_salt") -> DataFrame:
-    """Per-row salt without RNG: xxhash64 over the row's hashable columns
-    plus the row's position id.
+def salted(
+    df: DataFrame,
+    n_salts: int = 16,
+    salt_col: str = "_salt",
+    *,
+    unique_col: str | None = None,
+) -> DataFrame:
+    """Per-row salt without RNG.
 
-    Two fixes over hashing every column alone: (1) xxhash64 rejects
-    MapType columns (common in Overture schemas — names/sources), which
-    made salted_agg error outright on such tables; (2) a hot key whose
-    rows are IDENTICAL across all columns — the exact heavy-state case
-    salting targets — hashed to ONE salt, funnelling the whole key into a
-    single stage-1 task anyway.  monotonically_increasing_id is position-
-    based, so identical rows spread across salts, and it is reproducible
-    for a deterministic input partitioning (retries replay the same
-    lineage); the aggregate result is salt-invariant regardless."""
+    Preferred form: pass ``unique_col`` (any column unique per row — a
+    primary key, event id, file+offset) and the salt is
+    ``pmod(xxhash64(unique_col), n_salts)`` — a pure function of row
+    CONTENT, so a retried/recomputed task reassigns every row the exact
+    same salt no matter how the scan or an upstream shuffle reorders its
+    partition, and identical-payload rows still spread (their ids differ).
+
+    Fallback (no ``unique_col``): xxhash64 over the row's hashable
+    columns plus ``monotonically_increasing_id()``.  Two properties over
+    hashing the columns alone: (1) xxhash64 rejects MapType columns
+    (common in Overture schemas — names/sources), so those are skipped
+    rather than erroring; (2) a hot key whose rows are IDENTICAL across
+    all columns — the exact heavy-state case salting targets — would
+    hash to ONE salt; the position id spreads them.  CAVEAT (the reason
+    ``unique_col`` exists): the position id is ORDER-based, so if the
+    input sits downstream of a shuffle whose intra-partition order is
+    not stable across recomputation, a retried stage-1 task can assign
+    rows different salts than the original attempt — the SPARK-23207
+    class of lost/duplicated partial rows.  The fallback is therefore
+    only safe on deterministic inputs (a direct file scan, or anything
+    whose lineage replays in identical order); when the input has been
+    shuffled, pass ``unique_col``."""
+    if unique_col is not None:
+        return df.withColumn(
+            salt_col,
+            F.pmod(F.xxhash64(F.col(unique_col)), F.lit(n_salts)).cast("int"),
+        )
     hashable = [
         f.name
         for f in df.schema.fields
@@ -49,6 +72,7 @@ def salted_agg(
     aggs: dict[str, tuple[Column, Column]],
     *,
     n_salts: int = 16,
+    unique_col: str | None = None,
 ) -> DataFrame:
     """Two-stage salted aggregation.
 
@@ -60,9 +84,12 @@ def salted_agg(
             "n":   (F.count("*"),      F.sum("n")),
             "mx":  (F.max("v"),        F.max("mx")),
         })
+
+    Pass ``unique_col`` whenever the input sits downstream of a shuffle —
+    see :func:`salted` for the retry-determinism caveat of the fallback.
     """
     stage1 = (
-        salted(df, n_salts)
+        salted(df, n_salts, unique_col=unique_col)
         .groupBy(*keys, "_salt")
         .agg(*[p.alias(name) for name, (p, _f) in aggs.items()])
     )
@@ -72,13 +99,24 @@ def salted_agg(
 
 
 def salted_distinct_count(
-    df: DataFrame, keys: list[str], value_col: str, *, n_salts: int = 16
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    *,
+    n_salts: int = 16,
+    unique_col: str | None = None,
 ) -> DataFrame:
     """Exact distinct-count per key without a single-task hot spot: per-salt
     distinct first (cuts duplicates early), then a plain distinct-count over
-    the pre-shrunk rows."""
+    the pre-shrunk rows.  This path tolerates retry-salt instability better
+    than salted_agg (dropDuplicates is idempotent under re-salting only if
+    duplicates land together, so the same :func:`salted` caveat applies —
+    pass ``unique_col`` for shuffled inputs)."""
+    cols = [*keys, value_col] + (
+        [unique_col] if unique_col and unique_col not in (*keys, value_col) else []
+    )
     pre = (
-        salted(df.select(*keys, value_col), n_salts)
+        salted(df.select(*cols), n_salts, unique_col=unique_col)
         .select(*keys, value_col, "_salt")
         .dropDuplicates([*keys, value_col, "_salt"])
     )

@@ -197,7 +197,7 @@ def sk1_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     those verify exactly against the plain-GROUP-BY oracle (lossless
     re-aggregation), which the oracle states."""
     ev = t(spark, sf_dir, "events").select(
-        "event_type", cents("value").alias("_cents")
+        "event_id", "event_type", cents("value").alias("_cents")
     )
     out = salted_agg(
         ev,
@@ -207,6 +207,9 @@ def sk1_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_cents": (F.sum("_cents"), F.sum("value_cents").cast("bigint")),
             "max_cents": (F.max("_cents"), F.max("max_cents").cast("bigint")),
         },
+        # content-derived salt: retry/recompute-stable even if this input
+        # ever moves downstream of a shuffle (operators/skew.salted caveat)
+        unique_col="event_id",
     )
     return out
 

@@ -152,8 +152,14 @@ class SessionState:
         pq.write_table(table, tmp)
         os.replace(tmp, final)
         for name in os.listdir(self.path):
-            # stale extra parts from older layouts (never the live file)
-            if name.endswith(".parquet") and name != "part-00000.parquet":
+            # stale extra parts from older layouts (never the live file),
+            # plus orphaned dot-prefixed temps from a crash between
+            # write_table and os.replace — hidden from readers, but they
+            # would otherwise accumulate forever (our own temp was just
+            # consumed by os.replace, so anything matching here is stale)
+            stale_part = name.endswith(".parquet") and name != "part-00000.parquet"
+            stale_tmp = name.startswith(".") and name.endswith(".tmp")
+            if stale_part or stale_tmp:
                 os.remove(os.path.join(self.path, name))
 
 

@@ -266,3 +266,40 @@ def test_nested_regexp_replace_g_flags(spark):
 
     t = translate("SELECT regexp_replace(s, 'a', 'g') FROM regex_t")
     assert "'g'" in t  # the replacement literal, not a stripped flag
+
+
+def test_runtime_zero_variable_subscript(spark):
+    """r9 ADVICE fix: the variable-index rewrite arr[i] →
+    try_element_at(arr, i) still threw INVALID_INDEX_OF_ZERO when i
+    EVALUATES to 0 at runtime (the literal-'0'→NULL special case only
+    covers compile-time zeros); DuckDB answers arr[0] with NULL.  The
+    nullif guard must hit ARRAYS ONLY — a map with integer key 0 is a
+    legal lookup in both engines, and nullif would silently NULL it."""
+    import duckdb
+
+    from overturemaps_duckdb_spark.compat import duck_sql
+
+    spark.createDataFrame(
+        [(["a", "b"], 0), (["a", "b"], 2)], "arr array<string>, n int"
+    ).createOrReplaceTempView("subs_z")
+    got = {
+        r["n"]: r["v"]
+        for r in duck_sql(spark, "SELECT n, arr[n] AS v FROM subs_z").collect()
+    }
+    want = {
+        n: v
+        for n, v in duckdb.sql(
+            "SELECT n, arr[n] FROM (SELECT ['a','b'] AS arr, UNNEST([0, 2]) AS n)"
+        ).fetchall()
+    }
+    assert got == want == {0: None, 2: "b"}
+
+    # map with integer key 0, looked up through a variable index: the
+    # typeof() branch keeps the plain try_element_at, so key 0 resolves
+    spark.createDataFrame([(0,)], "k int").createOrReplaceTempView("subs_m")
+    row = duck_sql(
+        spark,
+        "SELECT try_element_at(map(0, 'zero', 1, 'one'), k) AS direct, "
+        "map(0, 'zero', 1, 'one')[k] AS via_shim FROM subs_m",
+    ).collect()[0]
+    assert row["direct"] == row["via_shim"] == "zero"

@@ -160,3 +160,27 @@ def test_url_state_roundtrip():
     # tolerant decode (urlState.js:83-114)
     assert decode_url_state("!!!not-a-token!!!") is None
     assert decode_url_state("") is None
+
+
+def test_session_state_reclaims_orphaned_tmp(spark):
+    """r9 ADVICE fix: a crash between pq.write_table(tmp) and os.replace
+    left .part-00000.parquet.tmp behind forever — hidden from readers
+    (dot-prefixed), but the cleanup loop only removed '*.parquet' names,
+    so orphans accumulated across crashes.  Any stale dot-prefixed .tmp
+    is now reclaimed on the next successful flush."""
+    root = tempfile.mkdtemp(prefix="omds_state_")
+    s = SessionState(spark, root)
+    s.set("a", 1)
+    # simulate crashed flushes' leftovers: the live tmp name (consumed by
+    # the next flush's own write+replace) and a stale one from an older
+    # layout (only the cleanup loop can reclaim it)
+    for orphan in (".part-00000.parquet.tmp", ".part-00001.parquet.tmp"):
+        with open(os.path.join(s.path, orphan), "wb") as f:
+            f.write(b"torn write")
+    s.set("b", 2)  # next successful flush reclaims it
+    names = set(os.listdir(s.path))
+    assert "part-00000.parquet" in names
+    assert not any(n.startswith(".") and n.endswith(".tmp") for n in names), names
+    # store stayed intact through the cleanup
+    s2 = SessionState(spark, root)
+    assert s2.get("a") == 1 and s2.get("b") == 2

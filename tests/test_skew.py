@@ -146,3 +146,37 @@ def test_salted_handles_map_columns_and_identical_rows(spark):
         df, ["k"], {"n": (F.count("*"), F.sum("n")), "s": (F.sum("v"), F.sum("s"))}
     ).collect()
     assert len(out) == 1 and out[0]["n"] == 1000 and out[0]["s"] == 1000
+
+
+def test_salted_unique_col_is_content_derived(spark):
+    """r9 ADVICE fix: the position-based fallback salt can reassign salts
+    on task retry when the input's intra-partition order is unstable
+    (SPARK-23207 class).  With unique_col the salt is a pure function of
+    row CONTENT: recomputation under any reordering yields the same
+    per-row salt, and identical-payload rows still spread (ids differ)."""
+    import pyspark.sql.functions as F
+
+    from overturemaps_duckdb_spark.operators.skew import salted, salted_agg
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("uid"),
+        F.lit("hot").alias("k"),
+        F.lit(1).alias("v"),
+    )
+    a = {r["uid"]: r["_salt"] for r in salted(df, 8, unique_col="uid").collect()}
+    # same rows, deliberately re-ordered and re-partitioned: salts identical
+    shuffled = df.repartition(13, "v").sortWithinPartitions(F.desc("uid"))
+    b = {
+        r["uid"]: r["_salt"]
+        for r in salted(shuffled, 8, unique_col="uid").collect()
+    }
+    assert a == b
+    assert len(set(a.values())) > 1  # identical-payload rows still spread
+
+    out = salted_agg(
+        df,
+        ["k"],
+        {"n": (F.count("*"), F.sum("n")), "s": (F.sum("v"), F.sum("s"))},
+        unique_col="uid",
+    ).collect()
+    assert len(out) == 1 and out[0]["n"] == 1000 and out[0]["s"] == 1000

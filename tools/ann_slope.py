@@ -16,8 +16,11 @@ into the next decade's numbers; a driver loop is a shell one-liner:
 
 Each invocation prints ONE JSON line:
     {"dir": ..., "rows": N, "queries": {name: sec, ...}}
-Timings are min-of-2 after a sf0.001 warmup pass (bench.py methodology;
-the host is noisy in bursts — see .claude/skills/verify/SKILL.md).
+Timings are min-of-2 after a sf0.001 warmup pass (bench.py methodology).
+NOISE NOTE: this host's CPU throughput is bursty — identical code has
+measured 2-3× apart within an hour under hypervisor-neighbor pressure —
+so never conclude a regression from one pass; re-measure min-of-2 in a
+fresh quiet-hour process before believing any slope change.
 """
 
 from __future__ import annotations
