@@ -157,13 +157,14 @@ def main() -> None:
     # the no-Exchange edge on the executed plan — a silent fallback to a
     # shuffling plan would invalidate the number.
     try:
-        import tempfile as _tfb
-
+        from overturemaps_duckdb_spark.operators._util import staging_root
         from overturemaps_duckdb_spark.queries import t as _tq
         from overturemaps_duckdb_spark.queries.tpch import q13_plan, q9_plan
         from overturemaps_duckdb_spark.sources.layout import write_cobucketed
 
-        root = _tfb.mkdtemp(prefix="omds_bench_bkt_")
+        # deterministic per-(app, sf) root (r9 staging-leak class): a
+        # bench run must not leave another bucketed fact copy per invoke
+        root = staging_root(spark, sf_dir, "benchbkt")
         t0 = time.monotonic()
         li_b, o_b = write_cobucketed(
             spark,

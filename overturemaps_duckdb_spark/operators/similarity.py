@@ -250,6 +250,7 @@ def ivf_build(
     vec_col: str = "embedding",
     n_lists: int = 16,
     seed: int = 42,
+    train_fraction: float | None = None,
 ):
     """Train the coarse quantizer and assign every vector to its list.
 
@@ -257,7 +258,23 @@ def ivf_build(
     centroid table is tiny (n_lists × dim) and lives driver-side — the
     classic IVF split: centroids broadcast, inverted lists distributed.
     At 100 TB the assigned table is written partitioned BY `_list`, so a
-    probe touches only n_probe/n_lists of the data (partition pruning)."""
+    probe touches only n_probe/n_lists of the data (partition pruning).
+
+    SIZING RULE (r9, measured at the 20M decade): ``n_lists`` must GROW
+    with the corpus — the standard heuristic is n_lists ∝ √N — because a
+    probe's candidate volume is ~``n_probe/n_lists`` of the corpus: hold
+    n_lists at 16 while the corpus grows 10× and every probe scans 10×
+    the vectors (measured 3.3 s → 59 s for the same 5 queries at
+    2M → 20M).  Re-sized to n_lists=128 the 20M probe is back to a
+    bounded candidate set (BENCH_COMPARE §r9).
+
+    ``train_fraction`` bounds the k-means FIT to a deterministic sample
+    (``corpus.sample(fraction, seed)``) while the ASSIGNMENT still covers
+    every row — the FAISS-style split, and the only tractable form at
+    scale: a 20-iteration k-means over 100 TB is not a build step anyone
+    runs, while centroids only need a representative sample.  Default
+    None fits on the full corpus (bit-identical to the pre-r9 behavior —
+    the certified n3 path passes no fraction)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
@@ -268,7 +285,13 @@ def ivf_build(
         F.col(vec_col).alias("v"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
-    model = KMeans(k=n_lists, seed=seed, maxIter=20).fit(ml_df)
+    if train_fraction is not None:
+        if not 0.0 < train_fraction <= 1.0:
+            raise ValueError(f"train_fraction out of (0, 1]: {train_fraction}")
+        fit_df = ml_df.sample(fraction=train_fraction, seed=seed)
+    else:
+        fit_df = ml_df
+    model = KMeans(k=n_lists, seed=seed, maxIter=20).fit(fit_df)
     assigned = model.transform(ml_df).select(
         "id", "v", F.col("prediction").alias("_list")
     )

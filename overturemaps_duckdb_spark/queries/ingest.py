@@ -4,7 +4,6 @@ real ingest projection, z-order render sort, and the full loadTheme path."""
 
 from __future__ import annotations
 
-import tempfile
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -89,10 +88,11 @@ def s4_discover_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     flows through the discovery result, not the original paths."""
     import os
 
+    from overturemaps_duckdb_spark.operators._util import staging_root
     from overturemaps_duckdb_spark.sources.manifest import discover_catalog
 
     release = os.path.basename(sf_dir.rstrip("/")) or "release"
-    base = tempfile.mkdtemp(prefix="omds_s4_")
+    base = staging_root(spark, sf_dir, "s4")
     for name in _S4_TABLES:
         d = os.path.join(base, release, name)
         os.makedirs(d, exist_ok=True)
@@ -213,7 +213,9 @@ def ep1_load_theme(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_C_LON).alias("centroid_lon"),
         F.expr(_C_LAT).alias("centroid_lat"),
     )
-    root = tempfile.mkdtemp(prefix="omds_ep1_")
+    from overturemaps_duckdb_spark.operators._util import staging_root
+
+    root = staging_root(spark, sf_dir, "ep1")
     files = []
     for i, (lo, hi) in enumerate([(-181, -100), (-100, -30), (-30, 181)]):
         part = pts.where((F.col("centroid_lon") >= lo) & (F.col("centroid_lon") < hi))
@@ -260,11 +262,10 @@ def s14_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted on the executed plan.  This is the write-once/join-forever
     layout for dimension tables at 100 TB (every shuffle of a 100 TB fact
     table costs more than the one-time bucketed write)."""
-    import tempfile
-
+    from overturemaps_duckdb_spark.operators._util import staging_root
     from overturemaps_duckdb_spark.sources.layout import write_bucketed
 
-    root = tempfile.mkdtemp(prefix="omds_s14_")
+    root = staging_root(spark, sf_dir, "s14")
     write_bucketed(
         t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
         "omds_bkt_customer",

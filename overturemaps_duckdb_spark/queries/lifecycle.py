@@ -5,7 +5,6 @@ inside the query and value-checked against an oracle on the same fixtures."""
 from __future__ import annotations
 
 import os
-import tempfile
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -35,8 +34,10 @@ def s3_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     (worker/index.js:133-213): write lon-banded files, build the manifest,
     scan ONLY overlapping files, then apply the exact bbox.  The result must
     equal the unpruned filter (pruning is an optimization, never a filter)."""
+    from overturemaps_duckdb_spark.operators._util import staging_root
+
     pts = customer_points(spark, sf_dir).select("id", "centroid_lon", "centroid_lat")
-    root = tempfile.mkdtemp(prefix="omds_s3_")
+    root = staging_root(spark, sf_dir, "s3")
     paths = []
     for i, (lo, hi) in enumerate([(-181, -120), (-120, -60), (-60, 0), (0, 181)]):
         part = pts.where((F.col("centroid_lon") >= lo) & (F.col("centroid_lon") < hi))
@@ -78,7 +79,9 @@ def s13_grid_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = customer_points(spark, sf_dir).select(
         "id", "centroid_lon", "centroid_lat"
     )
-    root = tempfile.mkdtemp(prefix="omds_s13_")
+    from overturemaps_duckdb_spark.operators._util import staging_root
+
+    root = staging_root(spark, sf_dir, "s13")
     staged = os.path.join(root, "staged")
     pts.write.mode("overwrite").parquet(staged)
     files = [
@@ -114,7 +117,9 @@ def s7_s8_snapview_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     a snapview saved and re-loaded must round-trip bit-exactly."""
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
     subset = c.where(F.col("c_custkey") % 7 == 0)
-    store = SnapviewStore(spark, tempfile.mkdtemp(prefix="omds_s7_"))
+    from overturemaps_duckdb_spark.operators._util import staging_root
+
+    store = SnapviewStore(spark, staging_root(spark, sf_dir, "s7"))
     store.save("sv_roundtrip", subset, {"keys": ["customer"]})
     return store.load("sv_roundtrip")
 
@@ -132,7 +137,9 @@ def y1_session_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Y1/Y2 — `_session` KV with INSERT OR REPLACE + hydration
     (sessionState.js:33-135): set, overwrite, delete, re-hydrate from the
     parquet artifact in a fresh instance."""
-    root = tempfile.mkdtemp(prefix="omds_y1_")
+    from overturemaps_duckdb_spark.operators._util import staging_root
+
+    root = staging_root(spark, sf_dir, "y1")
     s = SessionState(spark, root)
     s.set("limit", 3000)
     s.set("limit", 100)  # INSERT OR REPLACE

@@ -349,8 +349,15 @@ _PL_FTS_CACHE: dict[tuple[str, str], object] = {}
 
 def _theme_doc_index(spark: SparkSession, sf_dir: str, docs: DataFrame):
     """Session-lifetime materialized index over the ingested theme (the
-    reference's PRAGMA-built helper tables persist across queries too)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    reference's PRAGMA-built helper tables persist across queries too).
+
+    realpath key (r9 review, matching the r8 fix in queries/fts
+    .fts_index_for): the same fixture addressed via './sf0.01' vs its
+    absolute path vs a symlink must hit ONE cached index, not build and
+    persist a second copy in executor storage."""
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
     idx = _PL_FTS_CACHE.get(key)
     if idx is None:
         idx = build_fts_index(docs, "id", "search_name").persist()

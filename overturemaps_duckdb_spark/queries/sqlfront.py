@@ -4,7 +4,6 @@ text — the strongest possible dialect-parity check."""
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -39,7 +38,9 @@ def ep3_ctas_copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EP3 statement intercepts: `read_parquet(...)` scan → `CREATE TABLE AS`
     → `COPY TO (FORMAT PARQUET)` → re-read (themes.js:195-242 shape, through
     SQL text alone)."""
-    out_dir = tempfile.mkdtemp(prefix="omds_ep3_") + "/out"
+    from overturemaps_duckdb_spark.operators._util import staging_root
+
+    out_dir = staging_root(spark, sf_dir, "ep3") + "/out"
     duck_sql(
         spark,
         "CREATE OR REPLACE TABLE __ep3_docs AS "

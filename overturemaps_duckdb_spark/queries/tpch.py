@@ -419,6 +419,14 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     The NOT IN compiles to a broadcast anti join against the (tiny) filtered
     supplier keys — never a collected list; negative-balance suppliers play
     the 'customer complaints' exclusion.
+
+    NULL-semantics note (r9 review, accepted divergence): ANSI ``NOT IN``
+    returns UNKNOWN for every row when the subquery yields ANY NULL (the
+    whole result empties), and drops NULL probe keys; a left-anti join
+    keeps both.  Here both sides are primary/foreign KEYS — non-null by
+    schema contract in TPC-H and in the fixtures — so the forms are
+    equivalent; apply the anti-join rewrite to nullable columns only with
+    an explicit null guard on both sides.
     """
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part").where(

@@ -194,16 +194,29 @@ def list_user_tables(spark: SparkSession) -> list[str]:
 
 
 def drop_table(spark: SparkSession, name: str, *, allow_system: bool = False) -> bool:
-    """``DROP TABLE IF EXISTS`` with system-table protection (duckdb.js:41-49)."""
+    """``DROP TABLE IF EXISTS`` with system-table protection (duckdb.js:41-49).
+
+    Covers BOTH registration kinds the engine creates (r9 review fix): temp
+    views (the common case) and metastore tables (write_bucketed /
+    saveAsTable layouts).  The old temp-view-only form silently returned
+    False for a managed table — listed by SHOW TABLES but undroppable
+    through the lifecycle surface."""
     if not allow_system and name.startswith(SYSTEM_TABLE_PREFIXES):
         raise ValueError(f"refusing to drop system table {name!r}")
-    return spark.catalog.dropTempView(name)
+    if spark.catalog.dropTempView(name):
+        return True
+    if spark.catalog.tableExists(name):
+        escaped = name.replace("`", "``")
+        spark.sql(f"DROP TABLE IF EXISTS `{escaped}`")
+        return True
+    return False
 
 
 def drop_all_user_tables(spark: SparkSession) -> list[str]:
-    """Clear-all used by area reloads (controller.js:119-146 → duckdb.js:41-49)."""
+    """Clear-all used by area reloads (controller.js:119-146 → duckdb.js:41-49);
+    routes through :func:`drop_table` so managed tables clear too."""
     dropped = []
     for name in list_user_tables(spark):
-        if spark.catalog.dropTempView(name):
+        if drop_table(spark, name):
             dropped.append(name)
     return dropped

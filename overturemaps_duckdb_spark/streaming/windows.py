@@ -158,7 +158,9 @@ def session_counts_to_batch(
     # references, not data) + the one-row sentinel.  Batch order is
     # guaranteed by mtime: the symlink resolves to the source's mtime
     # (some past instant), the sentinel is future-dated below.
-    stage = tempfile.mkdtemp(prefix="omds_stream_")
+    from overturemaps_duckdb_spark.operators._util import staging_root
+
+    stage = staging_root(spark, sf_dir, "streamstage")
     os.symlink(os.path.abspath(src), os.path.join(stage, "events.parquet"))
     if isinstance(max_ts, int):  # epoch-nano LONG fixture
         flush_ts = max_ts + 365 * 86_400 * 10**9

@@ -184,3 +184,26 @@ def test_session_state_reclaims_orphaned_tmp(spark):
     # store stayed intact through the cleanup
     s2 = SessionState(spark, root)
     assert s2.get("a") == 1 and s2.get("b") == 2
+
+
+def test_drop_table_covers_managed_tables(spark):
+    """r9 review fix: drop_table only called dropTempView, so a managed
+    (saveAsTable / write_bucketed) table was listed by the lifecycle
+    surface but silently undroppable (returned False, table survived)."""
+    from overturemaps_duckdb_spark.session import drop_table, list_user_tables
+
+    root = tempfile.mkdtemp(prefix="omds_droptbl_")
+    spark.range(5).write.mode("overwrite").option(
+        "path", f"{root}/t"
+    ).saveAsTable("omds_managed_drop_t")
+    assert "omds_managed_drop_t" in list_user_tables(spark)
+    assert drop_table(spark, "omds_managed_drop_t") is True
+    assert not spark.catalog.tableExists("omds_managed_drop_t")
+    assert "omds_managed_drop_t" not in list_user_tables(spark)
+    # absent name: False, no raise (DROP TABLE IF EXISTS semantics)
+    assert drop_table(spark, "omds_managed_drop_t") is False
+    # system prefixes still protected for managed names too
+    import pytest
+
+    with pytest.raises(ValueError):
+        drop_table(spark, "_session_anything")

@@ -527,3 +527,48 @@ def test_probe_guard_rejects_null_elements_and_short_vectors(spark):
     with pytest.raises(ValueError, match="_ivf_probes"):
         _ivf_probes(spark, __import__("numpy").asarray(centroids), short,
                     "query_id", "embedding", 1)
+
+
+def test_ivf_build_sampled_fit(spark):
+    """r9: train_fraction bounds the k-means FIT to a deterministic sample
+    while assignment covers every row — the 100 TB build form (a full-
+    corpus 20-iteration k-means is not a tractable build step; centroids
+    only need a representative sample).  Pins: every row assigned, same
+    seed+fraction → identical centroids, and probe recall over the
+    sampled-fit store stays high."""
+    from overturemaps_duckdb_spark.operators.similarity import (
+        cosine_topk,
+        ivf_build,
+        ivf_topk,
+    )
+    from overturemaps_duckdb_spark.queries import t
+    from tests.conftest import SF_SMOKE
+
+    e = t(spark, SF_SMOKE, "embeddings")
+    n = e.count()
+    a1, c1 = ivf_build(
+        e, id_col="vec_id", vec_col="embedding", n_lists=8, train_fraction=0.5
+    )
+    assert a1.count() == n  # assignment is full-corpus regardless of fit
+    a2, c2 = ivf_build(
+        e, id_col="vec_id", vec_col="embedding", n_lists=8, train_fraction=0.5
+    )
+    assert (c1 == c2).all()  # deterministic sample + seed → same quantizer
+    import pytest
+
+    with pytest.raises(ValueError):
+        ivf_build(e, n_lists=8, train_fraction=0.0)
+
+    queries = e.limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(e, queries, id_col="vec_id", vec_col="embedding", k=10)
+    approx = ivf_topk(a1, c1, queries, n_probe=4, k=10)
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r["query_id"], set()).add(r["vec_id"])
+    ap = {}
+    for r in approx.collect():
+        ap.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.6

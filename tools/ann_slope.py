@@ -55,11 +55,23 @@ PASSES = int(os.environ.get("SPARK_GRAFT_SLOPE_PASSES", "2"))
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "benchdata/emb2m"
+    # per-query split (VERDICT r08 #3): at the 2M decade a full min-of-2
+    # sweep of all five queries no longer fits one measurement window, so
+    # SPARK_GRAFT_SLOPE_NAMES selects a subset per fresh process —
+    # registered names and/or the pseudo-name "ivf" for the build+probe
+    # section.  Default (unset) runs everything, as before.
+    only = [
+        n.strip()
+        for n in os.environ.get("SPARK_GRAFT_SLOPE_NAMES", "").split(",")
+        if n.strip()
+    ]
+    run_names = [n for n in NAMES if not only or n in only]
+    run_ivf = not only or "ivf" in only
     spark = get_spark("ann_slope", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     rows = t(spark, sf_dir, "embeddings").count()
     out: dict[str, float] = {}
 
-    for name in NAMES:
+    for name in run_names:
         fn = _q.QUERIES[name]
         fn(spark, WARM_SF).write.format("noop").mode("overwrite").save()
         best = None
@@ -70,36 +82,37 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         out[name] = round(best, 3)
 
-    # IVF split, bench.py shape: one-time build+write, then the probe
-    e = t(spark, sf_dir, "embeddings")
-    root = tempfile.mkdtemp(prefix="omds_slope_ivf_") + "/store"
-    t0 = time.monotonic()
-    assigned, centroids = ivf_build(
-        e, id_col="vec_id", vec_col="embedding", n_lists=16, seed=42
-    )
-    ivf_write(assigned, root)
-    out["ivf_build_write"] = round(time.monotonic() - t0, 3)
-    queries_df = e.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    best = None
-    for _ in range(PASSES):
+    if run_ivf:
+        # IVF split, bench.py shape: one-time build+write, then the probe
+        e = t(spark, sf_dir, "embeddings")
+        root = tempfile.mkdtemp(prefix="omds_slope_ivf_") + "/store"
         t0 = time.monotonic()
-        probe = ivf_topk_from_store(
-            spark, root, centroids, queries_df, n_probe=4, k=10
+        assigned, centroids = ivf_build(
+            e, id_col="vec_id", vec_col="embedding", n_lists=16, seed=42
         )
-        probe.write.format("noop").mode("overwrite").save()
-        dt = time.monotonic() - t0
-        best = dt if best is None else min(best, dt)
-    out["ivf_store_probe"] = round(best, 3)
+        ivf_write(assigned, root)
+        out["ivf_build_write"] = round(time.monotonic() - t0, 3)
+        queries_df = e.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        best = None
+        for _ in range(PASSES):
+            t0 = time.monotonic()
+            probe = ivf_topk_from_store(
+                spark, root, centroids, queries_df, n_probe=4, k=10
+            )
+            probe.write.format("noop").mode("overwrite").save()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        out["ivf_store_probe"] = round(best, 3)
 
-    # the 100 TB claim must survive the scale-up: the store scan still
-    # prunes unprobed `_list` partitions at this decade
-    plan = probe._jdf.queryExecution().executedPlan().toString()
-    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
-    assert m and m.group(1).strip() and "_list" in m.group(1), (
-        f"IVF store scan lost partition pruning at {rows} rows"
-    )
+        # the 100 TB claim must survive the scale-up: the store scan still
+        # prunes unprobed `_list` partitions at this decade
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and m.group(1).strip() and "_list" in m.group(1), (
+            f"IVF store scan lost partition pruning at {rows} rows"
+        )
 
     print(json.dumps({"dir": sf_dir, "rows": rows, "queries": out}), flush=True)
     spark.stop()
