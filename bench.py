@@ -362,10 +362,9 @@ def main() -> None:
     # the steady-state ANN probe over the persisted store, reading only
     # the probed partitions (n_probe/n_lists of the bytes).
     try:
-        import tempfile as _tf
-
         import pyspark.sql.functions as F
 
+        from overturemaps_duckdb_spark.operators._util import staging_root
         from overturemaps_duckdb_spark.operators.similarity import (
             ivf_build,
             ivf_topk_from_store,
@@ -374,7 +373,7 @@ def main() -> None:
         from overturemaps_duckdb_spark.queries import t as _t
 
         e = _t(spark, sf_dir, "embeddings")
-        root = _tf.mkdtemp(prefix="omds_bench_ivf_") + "/store"
+        root = staging_root(spark, sf_dir, "benchivf") + "/store"
         t0 = time.monotonic()
         assigned, centroids = ivf_build(
             e, id_col="vec_id", vec_col="embedding", n_lists=16, seed=42
@@ -389,6 +388,16 @@ def main() -> None:
             spark, root, centroids, queries_df, n_probe=4, k=10
         ).write.format("noop").mode("overwrite").save()
         extras["ivf_store_probe"] = round(time.monotonic() - t0, 3)
+        # production scorer (cosine_vectorized): Arrow/numpy batch cosine —
+        # wins big where candidates are millions (BENCH_COMPARE §r9 20M
+        # decade); at fixture scale the Python-worker spin-up can make it
+        # SLOWER, which this number honestly shows round-over-round.
+        t0 = time.monotonic()
+        ivf_topk_from_store(
+            spark, root, centroids, queries_df, n_probe=4, k=10,
+            scorer="vectorized",
+        ).write.format("noop").mode("overwrite").save()
+        extras["ivf_store_probe_vectorized"] = round(time.monotonic() - t0, 3)
     except Exception as exc:  # noqa: BLE001
         errors["ivf_persisted"] = f"extras: {exc}"[:300]
 

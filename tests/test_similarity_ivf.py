@@ -572,3 +572,54 @@ def test_ivf_build_sampled_fit(spark):
         ap.setdefault(r["query_id"], set()).add(r["vec_id"])
     recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
     assert sum(recalls) / len(recalls) >= 0.6
+
+
+def test_vectorized_scorer_agrees_with_exact(spark):
+    """r9: cosine_vectorized (Arrow/numpy production scorer) must agree
+    with the exact HOF fold after the pipeline's 6-dp round, and the ivf
+    probe must return the identical top-k under either scorer.  The raw
+    (unrounded) forms differ only in summation order (~1e-15 relative),
+    which the round absorbs."""
+    import random
+
+    from overturemaps_duckdb_spark.operators.similarity import (
+        cosine_expr,
+        cosine_vectorized,
+        ivf_build,
+        ivf_topk,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(64)],
+         [rng.gauss(0, 1) for _ in range(64)])
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, a array<double>, b array<double>"
+    )
+    got = df.select(
+        "id",
+        F.round(cosine_expr(F.col("a"), F.col("b")), 6).alias("e"),
+        F.round(cosine_vectorized(F.col("a"), F.col("b")), 6).alias("v"),
+    ).collect()
+    diff = [(r["id"], r["e"], r["v"]) for r in got if r["e"] != r["v"]]
+    assert not diff, f"rounded-6dp disagreement: {diff[:5]}"
+
+    from overturemaps_duckdb_spark.queries import t
+    from tests.conftest import SF_SMOKE
+
+    e = t(spark, SF_SMOKE, "embeddings")
+    assigned, cent = ivf_build(e, id_col="vec_id", vec_col="embedding", n_lists=8)
+    q = e.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    key = lambda r: (r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+    exact = sorted(map(key, ivf_topk(assigned, cent, q, k=10).collect()))
+    vect = sorted(
+        map(key, ivf_topk(assigned, cent, q, k=10, scorer="vectorized").collect())
+    )
+    assert exact == vect
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown scorer"):
+        ivf_topk(assigned, cent, q, k=10, scorer="typo")
