@@ -47,8 +47,21 @@ class Geometry:
 
     # -- convenience ---------------------------------------------------
     def geometries(self) -> list["Geometry"]:
-        """Flatten to a list of primitive geometries."""
-        if self.kind in ("POINT", "LINESTRING", "POLYGON"):
+        """Flatten to a list of NON-EMPTY primitive geometries.
+
+        Empty primitives are legal WKB (`LINESTRING EMPTY` is a
+        zero-point linestring, `POLYGON EMPTY` a zero-ring polygon) and
+        are dropped here, so every kernel consumer (centroid / area /
+        intersects / distance) sees only primitives with coordinates —
+        the r8 centroid-on-empty fix generalized (r9 review): before
+        this, `intersects(POLYGON EMPTY, …)` IndexError'd on the missing
+        exterior ring and failed the whole Arrow batch for one empty
+        row, where GEOS answers false."""
+        if self.kind == "LINESTRING":
+            return [self] if self.coords else []
+        if self.kind == "POLYGON":
+            return [self] if self.coords and self.coords[0] else []
+        if self.kind == "POINT":
             return [self]
         out: list[Geometry] = []
         for g in self.coords:
@@ -164,10 +177,14 @@ def geom_type(g: Geometry) -> str:
     return g.kind
 
 
-def bbox(g: Geometry) -> tuple[float, float, float, float]:
+def bbox(g: Geometry) -> tuple[float, float, float, float] | None:
+    """Coordinate envelope; None for an empty geometry (r9 review — the
+    bare min([]) used to raise ValueError)."""
     xs: list[float] = []
     ys: list[float] = []
     _collect_coords(g, xs, ys)
+    if not xs:
+        return None
     return (min(xs), min(ys), max(xs), max(ys))
 
 
@@ -180,7 +197,7 @@ def _collect_coords(g: Geometry, xs: list, ys: list) -> None:
             xs.append(x)
             ys.append(y)
     elif g.kind == "POLYGON":
-        for x, y in g.coords[0]:  # bbox of exterior ring suffices
+        for x, y in g.coords[0] if g.coords else ():  # exterior ring suffices
             xs.append(x)
             ys.append(y)
     else:
@@ -446,14 +463,21 @@ def _pt_seg_dist(pt, a, b) -> float:
     return _euclid(px - (ax + t * dx), py - (ay + t * dy))
 
 
-def distance(a: Geometry, b: Geometry) -> float:
+def distance(a: Geometry, b: Geometry) -> float | None:
     """Planar ST_Distance in coordinate units (degrees); 0 if intersecting.
-    The meters→degrees convention is the caller's (d/111320, pipeline.js:128)."""
+    The meters→degrees convention is the caller's (d/111320, pipeline.js:128).
+    None (→ SQL NULL through the pandas UDF) when either side is empty —
+    the pre-r9 code fell through to the +inf accumulator seed, and an
+    infinite "distance" silently passes every `< threshold` filter's
+    negation (GEOS/PostGIS answer NULL for empty inputs)."""
+    pa_list, pb_list = a.geometries(), b.geometries()
+    if not pa_list or not pb_list:
+        return None
     if intersects(a, b):
         return 0.0
     best = math.inf
-    for pa in a.geometries():
-        for pb in b.geometries():
+    for pa in pa_list:
+        for pb in pb_list:
             best = min(best, _prim_distance(pa, pb))
     return best
 

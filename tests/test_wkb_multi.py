@@ -307,3 +307,34 @@ def test_empty_geometry_centroid_is_none():
     # all-empty linestrings exercise the point-fallback guard
     mls = wkb.Geometry("MULTILINESTRING", [wkb.Geometry("LINESTRING", [])])
     assert wkb.centroid(mls) is None
+
+
+def test_empty_primitives_never_crash_kernels():
+    """r9 review: the r8 centroid-on-empty fix generalized.  POLYGON EMPTY
+    (zero rings) and LINESTRING EMPTY (zero points) are legal WKB; before
+    this, intersects() IndexError'd on the missing exterior ring, bbox()
+    raised on min([]), and distance() fell through to its +inf seed —
+    each failing (or silently corrupting) a whole Arrow batch for one
+    empty row.  GEOS semantics: intersects=false, distance=NULL."""
+    import struct
+
+    empty_poly = wkb.loads(b"\x01" + struct.pack("<II", 3, 0))
+    empty_line = wkb.loads(b"\x01" + struct.pack("<II", 2, 0))
+    empty_multi = wkb.loads(b"\x01" + struct.pack("<II", 6, 0))
+    pt = wkb.point(1.0, 2.0)
+    box = wkb.box(0.0, 0.0, 4.0, 4.0)
+
+    for g in (empty_poly, empty_line, empty_multi):
+        assert g.geometries() == []
+        assert wkb.bbox(g) is None
+        assert wkb.centroid(g) is None
+        assert wkb.area(g) == 0.0
+        assert wkb.intersects(g, pt) is False
+        assert wkb.intersects(box, g) is False
+        assert wkb.distance(g, pt) is None
+        assert wkb.distance(box, g) is None
+        assert wkb.intersection(g, box) is None
+
+    # non-empty behavior unchanged
+    assert wkb.distance(pt, wkb.point(4.0, 6.0)) == 5.0
+    assert wkb.intersects(pt, box) is True
