@@ -91,7 +91,7 @@ class Engine:
         """loadArea (controller.js:119-146): load each requested theme for
         the bbox; loaded tables register in the pipeline catalog.  The
         reference fires these without await — here each is one Spark job;
-        真 parallelism comes from the cluster, not the driver loop."""
+        real parallelism comes from the cluster, not the driver loop."""
         results = {}
         for key in keys:
             spec = self.themes[key]
@@ -173,6 +173,12 @@ class Engine:
             self._pip_memo = {}
         if sig in self._pip_memo:
             return self._pip_memo[sig]
+        # a new load generation makes every older entry permanently
+        # unreachable (sig embeds _load_gen) — drop them instead of letting
+        # collected row lists accumulate for the session's lifetime
+        self._pip_memo = {
+            k: v for k, v in self._pip_memo.items() if k[0] == self._load_gen
+        }
         import pyspark.sql.functions as F
 
         xmin, ymin, xmax, ymax = bbox

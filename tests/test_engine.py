@@ -199,3 +199,40 @@ def test_scale_scenario_grid_layout_banded_fold_no_bnlj(spark, tmp_path):
         "places_customer01", ["suppliers"], (-180.0, -90.0, 180.0, 90.0)
     )
     assert {r["id"] for r in via_engine} == {r["id"] for r in labels}
+
+
+def test_pip_memo_evicts_dead_generations(spark, tmp_path):
+    """r9 review: the intersections memo keys embed the load generation, so
+    entries from earlier generations are permanently unreachable after any
+    load_area — they must be dropped, not accumulate collected row lists
+    for the session's lifetime."""
+    from overturemaps_duckdb_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path))
+    import pyspark.sql.functions as F
+
+    from overturemaps_duckdb_spark.functions.geo import st_box, st_point
+
+    pts = spark.createDataFrame(
+        [(1, 0.5, 0.5)], "id int, centroid_lon double, centroid_lat double"
+    ).withColumn("geometry", st_point("centroid_lon", "centroid_lat"))
+    polys = spark.createDataFrame(
+        [(10, 0.5, 0.5)], "id int, centroid_lon double, centroid_lat double"
+    ).withColumn(
+        "geometry",
+        st_box(
+            F.col("centroid_lon") - 1, F.col("centroid_lat") - 1,
+            F.col("centroid_lon") + 1, F.col("centroid_lat") + 1,
+        ),
+    )
+    eng.catalog.tables["pts"] = pts
+    eng.catalog.tables["polys"] = polys
+    bbox = (0.0, 0.0, 1.0, 1.0)
+    r1 = eng.intersections("pts", ["polys"], bbox)
+    assert len(eng._pip_memo) == 1
+    eng._load_gen += 1  # simulate a new area load
+    r2 = eng.intersections("pts", ["polys"], bbox)
+    assert r2 == r1
+    # the generation-0 entry is unreachable and must be gone
+    assert len(eng._pip_memo) == 1
+    assert all(k[0] == eng._load_gen for k in eng._pip_memo)
