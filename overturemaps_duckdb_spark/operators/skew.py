@@ -31,6 +31,13 @@ def salted(
     CONTENT, so a retried/recomputed task reassigns every row the exact
     same salt no matter how the scan or an upstream shuffle reorders its
     partition, and identical-payload rows still spread (their ids differ).
+    The column should be NON-NULL: ``xxhash64(NULL)`` passes the seed
+    through unchanged, so every NULL-id row would share ONE constant salt
+    — if the hot key's rows have NULL ids, the entire population funnels
+    into a single stage-1 task, recreating exactly the hot spot this
+    function exists to avoid (ADVICE r09).  NULL ids therefore fall back
+    PER ROW to the position-id hash, restoring the spread at the cost of
+    the SPARK-23207 recompute-stability caveat below for those rows only.
 
     Fallback (no ``unique_col``): xxhash64 over the row's hashable
     columns plus ``monotonically_increasing_id()``.  Two properties over
@@ -48,9 +55,12 @@ def salted(
     whose lineage replays in identical order); when the input has been
     shuffled, pass ``unique_col``."""
     if unique_col is not None:
+        salt_src = F.when(
+            F.col(unique_col).isNull(),
+            F.xxhash64(F.monotonically_increasing_id()),
+        ).otherwise(F.xxhash64(F.col(unique_col)))
         return df.withColumn(
-            salt_col,
-            F.pmod(F.xxhash64(F.col(unique_col)), F.lit(n_salts)).cast("int"),
+            salt_col, F.pmod(salt_src, F.lit(n_salts)).cast("int")
         )
     hashable = [
         f.name

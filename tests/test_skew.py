@@ -180,3 +180,30 @@ def test_salted_unique_col_is_content_derived(spark):
         unique_col="uid",
     ).collect()
     assert len(out) == 1 and out[0]["n"] == 1000 and out[0]["s"] == 1000
+
+
+def test_salted_unique_col_null_ids_still_spread(spark):
+    """ADVICE r09: xxhash64(NULL) passes the seed through, so every
+    NULL-id row used to share ONE constant salt — the exact funnel
+    salting exists to avoid.  NULL ids now fall back per-row to the
+    position-id hash; non-null ids keep the pure-content salt."""
+    import pyspark.sql.functions as F
+
+    from overturemaps_duckdb_spark.operators.skew import salted
+
+    df = spark.range(0, 1000).select(
+        F.when(F.col("id") < 500, F.col("id")).alias("uid"),
+        F.lit("hot").alias("k"),
+    )
+    rows = salted(df, 8, unique_col="uid").collect()
+    null_salts = {r["_salt"] for r in rows if r["uid"] is None}
+    assert len(null_salts) > 1, "500 NULL-id rows funneled into one salt"
+    # non-null rows are unaffected: still the content-derived salt
+    nn = {r["uid"]: r["_salt"] for r in rows if r["uid"] is not None}
+    base = {
+        r["uid"]: r["_salt"]
+        for r in salted(
+            df.where(F.col("uid").isNotNull()), 8, unique_col="uid"
+        ).collect()
+    }
+    assert nn == base
