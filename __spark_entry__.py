@@ -31,75 +31,80 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q.QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-#: Certification rotation, round 9 (VERDICT r08 next-round #1): the 5 r4
-#: rows held back last round lead (d2/t2/pl6 headline-bench-exercised,
-#: t5/ep3-ctas path-sharing with certified siblings), then the two r7
-#: rows whose BEHAVIOR changed in r8 (p3 try_element_at ANSI parity, i5
-#: deterministic staging roots — their r7 driver rows predate the fix),
-#: then 43 of the 49 r5 rows.  Held back for r10: m1/m6 (unchanged,
-#: dropped to keep exactly 50 per the verdict) and the 4 bench-headline
-#: r5 rows from the NOTES draft (j1_spatial_intersect_join,
-#: g1_g2_polygon_type_centroid_area, e1_tumbling_window,
-#: i1_stream_tumbling_window — e1/i1's r8 floor-alignment change was
-#: driver_sim-MATCHed by the judge directly).  After a green r9 those 6
-#: r5 rows + the 48 remaining r7 rows are the oldest cohorts.
-#: Regression cover for everything behind the prefix:
-#: tests/test_oracle_parity.py re-verifies all 154 against DuckDB
-#: locally every round.
+#: Certification rotation, round 10 (VERDICT r09 next-round #1):
+#: (a) the 6 r5 rows held back from r9 (oldest cohort — all pre-verified
+#: MATCH by the r9 judge's own driver_sim);
+#: (b) the 9 queries whose r9 behavior change postdates their latest
+#: driver row (the verdict's named swap-in list: staging roots for
+#: s14/s4, table profile, salted unique_col for sk1, the j6 memo
+#: eviction, the console subscript nullif guard for ep3/ep4, the r9
+#: similarity-module work for n1/n2);
+#: (c) the 8 queries this round's OWN changes touch whose latest (r9)
+#: rows predate them — the staging_root realpath-hash + stale-sweep
+#: rework (s3/s13/s7/y1/ep1/ep3-ctas/i2-stream-stage), and n3 for the
+#: IVF default flips (certified path passes explicit args, included so
+#: the contract records the post-flip result);
+#: (d) all 27 non-TPC-H r7 rows.
+#: Held back for r11: the 21 TPC-H r7 rows q2–q22 — one unchanged module
+#: (queries/tpch.py, r9-review-cleared beyond the documented q16 nit),
+#: q1 certified r8, every one re-verified against DuckDB each round by
+#: tests/test_oracle_parity.py.  After a green r10 the oldest cohort is
+#: r7 (those 21 rows only).
 _CERT_PRIORITY = [
-    # r4-certified rows (oldest cohort — the 5 held back from r8)
-    "d2_minhash_lsh_pairs",
-    "ep3_ctas_copy_roundtrip",
-    "pl6_search_fts",
-    "t2_bm25_topk",
-    "t5_search_fanout",
-    # r7 rows whose queries changed behavior in r8 (VERDICT r08 swap-in)
-    "p3_array_index_1based",
-    "i5_stream_foreachbatch_ingest",
-    # r5-certified rows (43 of 49)
-    "cd1_corpus_diff",
-    "d1_exact_dedup",
-    "d3_simhash_buckets",
-    "d4_ngram_jaccard_pairs",
-    "d9_dup_rate_report",
-    "e2_sessionize",
-    "e3_lag_delta",
-    "ep1_load_theme",
-    "ex1_training_shards",
-    "fz1_fuzzy_pairs",
-    "g1_g2_point_type_centroid",
-    "g3_asgeojson_point",
-    "g5_distance_pairs",
-    "g6_intersection_area",
-    "i2_stream_session_window",
-    "i3_stateful_running_totals",
-    "i4_stream_stream_join",
-    "j2_spatial_within",
-    "j3_spatial_exclude",
-    "j4_spatial_bidirectional",
-    "j8_grid_banded_join",
-    "ld1_line_dedup",
-    "m2_asset_decode",
-    "m3_asset_byte_features",
-    "m4_frame_sample",
-    "o7_zorder_by_area",
-    "pl1_union_balanced_limit",
-    "pl2_search_ilike",
-    "qz1_embedding_quantize",
-    "s13_grid_partitioned_scan",
-    "s2_schema_probe",
+    # (a) r5 held-backs — oldest cohort
+    "m1_asset_metadata",
+    "m6_audio_modality",
+    "j1_spatial_intersect_join",
+    "g1_g2_polygon_type_centroid_area",
+    "e1_tumbling_window",
+    "i1_stream_tumbling_window",
+    # (b) r9-behavior-changed, driver rows predate (VERDICT r09 swap-in)
+    "s14_bucketed_join",
+    "s4_discover_catalog",
+    "s15_table_profile",
+    "sk1_salted_agg",
+    "j6_pip_fold_collect",
+    "ep3_sql_console",
+    "ep4_sql_fts_console",
+    "n1_cosine_topk",
+    "n2_lsh_ann_pairs",
+    # (c) r10-behavior-changed (staging_root rework; IVF default flips)
     "s3_manifest_pruned_scan",
+    "s13_grid_partitioned_scan",
     "s7_s8_snapview_roundtrip",
-    "s9_s10_table_lifecycle",
-    "sa3_source_cap",
-    "sk2_skew_report",
-    "t1_fts_index_build",
-    "t3_ilike_fallback",
-    "t4_search_name_composition",
-    "x12_vocab_topk",
-    "x13_intra_doc_dedup",
     "y1_session_kv",
-    "y4_url_codec",
+    "ep1_load_theme",
+    "ep3_ctas_copy_roundtrip",
+    "i2_stream_session_window",
+    "n3_ivf_ann_topk",
+    # (d) the 27 non-TPC-H r7 rows
+    "a2_distinct",
+    "a3_groupby_source",
+    "a6_count_distinct",
+    "a7_approx_count_distinct",
+    "a8_rollup",
+    "a9_cube",
+    "d6_dedup_clusters",
+    "d7_cluster_canonical",
+    "d8_cross_corpus_neardup",
+    "e4_grouped_quantiles",
+    "f1_interval_overlap",
+    "f3_between",
+    "f4_ilike_substring",
+    "f5_is_not_null",
+    "f8_in_subquery_semi",
+    "o1_topk_order_limit",
+    "o4_limit_offset",
+    "p11_literal_source_tag",
+    "p13_json_extract",
+    "p2_struct_field_access",
+    "p4_coalesce_cast_empty",
+    "p6_concat_ws_search_name",
+    "p7_round",
+    "p8_regexp_replace",
+    "p9_p10_length_abs",
+    "x3_lang_id",
+    "x4_fingerprints",
 ]
 
 
