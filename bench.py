@@ -384,8 +384,11 @@ def main() -> None:
             F.col("vec_id").alias("query_id"), "embedding"
         )
         t0 = time.monotonic()
+        # scorer explicit since r10 (the DEFAULT is now vectorized):
+        # this extra tracks the exact-fold certified path round-over-round
         ivf_topk_from_store(
-            spark, root, centroids, queries_df, n_probe=4, k=10
+            spark, root, centroids, queries_df, n_probe=4, k=10,
+            scorer="exact",
         ).write.format("noop").mode("overwrite").save()
         extras["ivf_store_probe"] = round(time.monotonic() - t0, 3)
         # production scorer (cosine_vectorized): Arrow/numpy batch cosine —

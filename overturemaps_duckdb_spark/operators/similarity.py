@@ -98,11 +98,13 @@ def cosine_vectorized(a: Column, b: Column) -> Column:
 
     NOT bit-identical to the fold: numpy's pairwise/SIMD summation
     accumulates in a different order, so the last float bits can differ
-    (≤1e-12 relative at 64 dims — agreement after the pipeline's 6-dp
-    round is pinned in tests).  Certified queries therefore keep
-    ``cosine_expr`` (oracle-restatable, deterministic order); pass
-    ``scorer="vectorized"`` on the ivf entry points for the production
-    path — the a7 certify-vs-production precedent.  Inputs must be
+    (≤1e-12 relative — agreement after the pipeline's 6-dp round is
+    pinned in tests at BOTH 64 and 1024 dims; if embedding widths grow
+    past that, RE-MEASURE the bound rather than assuming it — float
+    summation-order error grows with dim).  Certified queries therefore
+    keep ``cosine_expr`` explicitly (oracle-restatable, deterministic
+    order — the a7 certify-vs-production precedent); since r10 this form
+    IS the default on the ivf entry points.  Inputs must be
     fixed-width non-null vectors (the probe guards enforce this on the
     query side; a NULL element propagates as NaN here, not a crash)."""
     def _kernel(x, y):
@@ -286,12 +288,32 @@ def banded_signature_frame(
 # ---------------------------------------------------------------------------
 
 
+def auto_n_lists(n_rows: int) -> int:
+    """√N coarse-quantizer sizing, clamped to [4, 1024].
+
+    The r9 20M-vector measurement quantified the undersizing trap: a
+    probe's candidate volume is ~n_probe/n_lists of the corpus, so a
+    FIXED n_lists makes probe cost grow linearly with the corpus (16
+    lists at 20M → the probed union covered 70% of the corpus, 59.4 s vs
+    3.3 s at 2M).  √N keeps both the per-list size and the centroid
+    count sublinear.  The 1024 cap bounds the flat quantizer's own costs
+    — assignment is O(n_lists·dim) column math per row and the k-means
+    fit is O(k) per point per iteration; past ~1k lists a flat coarse
+    quantizer should give way to a multi-level scheme (IMI / HNSW-coarse),
+    which is out of scope here, so the cap is documented rather than
+    silently exceeded.  The floor keeps tiny corpora from degenerating to
+    1–2 lists where probing is a full scan anyway."""
+    import math
+
+    return max(4, min(1024, int(round(math.sqrt(max(n_rows, 1))))))
+
+
 def ivf_build(
     corpus: DataFrame,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_lists: int = 16,
+    n_lists: int | None = None,
     seed: int = 42,
     train_fraction: float | None = None,
 ):
@@ -309,7 +331,13 @@ def ivf_build(
     n_lists at 16 while the corpus grows 10× and every probe scans 10×
     the vectors (measured 3.3 s → 59 s for the same 5 queries at
     2M → 20M).  Re-sized to n_lists=128 the 20M probe is back to a
-    bounded candidate set (BENCH_COMPARE §r9).
+    bounded candidate set (BENCH_COMPARE §r9).  Since r10 the rule IS
+    the default: ``n_lists=None`` resolves via :func:`auto_n_lists`
+    (√N clamped to [4, 1024], then capped at the corpus size so k-means
+    never gets k > n) — a 100 TB caller gets the scale-safe sizing
+    without reading this docstring, at the cost of one ``count()`` job
+    at build time; pass an explicit ``n_lists`` to skip the count (the
+    certified n3 query and the bench/slope harnesses pass 16).
 
     ``train_fraction`` bounds the k-means FIT to a deterministic sample
     (``corpus.sample(fraction, seed)``) while the ASSIGNMENT still covers
@@ -323,6 +351,9 @@ def ivf_build(
 
     import numpy as np
 
+    if n_lists is None:
+        n_rows = corpus.count()
+        n_lists = min(auto_n_lists(n_rows), max(n_rows, 1))
     ml_df = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
@@ -537,13 +568,17 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_probe: int = 4,
     k: int = 10,
-    scorer: str = "exact",
+    scorer: str = "vectorized",
 ) -> DataFrame:
     """Probed ANN search: per query, scan only the `n_probe` inverted lists
     whose centroids are nearest — candidate generation is an equi-join on
-    `_list`, never a cross product.  ``scorer="vectorized"`` swaps the
-    exact HOF cosine for the Arrow/numpy batch form (production scale
-    path — see :func:`cosine_vectorized` for the determinism trade).
+    `_list`, never a cross product.  The DEFAULT scorer is the Arrow/numpy
+    production form since r10 (the measured 3–3.8× path at the 20M decade
+    — a 100 TB caller gets it without reading docstrings); pass
+    ``scorer="exact"`` for the deterministic HOF cosine fold that the
+    certified n3 oracle restates (6-dp agreement + identical top-k with
+    the vectorized form is CI-pinned — see :func:`cosine_vectorized` for
+    the summation-order trade).
 
     Query→probe-list assignment is driver-side for point-lookup batches
     and engine-side column math beyond ``MAX_DRIVER_PROBE_QUERIES`` (the
@@ -699,12 +734,13 @@ def ivf_topk_from_store(
     vec_col: str = "embedding",
     n_probe: int = 4,
     k: int = 10,
-    scorer: str = "exact",
+    scorer: str = "vectorized",
 ) -> DataFrame:
     """:func:`ivf_topk` over a persisted :func:`ivf_write` store.
-    ``scorer="vectorized"`` selects the Arrow/numpy production scorer
-    (:func:`cosine_vectorized`); the default stays the exact fold the
-    certified n3 oracle restates.
+    The default scorer is the Arrow/numpy production form since r10
+    (:func:`cosine_vectorized` — the measured 3–3.8× path on bulk/store
+    probes); pass ``scorer="exact"`` for the deterministic HOF fold
+    (certified-parity path; 6-dp agreement + identical top-k CI-pinned).
 
     The probed list ids are applied as a STATIC `_list IN (...)` filter
     before the candidate join, so the parquet scan's PartitionFilters

@@ -235,7 +235,12 @@ def n3_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    ivf = ivf_topk(assigned, centroids, queries, n_probe=4, k=10)
+    # explicit n_lists + exact scorer: the certified path must not move
+    # when the production defaults do (r10 flipped scorer to vectorized
+    # and n_lists to √N auto-sizing; a7 certify-vs-production precedent)
+    ivf = ivf_topk(
+        assigned, centroids, queries, n_probe=4, k=10, scorer="exact"
+    )
     exact = cosine_topk(
         e, queries, id_col="vec_id", vec_col="embedding", k=10
     )

@@ -613,7 +613,9 @@ def test_vectorized_scorer_agrees_with_exact(spark):
     assigned, cent = ivf_build(e, id_col="vec_id", vec_col="embedding", n_lists=8)
     q = e.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
     key = lambda r: (r["query_id"], r["rank"], r["vec_id"], r["cosine"])
-    exact = sorted(map(key, ivf_topk(assigned, cent, q, k=10).collect()))
+    exact = sorted(
+        map(key, ivf_topk(assigned, cent, q, k=10, scorer="exact").collect())
+    )
     vect = sorted(
         map(key, ivf_topk(assigned, cent, q, k=10, scorer="vectorized").collect())
     )
@@ -623,3 +625,92 @@ def test_vectorized_scorer_agrees_with_exact(spark):
 
     with pytest.raises(ValueError, match="unknown scorer"):
         ivf_topk(assigned, cent, q, k=10, scorer="typo")
+
+
+def test_vectorized_scorer_agrees_at_1024_dims(spark):
+    """VERDICT r09 #6: the 6-dp exact/vectorized agreement was measured
+    at 64 dims; float summation-order error grows with width, so the
+    bound is RE-MEASURED at 1024 dims (modern embedding width) instead
+    of assumed.  Raw relative diff is also pinned well under the 6-dp
+    round's absorption threshold."""
+    import random
+
+    from overturemaps_duckdb_spark.operators.similarity import (
+        cosine_expr,
+        cosine_vectorized,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(1024)],
+         [rng.gauss(0, 1) for _ in range(1024)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, a array<double>, b array<double>"
+    )
+    got = df.select(
+        "id",
+        F.round(cosine_expr(F.col("a"), F.col("b")), 6).alias("e6"),
+        F.round(cosine_vectorized(F.col("a"), F.col("b")), 6).alias("v6"),
+        cosine_expr(F.col("a"), F.col("b")).alias("er"),
+        cosine_vectorized(F.col("a"), F.col("b")).alias("vr"),
+    ).collect()
+    bad = [(r["id"], r["e6"], r["v6"]) for r in got if r["e6"] != r["v6"]]
+    assert not bad, f"rounded-6dp disagreement at 1024 dims: {bad[:5]}"
+    worst = max(
+        abs(r["er"] - r["vr"]) / max(abs(r["er"]), 1e-30) for r in got
+    )
+    assert worst < 1e-9, f"raw relative divergence {worst} at 1024 dims"
+
+
+def test_ivf_scale_safe_defaults(spark):
+    """VERDICT r09 #2/#3: the scale traps must be OPT-OUT, not opt-in.
+    (1) ivf_build's n_lists defaults to the √N auto-sizing rule (the
+    fixed 16 was exactly the undersizing the 20M run measured at 59.4 s);
+    (2) the ivf probe entry points default to the vectorized production
+    scorer (certified n3 passes scorer='exact' explicitly)."""
+    import inspect
+
+    from overturemaps_duckdb_spark.operators.similarity import (
+        auto_n_lists,
+        ivf_build,
+        ivf_topk,
+        ivf_topk_from_store,
+    )
+
+    # the rule itself: √N, floored, capped, corpus-capped in ivf_build
+    assert auto_n_lists(256) == 16
+    assert auto_n_lists(250_000) == 500
+    assert auto_n_lists(20_000_000) == 1024  # flat-quantizer cap (√N=4472)
+    assert auto_n_lists(3) == 4  # floor
+    assert auto_n_lists(0) == 4
+
+    # signature pins: a silent revert to fixture-scale defaults must fail CI
+    assert inspect.signature(ivf_build).parameters["n_lists"].default is None
+    assert (
+        inspect.signature(ivf_topk).parameters["scorer"].default == "vectorized"
+    )
+    assert (
+        inspect.signature(ivf_topk_from_store).parameters["scorer"].default
+        == "vectorized"
+    )
+
+    # resolution end-to-end: 256 rows → 16 lists; 3 rows → k capped at n
+    # (vectors must be pairwise distinct — KMeans returns fewer centers
+    # than k when the corpus has fewer distinct points)
+    dim = 8
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: (F.col("id") * i).cast("double"),
+    )
+    corpus = spark.range(256).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
+    )
+    _, cent = ivf_build(corpus, seed=42)
+    assert len(cent) == 16
+    tiny = spark.range(3).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
+    )
+    _, cent3 = ivf_build(tiny, seed=42)
+    assert len(cent3) == 3

@@ -98,8 +98,12 @@ def main() -> None:
         best = None
         for _ in range(PASSES):
             t0 = time.monotonic()
+            # scorer explicit since r10 (default flipped to vectorized):
+            # decade-over-decade comparability requires the same exact
+            # fold the r8/r9 slope rows measured
             probe = ivf_topk_from_store(
-                spark, root, centroids, queries_df, n_probe=4, k=10
+                spark, root, centroids, queries_df, n_probe=4, k=10,
+                scorer="exact",
             )
             probe.write.format("noop").mode("overwrite").save()
             dt = time.monotonic() - t0
