@@ -266,3 +266,53 @@ def test_bm25_ranking_matches_independent_reference(spark):
     rank = {d: i for i, (d, _) in enumerate(got)}
     assert rank[5] < rank[2]
     assert 4 not in rank  # no-term doc never scored
+
+
+# ---------------------------------------------------------------------------
+# x7 repetition_signals — planted repetitive vs clean separation
+# ---------------------------------------------------------------------------
+
+#: The two repetition shapes Gopher-style filters actually prune: a short
+#: phrase looped verbatim (spam/boilerplate) and a whole paragraph
+#: duplicated inside one document (scraper artifacts).
+REPETITIVE_DOCS = [
+    "click here to win a free prize now " * 12,          # looped line
+    (GOOD_PROSE[0] + " ") * 3,                           # duplicated paragraph
+    "buy cheap buy cheap buy cheap buy cheap buy cheap " * 8,
+]
+
+
+def test_repetition_signals_separate_looped_from_clean(spark):
+    """VERDICT r09 #4: the last co-defined text family without a
+    non-parity control.  quality_score's fixture explicitly defers
+    repetition junk to x7's scope — so x7's signals must actually
+    SEPARATE the classes, not merely match the oracle restating the same
+    formula.  The n-gram fractions are the separators: clean prose
+    repeats function WORDS (dup_token_frac is meaningless as a
+    threshold) but almost never repeats word 2-/3-grams, while looped or
+    duplicated text repeats both heavily."""
+    from overturemaps_duckdb_spark.operators.textprep import (
+        repetition_signals,
+    )
+
+    df = spark.createDataFrame(
+        [(f"rep{i}", t, "rep") for i, t in enumerate(REPETITIVE_DOCS)]
+        + [(f"ok{i}", t, "ok") for i, t in enumerate(GOOD_PROSE)],
+        "doc_id string, text string, label string",
+    )
+    sig = repetition_signals(df, "doc_id", "text")
+    rows = {
+        r["id"]: (r["dup_2gram_frac"], r["dup_3gram_frac"])
+        for r in sig.collect()
+    }
+    rep2 = [rows[f"rep{i}"][0] for i in range(len(REPETITIVE_DOCS))]
+    rep3 = [rows[f"rep{i}"][1] for i in range(len(REPETITIVE_DOCS))]
+    ok2 = [rows[f"ok{i}"][0] for i in range(len(GOOD_PROSE))]
+    ok3 = [rows[f"ok{i}"][1] for i in range(len(GOOD_PROSE))]
+    assert min(rep2) >= 0.5, f"repetitive 2-gram frac too low: {rep2}"
+    assert min(rep3) >= 0.5, f"repetitive 3-gram frac too low: {rep3}"
+    assert max(ok2) <= 0.15, f"clean 2-gram frac too high: {ok2}"
+    assert max(ok3) <= 0.1, f"clean 3-gram frac too high: {ok3}"
+    # wide margin: worst repetitive doc vs best clean doc on BOTH signals
+    assert min(rep2) > max(ok2) + 0.35
+    assert min(rep3) > max(ok3) + 0.4
