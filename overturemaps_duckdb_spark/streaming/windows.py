@@ -321,11 +321,18 @@ def foreach_batch_ingest(
     ckpt = os.path.join(root, "ckpt")
 
     def handle_batch(bdf: DataFrame, batch_id: int) -> None:
-        n = bdf.count()
-        bdf.write.mode("append").parquet(sink)
-        append_load_history(
-            log_root, key=f"batch_{batch_id}", lim=n, row_count=n
-        )
+        # two actions consume this batch frame (count + sink write); without
+        # a persist each action re-reads the micro-batch's source files —
+        # at 100 TB that doubles every ingest's scan (r10 review)
+        bdf.persist()
+        try:
+            n = bdf.count()
+            bdf.write.mode("append").parquet(sink)
+            append_load_history(
+                log_root, key=f"batch_{batch_id}", lim=n, row_count=n
+            )
+        finally:
+            bdf.unpersist()
 
     stream = (
         spark.readStream.schema(batch.schema)
