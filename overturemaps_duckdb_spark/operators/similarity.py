@@ -308,6 +308,37 @@ def auto_n_lists(n_rows: int) -> int:
     return max(4, min(1024, int(round(math.sqrt(max(n_rows, 1))))))
 
 
+#: k-means training budget for the AUTO build path: points per centroid.
+#: The FAISS guideline is ~30-256 training points per centroid — beyond
+#: that the fit cost grows linearly with the corpus while centroid
+#: quality plateaus.  256 keeps the auto fit bounded at ≤ 256·n_lists
+#: rows (≤ ~262k at the 1024-list cap) no matter how large the corpus.
+IVF_TRAIN_POINTS_PER_LIST = 256
+
+
+def resolve_ivf_build_params(
+    n_rows: int, n_lists: int | None, train_fraction: float | None
+) -> tuple[int, float | None]:
+    """Resolve ivf_build's auto defaults from the corpus size.
+
+    ``n_lists=None`` → :func:`auto_n_lists` (capped at the corpus size so
+    k-means never gets k > n).  On the auto path an unset
+    ``train_fraction`` also resolves to the
+    :data:`IVF_TRAIN_POINTS_PER_LIST` sampling budget when the corpus
+    exceeds it — the √N rule makes PROBES corpus-sublinear, but a
+    full-corpus k-means fit at √N centroids would itself be
+    corpus-linear × k (the r9 20M measurement: sampled fit cut the 8×-
+    centroid build 145 → 57 s); scale-safe-by-default has to bound both.
+    EXPLICIT arguments always pass through untouched — the certified n3
+    path (n_lists=16, full fit) stays bit-identical."""
+    if n_lists is None:
+        n_lists = min(auto_n_lists(n_rows), max(n_rows, 1))
+        target = IVF_TRAIN_POINTS_PER_LIST * n_lists
+        if train_fraction is None and n_rows > target:
+            train_fraction = target / n_rows
+    return n_lists, train_fraction
+
+
 def ivf_build(
     corpus: DataFrame,
     *,
@@ -332,28 +363,35 @@ def ivf_build(
     the vectors (measured 3.3 s → 59 s for the same 5 queries at
     2M → 20M).  Re-sized to n_lists=128 the 20M probe is back to a
     bounded candidate set (BENCH_COMPARE §r9).  Since r10 the rule IS
-    the default: ``n_lists=None`` resolves via :func:`auto_n_lists`
-    (√N clamped to [4, 1024], then capped at the corpus size so k-means
-    never gets k > n) — a 100 TB caller gets the scale-safe sizing
-    without reading this docstring, at the cost of one ``count()`` job
-    at build time; pass an explicit ``n_lists`` to skip the count (the
-    certified n3 query and the bench/slope harnesses pass 16).
+    the default: ``n_lists=None`` resolves via
+    :func:`resolve_ivf_build_params` (√N clamped to [4, 1024], capped at
+    the corpus size; an unset ``train_fraction`` on this auto path also
+    resolves to the :data:`IVF_TRAIN_POINTS_PER_LIST` sampling budget —
+    a full-corpus fit at √N centroids would be its own scale trap) — a
+    100 TB caller gets scale-safe sizing AND a bounded fit without
+    reading this docstring, at the cost of one ``count()`` job at build
+    time; pass an explicit ``n_lists`` to skip the count (the certified
+    n3 query and the bench/slope harnesses pass 16).
 
     ``train_fraction`` bounds the k-means FIT to a deterministic sample
     (``corpus.sample(fraction, seed)``) while the ASSIGNMENT still covers
     every row — the FAISS-style split, and the only tractable form at
     scale: a 20-iteration k-means over 100 TB is not a build step anyone
-    runs, while centroids only need a representative sample.  Default
-    None fits on the full corpus (bit-identical to the pre-r9 behavior —
-    the certified n3 path passes no fraction)."""
+    runs, while centroids only need a representative sample.  With an
+    EXPLICIT ``n_lists``, default None fits on the full corpus
+    (bit-identical to the pre-r9 behavior — the certified n3 path passes
+    n_lists=16 and no fraction); on the auto-``n_lists`` path an unset
+    fraction resolves to the sampling budget (see
+    :func:`resolve_ivf_build_params`)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     import numpy as np
 
     if n_lists is None:
-        n_rows = corpus.count()
-        n_lists = min(auto_n_lists(n_rows), max(n_rows, 1))
+        n_lists, train_fraction = resolve_ivf_build_params(
+            corpus.count(), n_lists, train_fraction
+        )
     ml_df = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),

@@ -686,6 +686,24 @@ def test_ivf_scale_safe_defaults(spark):
     assert auto_n_lists(3) == 4  # floor
     assert auto_n_lists(0) == 4
 
+    # auto path also bounds the k-means FIT (a full-corpus fit at √N
+    # centroids is itself corpus-linear × k): train_fraction resolves to
+    # the points-per-centroid budget once the corpus exceeds it
+    from overturemaps_duckdb_spark.operators.similarity import (
+        IVF_TRAIN_POINTS_PER_LIST,
+        resolve_ivf_build_params,
+    )
+
+    assert resolve_ivf_build_params(256, None, None) == (16, None)  # ≤ budget
+    nl, tf = resolve_ivf_build_params(20_000_000, None, None)
+    assert nl == 1024
+    assert tf == (IVF_TRAIN_POINTS_PER_LIST * 1024) / 20_000_000
+    # explicit arguments pass through untouched (certified-path contract)
+    assert resolve_ivf_build_params(20_000_000, 16, None) == (16, None)
+    assert resolve_ivf_build_params(20_000_000, None, 0.5) == (1024, 0.5)
+    # tiny corpus: k capped at n
+    assert resolve_ivf_build_params(3, None, None) == (3, None)
+
     # signature pins: a silent revert to fixture-scale defaults must fail CI
     assert inspect.signature(ivf_build).parameters["n_lists"].default is None
     assert (
