@@ -65,6 +65,12 @@ class FtsIndex:
     docstats: DataFrame  # (id, dl)
     stats: DataFrame  # single row: (n, avgdl)
     termstats: DataFrame | None = None  # (term, df)
+    #: the build's persisted tokenization intermediate (see
+    #: build_fts_index) — carried so unpersist() can release it; without
+    #: this handle an Engine reload or runner degrade released the four
+    #: index frames but left the tokenization cache pinned forever
+    #: (r10 review)
+    tok_cache: DataFrame | None = None
 
     def persist(self) -> "FtsIndex":
         self.postings = self.postings.persist()
@@ -79,7 +85,10 @@ class FtsIndex:
         session-lived index (Engine.load_area reload, runner degrade):
         Spark's CacheManager never releases caches on Python GC, so a
         dropped-but-persisted index pins executor storage forever."""
-        for frame in (self.postings, self.docstats, self.stats, self.termstats):
+        for frame in (
+            self.postings, self.docstats, self.stats, self.termstats,
+            self.tok_cache,
+        ):
             if frame is not None:
                 frame.unpersist()
 
@@ -92,14 +101,22 @@ class FtsIndex:
         return float(self.stats.collect()[0]["avgdl"])
 
 
-def build_fts_index(df: DataFrame, id_col: str, text_col: str) -> FtsIndex:
+def build_fts_index(
+    df: DataFrame, id_col: str, text_col: str, *, cache_tokens: bool = True
+) -> FtsIndex:
     """Tokenize → explode → (term, id, tf) postings + per-doc lengths.
 
     Narrow sources (a single parquet file arrives as 1 partition) are
     spread to full parallelism before tokenization — the explode+partial-agg
     is the expensive stage and otherwise runs on one core (measured 4.0 s →
     0.9 s at sf0.1).  Wide sources skip the exchange: at scale the scan
-    width comes from the file layout."""
+    width comes from the file layout.
+
+    ``cache_tokens=False`` skips the tokenization persist below — for
+    callers that execute only ONE of the index's plan trees (t1 returns
+    just the postings), where the cache buys nothing but would pin
+    executor storage once per invocation (r10 review; session-lived
+    indexes release it via FtsIndex.unpersist instead)."""
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
     par = df.sparkSession.sparkContext.defaultParallelism
     if src.rdd.getNumPartitions() < par:
@@ -107,10 +124,13 @@ def build_fts_index(df: DataFrame, id_col: str, text_col: str) -> FtsIndex:
     # One persisted tokenization feeds postings, docstats AND stats — they
     # are three separate plan trees, so without this the regexp tokenizer
     # runs once per tree (measured 0.7 s/extra pass at sf0.1).  The cache
-    # lives for the index's session lifetime, like the index itself; at
+    # lives for the index's session lifetime, like the index itself (the
+    # FtsIndex carries the handle so unpersist() releases it); at
     # 100 TB the index tables are written to storage and this intermediate
     # never materializes twice either.
-    toks = src.select("id", tokens("_t").alias("toks")).persist()
+    toks = src.select("id", tokens("_t").alias("toks"))
+    if cache_tokens:
+        toks = toks.persist()
     docstats = toks.select("id", F.size("toks").alias("dl"))
     # doc length rides along in the postings (classic posting-list
     # denormalization): +8 bytes/row at build time deletes the per-query
@@ -132,7 +152,10 @@ def build_fts_index(df: DataFrame, id_col: str, text_col: str) -> FtsIndex:
     # postings pass that only pays off in the persisted-store form, where
     # write_fts_index computes it once at ingest (measured: t2 inline
     # build+score 2.4 → 1.9 s at sf0.1).
-    return FtsIndex(postings, docstats, stats, termstats=None)
+    return FtsIndex(
+        postings, docstats, stats, termstats=None,
+        tok_cache=toks if cache_tokens else None,
+    )
 
 
 def write_fts_index(index: FtsIndex, path: str, *, mode: str = "overwrite") -> None:

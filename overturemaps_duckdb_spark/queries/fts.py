@@ -58,7 +58,12 @@ def t1_fts_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1 — the materialized inverted index (term, id, tf); the Spark twin of
     `PRAGMA create_fts_index` (fts.js:51-68)."""
     d = t(spark, sf_dir, "documents")
-    return build_fts_index(d, "doc_id", "text").postings.select("term", "id", "tf")
+    # cache_tokens=False: only the postings tree executes here, so the
+    # build's tokenization persist would pin storage once per invocation
+    # for zero reuse (r10 review)
+    return build_fts_index(
+        d, "doc_id", "text", cache_tokens=False
+    ).postings.select("term", "id", "tf")
 
 
 @query(

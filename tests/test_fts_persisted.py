@@ -73,3 +73,28 @@ def test_bm25_empty_query_follows_index_id_type(spark):
     res = bm25_score(idx, "!!! ???")  # tokenizes to nothing
     assert res.schema["id"].dataType.simpleString() == "string"
     assert res.count() == 0
+
+
+def test_unpersist_releases_tokenization_cache(spark):
+    """r10 review: the build's persisted tokenization intermediate must be
+    released by FtsIndex.unpersist() — an Engine reload / runner degrade
+    released the four index frames but left the toks cache pinned in the
+    CacheManager forever.  Single-tree callers (t1) skip the cache
+    entirely via cache_tokens=False."""
+    from overturemaps_duckdb_spark.operators.fts import build_fts_index
+    from tests.conftest import SF_SMOKE
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    idx = build_fts_index(d, "doc_id", "text").persist()
+    assert idx.tok_cache is not None and idx.tok_cache.is_cached
+    idx.postings.count()  # materialize through the cache
+    idx.unpersist()
+    assert not idx.tok_cache.is_cached, "toks cache survived unpersist()"
+    assert not idx.postings.is_cached
+
+    lean = build_fts_index(d, "doc_id", "text", cache_tokens=False)
+    assert lean.tok_cache is None
+    # values identical either way
+    a = sorted(map(tuple, lean.postings.collect()))
+    b = sorted(map(tuple, build_fts_index(d, "doc_id", "text").postings.collect()))
+    assert a == b
