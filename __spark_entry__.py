@@ -39,17 +39,22 @@ def entry(spark: SparkSession) -> DataFrame:
 #: s14/s4, table profile, salted unique_col for sk1, the j6 memo
 #: eviction, the console subscript nullif guard for ep3/ep4, the r9
 #: similarity-module work for n1/n2);
-#: (c) the 8 queries this round's OWN changes touch whose latest (r9)
-#: rows predate them — the staging_root realpath-hash + stale-sweep
-#: rework (s3/s13/s7/y1/ep1/ep3-ctas/i2-stream-stage), and n3 for the
-#: IVF default flips (certified path passes explicit args, included so
-#: the contract records the post-flip result);
-#: (d) all 27 non-TPC-H r7 rows.
+#: (c) the 12 queries this round's OWN changes touch whose latest rows
+#: predate them — the staging_root realpath-hash + stale-sweep rework
+#: (s3/s13/s7/y1/ep1/ep3-ctas/i2-stream-stage, plus the i5/i6/ex1
+#: conversions off the r8-era inline roots), t1 for the FTS
+#: cache_tokens build change, the i5 foreachBatch persist, and n3 for
+#: the IVF default flips (certified path passes explicit args, included
+#: so the contract records the post-flip result);
+#: (d) 23 of the 27 non-TPC-H r7 rows.
 #: Held back for r11: the 21 TPC-H r7 rows q2–q22 — one unchanged module
 #: (queries/tpch.py, r9-review-cleared beyond the documented q16 nit),
 #: q1 certified r8, every one re-verified against DuckDB each round by
-#: tests/test_oracle_parity.py.  After a green r10 the oldest cohort is
-#: r7 (those 21 rows only).
+#: tests/test_oracle_parity.py — plus 4 trivial scalar/filter r7 rows
+#: displaced by the (c) swap-ins (p7_round, p9_p10_length_abs,
+#: f3_between, f5_is_not_null: same-module siblings p4/p6/p8/p11/p13 and
+#: f1/f4/f8 are in this prefix, and all are re-oracled locally every
+#: round).  After a green r10 the oldest cohort is r7 (those 25 rows).
 _CERT_PRIORITY = [
     # (a) r5 held-backs — oldest cohort
     "m1_asset_metadata",
@@ -76,8 +81,12 @@ _CERT_PRIORITY = [
     "ep1_load_theme",
     "ep3_ctas_copy_roundtrip",
     "i2_stream_session_window",
+    "i5_stream_foreachbatch_ingest",
+    "i6_stream_dedup_replay",
+    "ex1_training_shards",
+    "t1_fts_index_build",
     "n3_ivf_ann_topk",
-    # (d) the 27 non-TPC-H r7 rows
+    # (d) 23 of the 27 non-TPC-H r7 rows
     "a2_distinct",
     "a3_groupby_source",
     "a6_count_distinct",
@@ -89,9 +98,7 @@ _CERT_PRIORITY = [
     "d8_cross_corpus_neardup",
     "e4_grouped_quantiles",
     "f1_interval_overlap",
-    "f3_between",
     "f4_ilike_substring",
-    "f5_is_not_null",
     "f8_in_subquery_semi",
     "o1_topk_order_limit",
     "o4_limit_offset",
@@ -100,9 +107,7 @@ _CERT_PRIORITY = [
     "p2_struct_field_access",
     "p4_coalesce_cast_empty",
     "p6_concat_ws_search_name",
-    "p7_round",
     "p8_regexp_replace",
-    "p9_p10_length_abs",
     "x3_lang_id",
     "x4_fingerprints",
 ]

@@ -313,25 +313,19 @@ def i6_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals the single-copy batch table — without the dedup every count
     would be doubled.  The training-data twin is ingest dedup at the door:
     a redelivering upstream must not double-weight documents."""
-    import os
-    import shutil
-    import tempfile
-
     from overturemaps_duckdb_spark.streaming.windows import (
         replayed_dedup_stream,
         run_to_batch,
     )
 
-    # deterministic per-(app, fixture) root, like i5/ex1 — the per-call
-    # mkdtemp accumulated 2 full event-table copies per invocation
-    # (replay needs real copies: distinct mtimes drive the batch order,
-    # and a symlink's utime follows to the target)
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"omds_i6_{spark.sparkContext.applicationId}_"
-        f"{os.path.basename(os.path.realpath(sf_dir))}",
-    )
-    shutil.rmtree(root, ignore_errors=True)
+    # deterministic per-(app, fixture) root via staging_root (r10: the
+    # r8-era inline form predated the helper and carried the two ADVICE
+    # r09 defects — same-basename fixture collision and one orphan dir
+    # per dead process).  Replay needs real copies: distinct mtimes
+    # drive the batch order, and a symlink's utime follows the target.
+    from overturemaps_duckdb_spark.operators._util import staging_root
+
+    root = staging_root(spark, sf_dir, "i6")
     deduped = replayed_dedup_stream(spark, sf_dir, root=root, n_copies=2)
     out = run_to_batch(deduped, "i6_dedup", output_mode="append")
     return out.groupBy("event_type").agg(
@@ -375,22 +369,13 @@ def i5_stream_foreachbatch_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
     reassembled sink must equal the batch table exactly — proven by the
     per-type count/cents aggregate against the plain-SQL oracle; the log is
     asserted to carry one row per micro-batch with matching row counts."""
-    import os
-    import shutil
-    import tempfile
-
     from overturemaps_duckdb_spark.streaming.windows import foreach_batch_ingest
 
-    # deterministic per-(app, fixture) root, overwritten on reuse — the
-    # ex1 precedent (r8 review fix: a fresh mkdtemp per invocation
-    # accumulated full event-table copies in /tmp across cert/bench
-    # sweeps until the disk filled)
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"omds_i5_{spark.sparkContext.applicationId}_"
-        f"{os.path.basename(os.path.realpath(sf_dir))}",
-    )
-    shutil.rmtree(root, ignore_errors=True)
+    # deterministic per-(app, fixture) root via staging_root (r10: the
+    # r8-era inline form predated the helper — see i6's note)
+    from overturemaps_duckdb_spark.operators._util import staging_root
+
+    root = staging_root(spark, sf_dir, "i5")
     sink, log_root = foreach_batch_ingest(spark, sf_dir, root=root, n_splits=3)
     log = spark.read.parquet(f"{log_root}/_load_history")
     total = t(spark, sf_dir, "events").count()

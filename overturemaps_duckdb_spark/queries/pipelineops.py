@@ -325,19 +325,19 @@ def ex1_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 — certifying both membership AND order survive the parquet
     round-trip).  At 100 TB this is the loader-facing contract: a shard
     directory streams its sub-permutation front-to-back."""
-    import hashlib
-    import tempfile
-
     from overturemaps_duckdb_spark.operators.sampling import (
         write_training_shards,
     )
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "source")
-    # ONE deterministic store per sf_dir, overwritten each run — repeated
-    # bench/parity invocations must not accumulate corpus copies in /tmp
-    # (mkdtemp-per-call leaked a full shard set per invocation)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    root = f"{tempfile.gettempdir()}/omds_ex1_{tag}/shards"
+    # ONE deterministic store per (app, fixture) via staging_root,
+    # overwritten each run (r10: the r8-era md5(sf_dir) form predated the
+    # helper — no per-app isolation, so two concurrent processes could
+    # clobber each other's shards mid-write, and it keyed on the RAW
+    # sf_dir string, so './sf0.01' vs the absolute path wrote two stores)
+    from overturemaps_duckdb_spark.operators._util import staging_root
+
+    root = staging_root(spark, sf_dir, "ex1") + "/shards"
     write_training_shards(docs, "doc_id", root, n_shards=8, seed=42)
     back = spark.read.parquet(root)
     return back.groupBy(F.col("_shard").cast("int").alias("shard")).agg(
