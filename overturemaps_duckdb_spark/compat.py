@@ -357,7 +357,21 @@ def _intercept(
         )
 
         table, id_col, text_col = m.groups()
+        # re-running the PRAGMA rebuilds over the table's CURRENT contents
+        # (so no memo), but the PREVIOUS build's persisted frames must be
+        # released first — each ep4-style console invocation otherwise
+        # pinned another dead index in the CacheManager forever (r10
+        # review, the t1/Engine-reload leak class).  Tracked on the
+        # session object like _omds_len_registered (id()-keyed dicts
+        # resurrect stopped sessions' state on address reuse).
+        registry = getattr(spark, "_omds_fts_pragma", None)
+        if registry is None:
+            registry = spark._omds_fts_pragma = {}
+        old = registry.get(table)
+        if old is not None:
+            old.unpersist()
         idx = build_fts_index(spark.table(table), id_col, text_col).persist()
+        registry[table] = idx
         idx.postings.createOrReplaceTempView(f"fts_main_{table}_postings")
         idx.docstats.createOrReplaceTempView(f"fts_main_{table}_docstats")
         # query-independent per-(term, id) BM25 contributions: the view raw

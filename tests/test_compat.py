@@ -303,3 +303,34 @@ def test_runtime_zero_variable_subscript(spark):
         "map(0, 'zero', 1, 'one')[k] AS via_shim FROM subs_m",
     ).collect()[0]
     assert row["direct"] == row["via_shim"] == "zero"
+
+
+def test_pragma_fts_reindex_releases_previous(spark):
+    """r10 review: every `PRAGMA create_fts_index` re-run (the ep4 console
+    pattern — one per invocation) built and persisted a NEW index while
+    the previous build's frames stayed pinned in the CacheManager forever.
+    The session now tracks the live PRAGMA index per table and releases
+    the predecessor on rebuild."""
+    from overturemaps_duckdb_spark.compat import duck_sql
+    from tests.conftest import SF_SMOKE
+
+    spark.read.parquet(f"{SF_SMOKE}/documents.parquet").createOrReplaceTempView(
+        "prag_docs"
+    )
+    duck_sql(spark, "PRAGMA create_fts_index('prag_docs', 'doc_id', 'text')")
+    first = spark._omds_fts_pragma["prag_docs"]
+    first.postings.count()  # materialize the cache
+    assert first.postings.is_cached
+    duck_sql(spark, "PRAGMA create_fts_index('prag_docs', 'doc_id', 'text')")
+    second = spark._omds_fts_pragma["prag_docs"]
+    assert second is not first
+    assert not first.postings.is_cached, "old PRAGMA index stayed pinned"
+    assert first.tok_cache is None or not first.tok_cache.is_cached
+    # the rebuilt index still scores
+    out = duck_sql(
+        spark,
+        "SELECT doc_id FROM prag_docs "
+        "WHERE fts_main_prag_docs.match_bm25(doc_id, 'data') IS NOT NULL "
+        "LIMIT 5",
+    )
+    assert out.count() >= 0
