@@ -754,7 +754,13 @@ def ivf_append(
     in).  Probes over the grown store are identical to a store built from
     the union in one shot (same centroids ⇒ same assignment; pinned in
     tests).  Re-clustering when drift accumulates is a new ivf_build +
-    ivf_write — deliberate and explicit, not implicit."""
+    ivf_write — deliberate and explicit, not implicit.  GROWTH is a
+    re-cluster trigger too, not just drift: n_lists was sized (√N rule)
+    for the corpus at build time, so appends that multiply the corpus
+    push per-list size — and hence probe candidate volume — back up
+    linearly; once the store is ~4× its build-time size the 2×-off √N
+    sizing costs ~2× per probe (the r9 20M measurement quantifies the
+    limit of ignoring this)."""
     centroids = read_ivf_centroids(spark, path)
     assigned = centroid_assign(
         new_vectors, centroids, id_col=id_col, vec_col=vec_col
