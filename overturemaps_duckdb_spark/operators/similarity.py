@@ -308,6 +308,31 @@ def auto_n_lists(n_rows: int) -> int:
     return max(4, min(1024, int(round(math.sqrt(max(n_rows, 1))))))
 
 
+def auto_n_probe(n_lists: int) -> int:
+    """√n_lists probe-width default, floored at 4 (and capped at n_lists
+    by the entry points).
+
+    Rationale, MEASURED on 200k high-entropy (hash-coordinate) vectors —
+    the worst case for IVF, no cluster structure for the quantizer to
+    exploit: at the old fixed default (16 lists, 4 probes = 25% of the
+    corpus scanned) recall@10 was 0.62; auto-sized to 447 lists with
+    n_probe HELD at 4 (0.9% scanned) recall fell to 0.24, recovering
+    with probe width (8→0.36, 16→0.44, 32→0.58, 64→0.72).  A fixed
+    n_probe therefore silently moves the recall operating point as the
+    corpus (and √N lists) grows.  √n_lists holds the scanned fraction at
+    ``1/√n_lists`` — candidate volume grows ~N^(3/4), still sublinear,
+    while worst-case recall decays slowly instead of cratering; real
+    embedding corpora cluster, so their recall holds far better than
+    this adversarial floor.  At n_lists=16 the rule gives exactly the
+    historical n_probe=4, so fixture-scale and certified behavior are
+    unchanged.  Callers with a recall target should measure and pass
+    n_probe explicitly — this default picks a sane POINT, not a
+    guarantee (BENCH_COMPARE §r10)."""
+    import math
+
+    return max(4, int(round(math.sqrt(max(n_lists, 1)))))
+
+
 #: k-means training budget for the AUTO build path: points per centroid.
 #: The FAISS guideline is ~30-256 training points per centroid — beyond
 #: that the fit cost grows linearly with the corpus while centroid
@@ -604,7 +629,7 @@ def ivf_topk(
     *,
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
-    n_probe: int = 4,
+    n_probe: int | None = None,
     k: int = 10,
     scorer: str = "vectorized",
 ) -> DataFrame:
@@ -616,7 +641,10 @@ def ivf_topk(
     ``scorer="exact"`` for the deterministic HOF cosine fold that the
     certified n3 oracle restates (6-dp agreement + identical top-k with
     the vectorized form is CI-pinned — see :func:`cosine_vectorized` for
-    the summation-order trade).
+    the summation-order trade).  ``n_probe=None`` resolves via
+    :func:`auto_n_probe` (√n_lists, floor 4 — identical to the
+    historical 4 at n_lists=16), so the recall operating point follows
+    auto-sized list counts instead of silently shrinking with them.
 
     Query→probe-list assignment is driver-side for point-lookup batches
     and engine-side column math beyond ``MAX_DRIVER_PROBE_QUERIES`` (the
@@ -625,6 +653,8 @@ def ivf_topk(
     small-batch case; a bulk probe frame shuffle-joins on `_list` (AQE
     may still pick broadcast from its own stats).  Returns (query_id,
     vec_id, cosine, rank)."""
+    if n_probe is None:
+        n_probe = min(auto_n_probe(len(centroids)), len(centroids))
     probe_df, _, small = _ivf_probes(
         assigned.sparkSession, centroids, queries, query_id_col, vec_col,
         n_probe, need_lists=False,
@@ -776,7 +806,7 @@ def ivf_topk_from_store(
     *,
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
-    n_probe: int = 4,
+    n_probe: int | None = None,
     k: int = 10,
     scorer: str = "vectorized",
 ) -> DataFrame:
@@ -785,6 +815,9 @@ def ivf_topk_from_store(
     (:func:`cosine_vectorized` — the measured 3–3.8× path on bulk/store
     probes); pass ``scorer="exact"`` for the deterministic HOF fold
     (certified-parity path; 6-dp agreement + identical top-k CI-pinned).
+    ``n_probe=None`` resolves via :func:`auto_n_probe` (√n_lists,
+    floor 4 — identical to the historical 4 at n_lists=16), holding the
+    recall operating point as auto-sized list counts grow.
 
     The probed list ids are applied as a STATIC `_list IN (...)` filter
     before the candidate join, so the parquet scan's PartitionFilters
@@ -802,6 +835,8 @@ def ivf_topk_from_store(
     subsequent transformation, composing callers should instead wrap the
     probe-and-consume block in :func:`probe_cache_scope`, which releases
     every cache persisted inside it on exit (ADVICE r06)."""
+    if n_probe is None:
+        n_probe = min(auto_n_probe(len(centroids)), len(centroids))
     probe_df, probed_lists, small = _ivf_probes(
         spark, centroids, queries, query_id_col, vec_col, n_probe
     )

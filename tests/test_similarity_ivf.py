@@ -704,8 +704,25 @@ def test_ivf_scale_safe_defaults(spark):
     # tiny corpus: k capped at n
     assert resolve_ivf_build_params(3, None, None) == (3, None)
 
+    # n_probe follows the list count (√n_lists, floor 4): a FIXED probe
+    # width silently shrinks the scanned fraction — and with it recall —
+    # as auto-sizing grows n_lists (measured on 200k high-entropy
+    # vectors: recall@10 0.62 at 16/4 vs 0.24 at 447/4; BENCH_COMPARE
+    # §r10).  At n_lists=16 the rule reproduces the historical 4 exactly.
+    from overturemaps_duckdb_spark.operators.similarity import auto_n_probe
+
+    assert auto_n_probe(16) == 4
+    assert auto_n_probe(447) == 21
+    assert auto_n_probe(1024) == 32
+    assert auto_n_probe(1) == 4  # floor (entry points cap at n_lists)
+
     # signature pins: a silent revert to fixture-scale defaults must fail CI
     assert inspect.signature(ivf_build).parameters["n_lists"].default is None
+    assert inspect.signature(ivf_topk).parameters["n_probe"].default is None
+    assert (
+        inspect.signature(ivf_topk_from_store).parameters["n_probe"].default
+        is None
+    )
     assert (
         inspect.signature(ivf_topk).parameters["scorer"].default == "vectorized"
     )
