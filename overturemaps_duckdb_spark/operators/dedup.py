@@ -1158,9 +1158,21 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash(text: str | Column, *, bits: int = 16) -> Column:
+def simhash(text: str | Column, *, bits: int = 60) -> Column:
     """`bits`-wide SimHash over distinct tokens: bit i is set iff the count
-    of token-hashes with bit i set exceeds half the token count."""
+    of token-hashes with bit i set exceeds half the token count.
+
+    WIDTH IS A SCALE PARAMETER (r10, same class as the IVF n_lists
+    default): the hamming-0 bucket join merges any two docs whose hashes
+    collide, and expected RANDOM collisions are ~n²/2^(bits+1) — at 16
+    bits that is ≈1 already at ~10k docs and floods the buckets with
+    unrelated pairs by ~1M.  The default is now the full width of the
+    engine-portable 60-bit md5 prefix (`md5_long`), which keeps expected
+    random hamming-0 collisions below 1 up to ~10⁹ docs; narrow widths
+    remain available for coarser tiers (the certified d3 query passes
+    bits=16 — its fixture-scale contract — and a 60-bit hash's buckets
+    always REFINE a 16-bit hash's: bit i is computed identically, so
+    equal-60 implies equal-16; pinned in tests)."""
     toks = F.array_distinct(tokens(text))
     hashes = F.transform(toks, md5_long)
     n = F.size(toks)
@@ -1177,10 +1189,13 @@ def simhash(text: str | Column, *, bits: int = 16) -> Column:
 
 
 def simhash_dedup_buckets(
-    df: DataFrame, id_col: str, text_col: str, *, bits: int = 16
+    df: DataFrame, id_col: str, text_col: str, *, bits: int = 60
 ) -> DataFrame:
     """(simhash, sorted member ids) buckets — exact-equal simhash grouping,
     the hamming-0 tier of simhash dedup (rotations give hamming>0 tiers).
+    Default width is the scale-safe 60 bits (see :func:`simhash` — a
+    16-bit hash's buckets fill with random collisions past ~10k docs);
+    the certified d3 query passes bits=16 explicitly.
 
     Shape: explode token hashes → per-doc conditional-sum aggregates (one
     per bit, all whole-stage codegen with map-side combine) → weighted-bit

@@ -188,9 +188,13 @@ def test_simhash_hamming_separates_edits_from_unrelated(spark):
         + [(f"e{i}", d) for i, d in enumerate(edited)]
     )
     df = spark.createDataFrame(rows, "id string, text string")
+    # explicit bits=16: this control certifies the 16-bit TIER the d3
+    # contract uses (the operator default widened to the scale-safe 60
+    # bits in r10 — a one-token edit proportionally shifts ~4× the bits
+    # there, which is the same relative locality, not a regression)
     h = {
         r["id"]: r["h"]
-        for r in df.select("id", simhash("text").alias("h")).collect()
+        for r in df.select("id", simhash("text", bits=16).alias("h")).collect()
     }
     ham = lambda a, b: bin(a ^ b).count("1")
     edit_d = [ham(h[f"o{i}"], h[f"e{i}"]) for i in range(len(originals))]
@@ -316,3 +320,43 @@ def test_repetition_signals_separate_looped_from_clean(spark):
     # wide margin: worst repetitive doc vs best clean doc on BOTH signals
     assert min(rep2) > max(ok2) + 0.35
     assert min(rep3) > max(ok3) + 0.4
+
+
+def test_simhash_width_default_scale_safe_and_refining(spark):
+    """r10: SimHash width is a scale parameter — expected random
+    hamming-0 collisions are ~n²/2^(bits+1), so the 16-bit default
+    flooded buckets with unrelated pairs past ~10k docs.  The default is
+    now the full 60-bit portable hash; 16-bit remains the certified d3
+    contract.  Structural pin: bit i is computed identically at every
+    width, so a 60-bit hash REFINES a 16-bit hash (equal-60 ⇒ equal-16)
+    — the wide default can only split 16-bit buckets, never merge."""
+    import inspect
+
+    from overturemaps_duckdb_spark.operators.dedup import (
+        simhash,
+        simhash_dedup_buckets,
+    )
+
+    assert inspect.signature(simhash).parameters["bits"].default == 60
+    assert (
+        inspect.signature(simhash_dedup_buckets).parameters["bits"].default
+        == 60
+    )
+
+    from tests.conftest import SF_SMOKE
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(300)
+    both = d.select(
+        "doc_id",
+        simhash("text", bits=16).alias("h16"),
+        simhash("text").alias("h60"),
+    ).collect()
+    by60 = {}
+    for r in both:
+        by60.setdefault(r["h60"], set()).add(r["h16"])
+    for h60, h16s in by60.items():
+        assert len(h16s) == 1, f"equal-60 docs split across 16-bit hashes: {h60}"
+    # low-16 projection: the 16-bit hash IS the low 16 bits' per-bit vote
+    for r in both:
+        assert r["h16"] == (r["h60"] & 0xFFFF) or True  # votes identical per bit
+        assert (r["h60"] & 0xFFFF) == r["h16"]
