@@ -306,13 +306,30 @@ def _default_session_state(spark: SparkSession):
     the last engine-code ``mkdtemp`` outside the r9 deterministic-root
     policy (VERDICT r09 #5); memoization keeps it one dir per session
     lifetime, and the wipe on (re)creation only ever clears a dir this
-    same application abandoned."""
+    same application abandoned.
+
+    The root carries a per-SparkSession ``token``: sibling sessions from
+    ``spark.newSession()`` share one applicationId, so an app-keyed path
+    alone would alias both consoles onto ONE ``_session`` parquet — the
+    second session's creation wipe destroyed the first's live store, and
+    their separate in-memory KV dicts silently clobbered each other on
+    every flush (ADVICE r10).  The token rides on the session object, so
+    each SparkSession keeps an isolated store for its lifetime while
+    dead tokened roots age out through the normal sweep."""
+    from uuid import uuid4
+
     from overturemaps_duckdb_spark.operators._util import staging_root
     from overturemaps_duckdb_spark.state import SessionState
 
     ss = getattr(spark, "_omds_default_session_state", None)
     if ss is None:
-        ss = SessionState(spark, staging_root(spark, None, "console-session"))
+        token = getattr(spark, "_omds_console_token", None)
+        if token is None:
+            token = uuid4().hex[:8]
+            spark._omds_console_token = token
+        ss = SessionState(
+            spark, staging_root(spark, None, "console-session", token=token)
+        )
         spark._omds_default_session_state = ss
     return ss
 

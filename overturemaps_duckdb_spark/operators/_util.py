@@ -40,9 +40,20 @@ def materialize(df: DataFrame, *, eager: bool = True) -> DataFrame:
 STAGING_STALE_SECONDS = 2 * 3600
 
 
-def staging_root(spark, sf_dir: str | None, tag: str, *, wipe: bool = True) -> str:
+def staging_root(
+    spark, sf_dir: str | None, tag: str, *, wipe: bool = True, token: str | None = None
+) -> str:
     """ONE deterministic staging directory per (application, fixture, tag),
     recreated empty on each call.
+
+    ``token`` (optional) appends a caller-supplied discriminator to the
+    root name WITHOUT changing the sweep tag: two SparkSessions from
+    ``spark.newSession()`` share one applicationId, so a purely
+    app-keyed path would alias their roots and ``wipe`` would destroy
+    the sibling session's live files (ADVICE r10) — the console session
+    store passes a per-SparkSession token for exactly this.  Because the
+    token is not part of the glob tag, dead tokened roots are still
+    swept by the same age-gated pass as everything else.
 
     Queries that stage files (banded exports, bucketed copies, snapview
     stores, streaming symlink manifests) used a fresh ``mkdtemp`` per
@@ -74,6 +85,16 @@ def staging_root(spark, sf_dir: str | None, tag: str, *, wipe: bool = True) -> s
     (``/a/sf0.01`` vs ``/b/sf0.01``) collide on one root, and ``wipe``
     would destroy the other fixture's staged files mid-session
     (ADVICE r09).
+
+    The stale gate consults the NEWEST mtime within two directory levels
+    of a candidate, not just the root's own mtime: a single invocation
+    that stays live past the gate (a long console session flushing into
+    ``<root>/_session/``, a long-running stream appending under
+    ``<root>/sink``/``ckpt``) never touches the root itself, but its
+    writes DO refresh the containing subdirectory — ``os.replace`` and
+    new part/offset files update their parent dir's mtime (ADVICE r10).
+    The deeper scan only runs once the root's own mtime is already past
+    the gate, so the common fresh-root case stays one ``stat``.
     """
     import glob
     import hashlib
@@ -86,19 +107,40 @@ def staging_root(spark, sf_dir: str | None, tag: str, *, wipe: bool = True) -> s
     base = os.path.basename(real) if sf_dir else "nosf"
     fp = hashlib.sha1(real.encode()).hexdigest()[:8]
     tmp = tempfile.gettempdir()
+    suffix = f"-{token}" if token else ""
     root = os.path.join(
         tmp,
-        f"omds_{tag}_{spark.sparkContext.applicationId}_{base}-{fp}",
+        f"omds_{tag}_{spark.sparkContext.applicationId}_{base}-{fp}{suffix}",
     )
     now = time.time()
+
+    def _is_stale(path: str) -> bool:
+        try:
+            if now - os.stat(path).st_mtime <= STAGING_STALE_SECONDS:
+                return False
+            # root looks stale — check two levels down for live writes
+            # (e.g. _session/ kv flushes, sink/ part files, ckpt/offsets/)
+            with os.scandir(path) as level1:
+                for child in level1:
+                    if now - child.stat().st_mtime <= STAGING_STALE_SECONDS:
+                        return False
+                    if child.is_dir(follow_symlinks=False):
+                        with os.scandir(child.path) as level2:
+                            for gc in level2:
+                                if (
+                                    now - gc.stat().st_mtime
+                                    <= STAGING_STALE_SECONDS
+                                ):
+                                    return False
+        except OSError:
+            return False  # raced with another sweeper / already gone
+        return True
+
     for sib in glob.glob(os.path.join(tmp, f"omds_{tag}_*")):
         if sib == root:
             continue
-        try:
-            if now - os.stat(sib).st_mtime > STAGING_STALE_SECONDS:
-                shutil.rmtree(sib, ignore_errors=True)
-        except OSError:
-            continue  # raced with another sweeper / already gone
+        if _is_stale(sib):
+            shutil.rmtree(sib, ignore_errors=True)
     if wipe:
         shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root, exist_ok=True)

@@ -11,7 +11,9 @@ Scale shapes:
 - MinHash:  signatures are computed per-row with array expressions (no
             explode), then only (band_hash → id) pairs shuffle; candidate
             verification joins tiny id-pair lists back to shingle sets.
-- SimHash:  one 16/32-bit integer per doc; candidates = equal simhash
+- SimHash:  one integer per doc (default 60 bits — random hamming-0
+            collisions are ~n²/2^(bits+1), so narrow widths flood buckets
+            past ~10k docs); candidates = equal simhash
             (or rotate-XOR buckets for hamming>0) — a plain equi-join.
 - Jaccard:  inverted-index pair join (shared shingle → pair) with counts;
             at planet scale this runs AFTER LSH banding cut candidates.

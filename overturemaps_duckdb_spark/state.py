@@ -151,6 +151,14 @@ class SessionState:
         tmp = os.path.join(self.path, ".part-00000.parquet.tmp")
         pq.write_table(table, tmp)
         os.replace(tmp, final)
+        try:
+            # Heartbeat for staging_root's stale sweep: a long-lived
+            # console session only ever writes inside <root>/_session/,
+            # so refresh the backing root's own mtime too — cheap direct
+            # insurance on top of the sweep's depth-2 scan (ADVICE r10).
+            os.utime(os.path.dirname(self.path))
+        except OSError:
+            pass  # root vanished / not writable — sweep scan still covers us
         for name in os.listdir(self.path):
             # stale extra parts from older layouts (never the live file),
             # plus orphaned dot-prefixed temps from a crash between

@@ -97,3 +97,112 @@ def test_double_invocation_reuses_root_and_result(spark):
         second = sorted(tuple(r) for r in q.QUERIES[name](spark, SF_SMOKE).collect())
         assert second == first, name
         assert _tmp_count(pattern) == n_dirs, f"{name} leaked a staging dir"
+
+
+def test_staging_root_token_isolates_and_sweep_still_matches(spark):
+    """ADVICE r10: a token appended to the root name must isolate two
+    callers sharing one applicationId, while keeping the root inside the
+    same-tag sweep glob (dead tokened roots still age out)."""
+    import fnmatch
+
+    from overturemaps_duckdb_spark.operators._util import staging_root
+
+    plain = staging_root(spark, SF_SMOKE, "t_tok")
+    ta = staging_root(spark, SF_SMOKE, "t_tok", token="aaaa1111")
+    tb = staging_root(spark, SF_SMOKE, "t_tok", token="bbbb2222")
+    try:
+        assert len({plain, ta, tb}) == 3
+        for r in (plain, ta, tb):
+            assert fnmatch.fnmatch(os.path.basename(r), "omds_t_tok_*")
+        # tokened creation must not wipe the sibling token's live files
+        with open(os.path.join(ta, "live.txt"), "w") as f:
+            f.write("x")
+        staging_root(spark, SF_SMOKE, "t_tok", token="bbbb2222")
+        assert os.path.exists(os.path.join(ta, "live.txt"))
+    finally:
+        import shutil
+
+        for r in (plain, ta, tb):
+            shutil.rmtree(r, ignore_errors=True)
+
+
+def test_stale_sweep_spares_root_with_fresh_subdir_write(spark):
+    """ADVICE r10: a long-lived invocation writes only inside subdirs
+    (<root>/_session/, <root>/sink/), never touching the root's own
+    mtime.  The sweep gate must consult child/grandchild mtimes before
+    rmtree'ing a root whose top-level mtime has aged past the gate."""
+    import time as _time
+
+    from overturemaps_duckdb_spark.operators._util import (
+        STAGING_STALE_SECONDS,
+        staging_root,
+    )
+
+    tmp = tempfile.gettempdir()
+    old = _time.time() - STAGING_STALE_SECONDS - 60
+    # stale root + stale child, but a FRESH grandchild write (live stream)
+    live = os.path.join(tmp, "omds_t_live_deadapp1_sfX-00000000")
+    os.makedirs(os.path.join(live, "sink", "batch"), exist_ok=True)
+    with open(os.path.join(live, "sink", "batch", "part-0"), "w") as f:
+        f.write("x")
+    os.utime(live, (old, old))
+    os.utime(os.path.join(live, "sink"), (old, old))
+    # fully stale sibling: every level past the gate
+    dead = os.path.join(tmp, "omds_t_live_deadapp2_sfX-00000000")
+    os.makedirs(os.path.join(dead, "sink"), exist_ok=True)
+    os.utime(os.path.join(dead, "sink"), (old, old))
+    os.utime(dead, (old, old))
+    try:
+        root = staging_root(spark, SF_SMOKE, "t_live")
+        assert os.path.exists(live), "root with fresh subdir write was swept"
+        assert not os.path.exists(dead), "fully-stale sibling must be swept"
+        assert os.path.exists(root)
+    finally:
+        import shutil
+
+        for d in (live, dead, root):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_session_flush_heartbeats_staging_root(spark, tmp_path):
+    """SessionState._flush must refresh the backing root's own mtime so
+    the staging sweep's cheap root-stat path sees a live console."""
+    import time as _time
+
+    from overturemaps_duckdb_spark.state import SessionState
+
+    root = str(tmp_path / "console_root")
+    os.makedirs(root)
+    ss = SessionState(spark, root)
+    old = _time.time() - 10_000
+    os.utime(root, (old, old))
+    ss.set("k", {"v": 1})
+    assert os.stat(root).st_mtime > old + 5_000
+
+
+def test_new_session_console_stores_are_isolated(spark):
+    """ADVICE r10 (medium): spark.newSession() shares the applicationId,
+    so the console fallback store must key on the SESSION, not the app —
+    the second session's first console SQL used to wipe the first
+    session's live _session parquet, then both aliased one path."""
+    from overturemaps_duckdb_spark.compat import _default_session_state
+
+    s2 = spark.newSession()
+    try:
+        ss1 = _default_session_state(spark)
+        ss1.set("who", "session-one")
+        ss2 = _default_session_state(s2)
+        assert ss2.path != ss1.path, "sibling sessions alias one _session store"
+        ss2.set("who", "session-two")
+        # first session's store survives the second's creation + flush
+        assert ss1.get("who") == "session-one"
+        from overturemaps_duckdb_spark.state import SessionState
+
+        rehydrated = SessionState(spark, os.path.dirname(ss1.path))
+        assert rehydrated.get("who") == "session-one"
+    finally:
+        # drop memoized state so other tests see a fresh console store
+        for s in (spark, s2):
+            for attr in ("_omds_default_session_state", "_omds_console_token"):
+                if hasattr(s, attr):
+                    delattr(s, attr)
