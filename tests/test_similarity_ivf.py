@@ -749,3 +749,42 @@ def test_ivf_scale_safe_defaults(spark):
     )
     _, cent3 = ivf_build(tiny, seed=42)
     assert len(cent3) == 3
+
+
+def test_ivf_all_defaults_end_to_end_recall(spark, tmp_path):
+    """VERDICT r10 #2: the naive 100 TB caller path — ivf_build with NO
+    explicit n_lists/train_fraction, ivf_write, ivf_topk_from_store with
+    NO explicit n_probe/scorer — must hold recall end-to-end.  The r10
+    signature pins guard each default in isolation; this guards their
+    COMPOSITION (auto √N lists coupled to auto √n_lists probe width), so
+    a future default tweak that silently shrinks the scanned fraction
+    fails here, not in production."""
+    e = spark.read.parquet(f"{SF_CORRECTNESS}/embeddings.parquet")
+    queries = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(e, queries, id_col="vec_id", vec_col="embedding", k=10)
+
+    from overturemaps_duckdb_spark.operators.similarity import (
+        ivf_topk_from_store,
+        ivf_write,
+    )
+
+    assigned, centroids = ivf_build(e, id_col="vec_id", vec_col="embedding", seed=42)
+    store = str(tmp_path / "ivf_store")
+    ivf_write(assigned, store, centroids=centroids)
+    approx = ivf_topk_from_store(spark, store, centroids, queries, k=10)
+
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r["query_id"], set()).add(r["vec_id"])
+    ap = {}
+    for r in approx.collect():
+        ap.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+    mean_recall = sum(recalls) / len(recalls)
+    # Floor mirrors n3's 0.6 bound less margin for the narrower scanned
+    # fraction auto sizing picks here (n_lists≈22, n_probe≈5 → ~23%
+    # of the corpus vs the explicit test's 4/16 = 25%).
+    assert mean_recall >= 0.45, f"all-defaults mean recall {mean_recall:.2f}"
