@@ -85,12 +85,11 @@ def test_regexp_replace_g_flag_stripped():
     assert "'i'" in out2
 
 
-def test_session_kv_sql_intercepts(spark):
-    import tempfile
+def test_session_kv_sql_intercepts(spark, tmp_path):
 
     from overturemaps_duckdb_spark.state import SessionState
 
-    root = tempfile.mkdtemp(prefix="omds_compat_kv_")
+    root = str(tmp_path / "compat_kv")
     ss = SessionState(spark, root)
     duck_sql(spark, "INSERT OR REPLACE INTO _session VALUES ('lim', '3000')", ss)
     duck_sql(spark, "INSERT OR REPLACE INTO _session VALUES ('lim', '100')", ss)

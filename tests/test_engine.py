@@ -5,7 +5,6 @@ Spark, driven through the one public object."""
 from __future__ import annotations
 
 import os
-import tempfile
 
 import pyspark.sql.functions as F
 
@@ -33,7 +32,7 @@ def test_engine_end_to_end(spark, tmp_path):
     )
     files = _stage_theme_files(spark, str(tmp_path), "places", raw)
 
-    eng = Engine(spark, root=tempfile.mkdtemp(prefix="omds_engine_"))
+    eng = Engine(spark, root=str(tmp_path / "engine"))
 
     def projection(batch):
         from overturemaps_duckdb_spark.functions.geo import (
@@ -139,7 +138,7 @@ def test_scale_scenario_grid_layout_banded_fold_no_bnlj(spark, tmp_path):
     )
     files = _stage_theme_files(spark, str(tmp_path), "places01", raw)
 
-    eng = Engine(spark, root=tempfile.mkdtemp(prefix="omds_scale_"))
+    eng = Engine(spark, root=str(tmp_path / "scale"))
 
     def projection(batch):
         from overturemaps_duckdb_spark.functions.geo import st_point

@@ -4,7 +4,6 @@ postings scan must push the term predicate down to the parquet reader."""
 
 from __future__ import annotations
 
-import tempfile
 
 from overturemaps_duckdb_spark.operators.fts import (
     bm25_score,
@@ -23,10 +22,10 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
-def test_persisted_index_scores_identically(spark):
+def test_persisted_index_scores_identically(spark, tmp_path):
     docs = t(spark, SF_CORRECTNESS, "documents")
     live = build_fts_index(docs, "doc_id", "text")
-    root = tempfile.mkdtemp(prefix="omds_fts_")
+    root = str(tmp_path / "fts")
     write_fts_index(live, root)
     stored = read_fts_index(spark, root)
 
@@ -40,9 +39,9 @@ def test_persisted_index_scores_identically(spark):
     )
 
 
-def test_persisted_postings_scan_prunes_terms(spark):
+def test_persisted_postings_scan_prunes_terms(spark, tmp_path):
     docs = t(spark, SF_CORRECTNESS, "documents")
-    root = tempfile.mkdtemp(prefix="omds_fts_")
+    root = str(tmp_path / "fts")
     write_fts_index(build_fts_index(docs, "doc_id", "text"), root)
     stored = read_fts_index(spark, root)
     plan = (

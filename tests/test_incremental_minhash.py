@@ -4,7 +4,6 @@ batch (the corpus side is read from its persisted index)."""
 
 from __future__ import annotations
 
-import tempfile
 
 import pytest
 
@@ -41,9 +40,9 @@ def _pairset(rows):
     return {(r["a_id"], r["b_id"], r["jaccard"]) for r in rows}
 
 
-def test_incremental_equals_full_rebuild(spark):
+def test_incremental_equals_full_rebuild(spark, tmp_path):
     batches = _batches(spark)
-    store = tempfile.mkdtemp(prefix="omds_mhidx_") + "/index"
+    store = str(tmp_path / "mhidx") + "/index"
     got = set()
     for b in batches:
         out = incremental_minhash_pairs(
@@ -63,9 +62,9 @@ def test_incremental_equals_full_rebuild(spark):
     assert any(a == 102 and b == 201 for a, b, _ in got)  # later cross-batch
 
 
-def test_dry_run_leaves_store_untouched(spark):
+def test_dry_run_leaves_store_untouched(spark, tmp_path):
     batches = _batches(spark)
-    store = tempfile.mkdtemp(prefix="omds_mhidx_") + "/index"
+    store = str(tmp_path / "mhidx") + "/index"
     write_minhash_index(batches[0], "doc_id", "text", store, mode="overwrite")
     before = spark.read.parquet(store).count()
     out = incremental_minhash_pairs(
@@ -76,12 +75,12 @@ def test_dry_run_leaves_store_untouched(spark):
     assert spark.read.parquet(store).count() == before
 
 
-def test_cross_band_key_join_is_capped(spark):
+def test_cross_band_key_join_is_capped(spark, tmp_path):
     """ADVICE r03: the old×new band-key join must honor bucket_cap too — a
     hot band key (here: identical texts on both sides) must contribute at
     most cap×cap join rows per key, with drops observable."""
     dup = [(i, DUP_A) for i in range(1, 9)]
-    store = tempfile.mkdtemp(prefix="omds_mhidx_") + "/index"
+    store = str(tmp_path / "mhidx") + "/index"
     write_minhash_index(
         spark.createDataFrame(dup, "doc_id long, text string"),
         "doc_id", "text", store, mode="overwrite",
@@ -112,12 +111,12 @@ def test_cross_band_key_join_is_capped(spark):
     assert len({(a, b) for a, b, _ in _pairset(full.collect()) if a <= 8 and b >= 101}) == 64
 
 
-def test_pairs_computed_before_append_lands(spark):
+def test_pairs_computed_before_append_lands(spark, tmp_path):
     """The returned frame must not see the new batch through the store (the
     lazy-plan double-count hazard): re-collecting after the append must
     yield the same rows."""
     batches = _batches(spark)
-    store = tempfile.mkdtemp(prefix="omds_mhidx_") + "/index"
+    store = str(tmp_path / "mhidx") + "/index"
     out1 = incremental_minhash_pairs(
         spark, store, batches[0], "doc_id", "text", jaccard_threshold=0.3
     )

@@ -6,7 +6,6 @@ from __future__ import annotations
 
 import contextlib
 import io
-import tempfile
 
 import pyspark.sql.functions as F
 
@@ -25,13 +24,13 @@ def _explain(df) -> str:
     return buf.getvalue()
 
 
-def test_grid_partition_pruning(spark):
+def test_grid_partition_pruning(spark, tmp_path):
     from overturemaps_duckdb_spark.queries.spatial import customer_points
 
     pts = customer_points(spark, SF_SMOKE).select(
         "id", "centroid_lon", "centroid_lat"
     )
-    path = tempfile.mkdtemp(prefix="omds_grid_") + "/pts"
+    path = str(tmp_path / "grid") + "/pts"
     write_grid_partitioned(pts, path, cell_deg=30.0)
 
     bbox = (-130.0, -60.0, -100.0, 60.0)
@@ -51,10 +50,10 @@ def test_grid_partition_pruning(spark):
     assert got == want and len(got) > 0
 
 
-def test_bucketed_join_avoids_shuffle(spark):
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     c = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
     o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
-    root = tempfile.mkdtemp(prefix="omds_bucket_")
+    root = str(tmp_path / "bucket")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         write_bucketed(
@@ -81,12 +80,11 @@ def test_bucketed_join_avoids_shuffle(spark):
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
 
 
-def test_load_theme_materializes_grid_layout(spark):
+def test_load_theme_materializes_grid_layout(spark, tmp_path):
     """load_theme with a store must land the ingested rows grid-partitioned
     (the RTREE analog, VERDICT r1 ask #5) and re-point the registered view
     at the layout, so bbox scans get plan-time partition pruning."""
     import os
-    import tempfile
 
     import pyspark.sql.functions as F
 
@@ -98,7 +96,7 @@ def test_load_theme_materializes_grid_layout(spark):
     pts = customer_points(spark, SF_SMOKE).select(
         "id", "centroid_lon", "centroid_lat"
     )
-    root = tempfile.mkdtemp(prefix="omds_lt_layout_")
+    root = str(tmp_path / "lt_layout")
     staged = os.path.join(root, "staged")
     pts.write.mode("overwrite").parquet(staged)
     files = [
@@ -139,11 +137,10 @@ def test_load_theme_materializes_grid_layout(spark):
     assert pruned.count() == expected
 
 
-def test_bucketed_join_no_exchange_smj(spark):
+def test_bucketed_join_no_exchange_smj(spark, tmp_path):
     """With broadcasting disabled, two tables bucketed on the join key must
     sort-merge-join AND aggregate with ZERO Exchange operators — the
     write-once/join-forever layout contract."""
-    import tempfile
 
     import pyspark.sql.functions as F
 
@@ -151,7 +148,7 @@ def test_bucketed_join_no_exchange_smj(spark):
     from overturemaps_duckdb_spark.sources.layout import write_bucketed
     from tests.conftest import SF_SMOKE
 
-    root = tempfile.mkdtemp(prefix="omds_bkt_")
+    root = str(tmp_path / "bkt")
     write_bucketed(
         t(spark, SF_SMOKE, "customer").select("c_custkey", "c_mktsegment"),
         "bkt_t_customer", bucket_cols=["c_custkey"], n_buckets=8,
@@ -194,13 +191,12 @@ def test_bucketed_join_no_exchange_smj(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
-def test_q3_on_bucketed_fact_tables_shuffle_free_join(spark):
+def test_q3_on_bucketed_fact_tables_shuffle_free_join(spark, tmp_path):
     """Backlog demo: TPC-H q3's heavy join (lineitem ⋈ orders on orderkey)
     on co-bucketed tables plans with NO Exchange feeding the join — the
     write-once layout that deletes the fact-side shuffle from every
     repeated orderkey join.  The small customer dim still broadcasts (that
     is the RIGHT plan; bucketing is for the two big sides)."""
-    import tempfile
 
     import pyspark.sql.functions as F
 
@@ -208,7 +204,7 @@ def test_q3_on_bucketed_fact_tables_shuffle_free_join(spark):
     from overturemaps_duckdb_spark.sources.layout import write_bucketed
     from tests.conftest import SF_SMOKE
 
-    root = tempfile.mkdtemp(prefix="omds_q3bkt_")
+    root = str(tmp_path / "q3bkt")
     write_bucketed(
         t(spark, SF_SMOKE, "lineitem").select(
             "l_orderkey", "l_extendedprice", "l_discount"
@@ -263,12 +259,11 @@ def test_q3_on_bucketed_fact_tables_shuffle_free_join(spark):
         spark.sql("DROP TABLE IF EXISTS bkt_q3_orders")
 
 
-def test_q9_q13_on_cobucketed_facts(spark):
+def test_q9_q13_on_cobucketed_facts(spark, tmp_path):
     """VERDICT r04 #2: the ACTUAL q9/q13 plans (queries/tpch.q9_plan /
     q13_plan — same code the registered queries run) over co-bucketed fact
     tables must (1) not shuffle the fact-fact edge and (2) return exactly
     the plain-parquet results."""
-    import tempfile
 
     import pyspark.sql.functions as F
 
@@ -277,7 +272,7 @@ def test_q9_q13_on_cobucketed_facts(spark):
     from overturemaps_duckdb_spark.sources.layout import write_cobucketed
     from tests.conftest import SF_SMOKE
 
-    root = tempfile.mkdtemp(prefix="omds_q9bkt_")
+    root = str(tmp_path / "q9bkt")
     li_b, o_b = write_cobucketed(
         spark,
         [
@@ -354,13 +349,12 @@ def test_q9_q13_on_cobucketed_facts(spark):
     assert rows13 == plain13
 
 
-def test_registered_q9_q13_resolve_layout_catalog(spark):
+def test_registered_q9_q13_resolve_layout_catalog(spark, tmp_path):
     """VERDICT r06 #4: the REGISTERED q9/q13 (not just the factored plans)
     read the co-bucketed layout when one is registered for their sf_dir —
     zero Exchange on the fact keys — and fall back to plain parquet after
     unregistration (or if the metastore table vanishes), with identical
     values throughout."""
-    import tempfile
 
     from overturemaps_duckdb_spark.queries import QUERIES, load_all, t
     from overturemaps_duckdb_spark.sources.layout import (
@@ -380,7 +374,7 @@ def test_registered_q9_q13_resolve_layout_catalog(spark):
     plain9 = {tuple(r) for r in q9(spark, SF_SMOKE).collect()}
     plain13 = {tuple(r) for r in q13(spark, SF_SMOKE).collect()}
 
-    root = tempfile.mkdtemp(prefix="omds_cat_bkt_")
+    root = str(tmp_path / "cat_bkt")
     write_cobucketed(
         spark,
         [

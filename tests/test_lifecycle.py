@@ -5,7 +5,6 @@ sessionState/urlState/store test coverage (SURVEY §5)."""
 from __future__ import annotations
 
 import os
-import tempfile
 
 import pyspark.sql.functions as F
 import pytest
@@ -28,7 +27,7 @@ from tests.conftest import SF_SMOKE
 
 
 @pytest.fixture(scope="module")
-def banded_files(spark):
+def banded_files(spark, tmp_path_factory):
     """4 parquet files of customer points, split into lon bands — each file's
     footer stats carry a distinct lon range, so pruning is observable."""
     from overturemaps_duckdb_spark.queries.spatial import customer_points
@@ -36,7 +35,7 @@ def banded_files(spark):
     pts = customer_points(spark, SF_SMOKE).select(
         "id", "centroid_lon", "centroid_lat"
     )
-    root = tempfile.mkdtemp(prefix="omds_manifest_")
+    root = str(tmp_path_factory.mktemp("manifest"))
     paths = []
     # sf0.001 customer lons span [-180, -30]; bands chosen to be non-empty
     for i, (lo, hi) in enumerate([(-180, -140), (-140, -100), (-100, -60), (-60, 0)]):
@@ -92,8 +91,8 @@ def test_discover_catalog(tmp_path):
     assert cat["2026-02"]["places_place"][0].endswith("part0.parquet")
 
 
-def test_session_state_roundtrip(spark):
-    root = tempfile.mkdtemp(prefix="omds_state_")
+def test_session_state_roundtrip(spark, tmp_path):
+    root = str(tmp_path / "state")
     s = SessionState(spark, root)
     s.set("pipeline", {"nodes": [1, 2], "limit": 3000})
     s.set("pipeline", {"nodes": [1, 2, 3], "limit": 100})  # INSERT OR REPLACE
@@ -115,8 +114,8 @@ def test_session_state_roundtrip(spark):
     assert got == {"k": "7"}
 
 
-def test_session_state_tolerates_corrupt_json(spark):
-    root = tempfile.mkdtemp(prefix="omds_state_")
+def test_session_state_tolerates_corrupt_json(spark, tmp_path):
+    root = str(tmp_path / "state")
     df = spark.createDataFrame(
         [("good", '{"a":1}'), ("bad", "{not json")], "key string, value string"
     )
@@ -126,8 +125,8 @@ def test_session_state_tolerates_corrupt_json(spark):
     assert s.get("bad") is None  # sessionState.js:96-101 tolerance
 
 
-def test_snapview_roundtrip(spark):
-    root = tempfile.mkdtemp(prefix="omds_snap_")
+def test_snapview_roundtrip(spark, tmp_path):
+    root = str(tmp_path / "snap")
     store = SnapviewStore(spark, root)
     df = spark.range(100).withColumn("v", F.col("id") * 2)
     rec = store.save("sv1", df, {"bbox": [0, 0, 1, 1], "keys": ["places"]})
@@ -141,8 +140,8 @@ def test_snapview_roundtrip(spark):
     assert store.delete("sv1") and store.load("sv1") is None
 
 
-def test_load_history_appends(spark):
-    root = tempfile.mkdtemp(prefix="omds_hist_")
+def test_load_history_appends(spark, tmp_path):
+    root = str(tmp_path / "hist")
     append_load_history(root, key="places/place", row_count=10, load_time_ms=5.0)
     append_load_history(root, key="buildings/building", cached=True)
     h = read_load_history(spark, root)
@@ -162,13 +161,13 @@ def test_url_state_roundtrip():
     assert decode_url_state("") is None
 
 
-def test_session_state_reclaims_orphaned_tmp(spark):
+def test_session_state_reclaims_orphaned_tmp(spark, tmp_path):
     """r9 ADVICE fix: a crash between pq.write_table(tmp) and os.replace
     left .part-00000.parquet.tmp behind forever — hidden from readers
     (dot-prefixed), but the cleanup loop only removed '*.parquet' names,
     so orphans accumulated across crashes.  Any stale dot-prefixed .tmp
     is now reclaimed on the next successful flush."""
-    root = tempfile.mkdtemp(prefix="omds_state_")
+    root = str(tmp_path / "state")
     s = SessionState(spark, root)
     s.set("a", 1)
     # simulate crashed flushes' leftovers: the live tmp name (consumed by
@@ -186,13 +185,13 @@ def test_session_state_reclaims_orphaned_tmp(spark):
     assert s2.get("a") == 1 and s2.get("b") == 2
 
 
-def test_drop_table_covers_managed_tables(spark):
+def test_drop_table_covers_managed_tables(spark, tmp_path):
     """r9 review fix: drop_table only called dropTempView, so a managed
     (saveAsTable / write_bucketed) table was listed by the lifecycle
     surface but silently undroppable (returned False, table survived)."""
     from overturemaps_duckdb_spark.session import drop_table, list_user_tables
 
-    root = tempfile.mkdtemp(prefix="omds_droptbl_")
+    root = str(tmp_path / "droptbl")
     spark.range(5).write.mode("overwrite").option(
         "path", f"{root}/t"
     ).saveAsTable("omds_managed_drop_t")

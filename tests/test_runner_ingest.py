@@ -149,7 +149,6 @@ def test_load_theme_budget_and_pruning(spark, tmp_path):
 
 def test_load_theme_snapview_cache_roundtrip(spark, tmp_path):
     import os
-    import tempfile
 
     from overturemaps_duckdb_spark.queries.spatial import customer_points
     from overturemaps_duckdb_spark.sources.ingest import load_theme
@@ -161,7 +160,7 @@ def test_load_theme_snapview_cache_roundtrip(spark, tmp_path):
     p = str(tmp_path / "all")
     pts.coalesce(1).write.mode("overwrite").parquet(p)
     files = [os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")]
-    store = SnapviewStore(spark, tempfile.mkdtemp(prefix="omds_ep1cache_"))
+    store = SnapviewStore(spark, str(tmp_path / "ep1cache"))
 
     kwargs = dict(
         table="theme_cache_test", files=files, bbox=(-180.0, -90.0, 0.0, 90.0),

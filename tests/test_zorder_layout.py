@@ -6,7 +6,6 @@ layout of the same data prunes nothing (every file spans everything)."""
 from __future__ import annotations
 
 import os
-import tempfile
 
 import pyspark.sql.functions as F
 
@@ -49,11 +48,11 @@ def test_morton_key_matches_reference(spark):
         assert r["z"] == _py_morton(r["centroid_lon"], r["centroid_lat"]), r
 
 
-def test_zorder_locality_and_manifest_pruning(spark):
+def test_zorder_locality_and_manifest_pruning(spark, tmp_path):
     pts = _points(spark)
-    zdir = tempfile.mkdtemp(prefix="omds_z_") + "/pts"
+    zdir = str(tmp_path / "z") + "/pts"
     write_zordered(pts, zdir, n_files=8)
-    sdir = tempfile.mkdtemp(prefix="omds_s_") + "/pts"
+    sdir = str(tmp_path / "s") + "/pts"
     pts.repartition(8).write.mode("overwrite").parquet(sdir)  # hash-shuffled twin
 
     def files(d):
