@@ -139,12 +139,17 @@ def _rewrite_subscripts(sql: str) -> str:
     exact.
 
     Also rewrites NEGATIVE literal indexes (DuckDB `arr[-1]` = last
-    element, matching try_element_at) and bare identifier/column indexes
-    (`arr[n]`) — a variable index left untouched kept Spark's 0-based
-    semantics, the exact off-by-one this shim exists to prevent; for maps
-    try_element_at is the same key lookup both engines do.  String-literal
-    subscripts (masked) stay native: they are struct/map field access,
-    which try_element_at does not support on structs."""
+    element, matching try_element_at), bare identifier/column indexes
+    (`arr[n]`) and arbitrary index EXPRESSIONS (`arr[i + 1]`,
+    `arr[size(arr)]`) — any index form left untouched keeps Spark's
+    0-based semantics, the exact off-by-one this shim exists to prevent
+    (the r11 review found expression indexes slipping through the old
+    literal/identifier-only pattern); for maps try_element_at is the same
+    key lookup both engines do.  String-literal subscripts (masked) stay
+    native: they are struct/map field access, which try_element_at does
+    not support on structs.  Slices (`arr[1:3]`) and `ARRAY[...]`
+    constructors are NOT subscripts and stay native — Spark rejects both
+    loudly, never silently off-by-one."""
 
     def _sub(expr: str, idx: str) -> str:
         if idx == "0":
@@ -174,39 +179,71 @@ def _rewrite_subscripts(sql: str) -> str:
             f"ELSE try_element_at({expr}, {idx}) END"
         )
 
+    i = 0
     while True:
-        m = re.search(r"\[\s*(-?\d+|[A-Za-z_][\w.]*)\s*\]", sql)
-        if m is None:
+        k = sql.find("[", i)
+        if k == -1:
             return sql
-        idx = m.group(1)
-        j = m.start() - 1
-        if j >= 0 and sql[j] == ")":
-            depth = 0
-            k = j
-            while k >= 0:
-                if sql[k] == ")":
-                    depth += 1
-                elif sql[k] == "(":
-                    depth -= 1
-                    if depth == 0:
+        if k == 0:
+            i = 1
+            continue
+        prev = sql[k - 1]
+        # subscript context = expression directly before the bracket;
+        # anything else ('[1,2]' after a comma/space/'(') is a literal
+        if not (prev.isalnum() or prev in "_." or prev == ")"):
+            i = k + 1
+            continue
+        # balanced-extract the index text (brackets nest: a[b[1]])
+        depth, j = 1, k + 1
+        while j < len(sql) and depth:
+            if sql[j] == "[":
+                depth += 1
+            elif sql[j] == "]":
+                depth -= 1
+            j += 1
+        if depth:
+            return sql  # unbalanced — leave for Spark to error loudly
+        idx = sql[k + 1 : j - 1].strip()
+        # struct/map string-key access stays native (masked literal)
+        if not idx or re.fullmatch(r"\x00L\d+\x00", idx):
+            i = j
+            continue
+        lvl, top_comma, top_colon = 0, False, False
+        for c in idx:
+            if c in "([":
+                lvl += 1
+            elif c in ")]":
+                lvl -= 1
+            elif lvl == 0 and c == ",":
+                top_comma = True
+            elif lvl == 0 and c == ":":
+                top_colon = True
+        if top_colon:  # slice — Spark rejects the syntax loudly
+            i = j
+            continue
+        # find the subscripted expression's start
+        e = k - 1
+        if sql[e] == ")":
+            d = 0
+            while e >= 0:
+                if sql[e] == ")":
+                    d += 1
+                elif sql[e] == "(":
+                    d -= 1
+                    if d == 0:
                         break
-                k -= 1
-            i2 = k - 1
-            while i2 >= 0 and (sql[i2].isalnum() or sql[i2] in "_."):
-                i2 -= 1
-            expr = sql[i2 + 1 : j + 1]
-            sql = sql[: i2 + 1] + _sub(expr, idx) + sql[m.end() :]
-        elif j >= 0 and (sql[j].isalnum() or sql[j] in "_."):
-            i2 = j
-            while i2 >= 0 and (sql[i2].isalnum() or sql[i2] in "_."):
-                i2 -= 1
-            expr = sql[i2 + 1 : j + 1]
-            sql = sql[: i2 + 1] + _sub(expr, idx) + sql[m.end() :]
-        else:
-            # not a subscript form we rewrite (e.g. array literal) — mask the
-            # brackets so the scan can proceed, restore at the end
-            sql = sql[: m.start()] + "\x01" + m.group(1) + "\x02" + sql[m.end() :]
-    return sql
+                e -= 1
+            e -= 1
+        while e >= 0 and (sql[e].isalnum() or sql[e] in "_."):
+            e -= 1
+        expr = sql[e + 1 : k]
+        # ARRAY[...] / multi-element [..,..] are constructors, not lookups
+        if top_comma or expr.lower() == "array":
+            i = j
+            continue
+        new = _sub(expr, _rewrite_subscripts(idx))
+        sql = sql[: e + 1] + new + sql[j:]
+        i = e + 1 + len(new)
 
 
 def _strip_regexp_g(text: str, literals: list[str]) -> str:
@@ -268,7 +305,14 @@ def translate(sql: str) -> str:
             "(the reference degrades to ILIKE on this same error)"
         )
     text = _rewrite_subscripts(text)
-    text = text.replace("\x01", "[").replace("\x02", "]")
+    # DuckDB `//` ≡ Spark DIV for INTEGRAL operands (both truncate toward
+    # zero — verified against duckdb v1.0.0 incl. negatives).  CAVEAT: on
+    # non-integral operands duckdb v1.0.0's `//` degenerates to plain
+    # division (5.5//2 = 2.75) where Spark DIV coerces decimals to BIGINT
+    # (5.5 DIV 2 = 2) and rejects doubles outright — console `//` should
+    # only be used on integer expressions (the only form the reference's
+    # generated SQL emits); test_intdiv_nonintegral_caveat pins both
+    # behaviors so a dialect drift shows up.
     text = re.sub(r"//", " DIV ", text)
     for src, dst in _FN_MAP.items():
         text = re.sub(rf"\b{src}\s*\(", f"{dst}(", text, flags=re.IGNORECASE)
@@ -408,16 +452,53 @@ def _intercept(
 
         return profile_table(spark.table(m.group(1)))
 
-    m = re.match(r"(?is)^COPY\s+\"?(\w+)\"?\s+TO\s+'([^']+)'.*$", s)
+    m = re.match(
+        r"(?is)^COPY\s+\"?(\w+)\"?\s+TO\s+'([^']+)'\s*(?:\((.*)\))?\s*$", s
+    )
     if m:
-        table, path = m.groups()
-        spark.table(table).write.mode("overwrite").parquet(path)
+        # DuckDB picks the output format from the FORMAT option, falling
+        # back to the file extension, falling back to CSV — the old
+        # intercept wrote parquet unconditionally, silently producing a
+        # parquet file for `COPY t TO 'out.csv' (FORMAT CSV)` (r11
+        # review).  Spark writes a directory of parts either way (the
+        # documented engine-side difference); csv mirrors DuckDB's
+        # header default.
+        table, path, opts = m.groups()
+        fm = re.search(r"(?i)\bFORMAT\s+'?(\w+)'?", opts or "")
+        fmt = (
+            fm.group(1).lower()
+            if fm
+            else (
+                "parquet"
+                if re.search(r"(?i)\.(parquet|pq)$", path)
+                else "json"
+                if re.search(r"(?i)\.(json|ndjson|jsonl)$", path)
+                else "csv"
+            )
+        )
+        writer = spark.table(table).write.mode("overwrite")
+        if fmt == "parquet":
+            writer.parquet(path)
+        elif fmt == "csv":
+            writer.option("header", True).csv(path)
+        elif fmt == "json":
+            writer.json(path)
+        else:
+            raise NotImplementedError(
+                f"COPY TO format '{fmt}' — the console supports PARQUET, "
+                "CSV and JSON (DuckDB's other formats have no Spark sink)"
+            )
         return spark.table(table).limit(0)
 
     m = re.match(r"(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+\"?(\w+)\"?\s+AS\s+(.*)$", s)
     if m:
+        # Engine-side nuance vs DuckDB: the "table" is a temp view over
+        # the SELECT's (already-analyzed) plan, so it recomputes from the
+        # underlying FILES on each reference rather than snapshotting
+        # rows — re-registering a source view later does NOT retarget it,
+        # but rewriting the source files does change it.
         table, select = m.groups()
-        df = duck_sql(spark, select)
+        df = duck_sql(spark, select, session_state)
         df.createOrReplaceTempView(table)
         return df.limit(0)
 

@@ -333,3 +333,112 @@ def test_pragma_fts_reindex_releases_previous(spark):
         "LIMIT 5",
     )
     assert out.count() >= 0
+
+
+def test_expression_subscripts_translate(spark):
+    """r11 review: an index EXPRESSION (arr[i + 1], arr[size(arr)]) fell
+    through the old literal/identifier-only pattern and ran with Spark's
+    0-BASED native subscript — the exact silent off-by-one the rewriter
+    exists to prevent."""
+    import duckdb
+
+    from overturemaps_duckdb_spark.compat import duck_sql
+
+    spark.createDataFrame(
+        [(["a", "b", "c"], 1)], "arr array<string>, i int"
+    ).createOrReplaceTempView("subs_expr")
+    q = (
+        "SELECT arr[i + 1] AS plus, arr[size(arr)] AS last_fn, "
+        "arr[i * 3] AS mul FROM subs_expr"
+    )
+    got = duck_sql(spark, q).collect()[0]
+    want = duckdb.sql(
+        "SELECT arr[i + 1], arr[len(arr)], arr[i * 3] "
+        "FROM (SELECT ['a','b','c'] AS arr, 1 AS i)"
+    ).fetchone()
+    assert (got["plus"], got["last_fn"], got["mul"]) == want == ("b", "c", "c")
+
+
+def test_nested_and_chained_subscripts(spark):
+    import duckdb
+
+    from overturemaps_duckdb_spark.compat import duck_sql
+
+    spark.createDataFrame(
+        [(["a", "b", "c"], [2, 3])], "arr array<string>, ix array<int>"
+    ).createOrReplaceTempView("subs_nest")
+    got = duck_sql(spark, "SELECT arr[ix[1]] AS nested FROM subs_nest").collect()[0]
+    want = duckdb.sql(
+        "SELECT arr[ix[1]] FROM (SELECT ['a','b','c'] arr, [2,3] ix)"
+    ).fetchone()
+    assert (got["nested"],) == want == ("b",)
+
+
+def test_array_constructor_and_slice_not_rewritten():
+    from overturemaps_duckdb_spark.compat import translate
+
+    # ARRAY[...] is a constructor: must NOT become try_element_at(ARRAY, ...)
+    t = translate("SELECT ARRAY[1, 2, 3] FROM t")
+    assert "try_element_at" not in t
+    # slices stay native (Spark rejects the syntax loudly — never a
+    # silent off-by-one)
+    t2 = translate("SELECT arr[1:2] FROM t")
+    assert "arr[1:2]" in t2
+
+
+def test_copy_respects_format(spark, tmp_path):
+    """r11 review: COPY always wrote parquet — `(FORMAT CSV)` silently
+    produced a parquet file.  Format now follows the option, then the
+    extension, then DuckDB's CSV default."""
+    import glob as _glob
+
+    from overturemaps_duckdb_spark.compat import duck_sql
+
+    spark.createDataFrame([(1, "x"), (2, "y")], "id int, s string")\
+        .createOrReplaceTempView("copy_fmt_t")
+
+    pq_dir = str(tmp_path / "out_parquet")
+    duck_sql(spark, f"COPY copy_fmt_t TO '{pq_dir}' (FORMAT PARQUET)")
+    assert spark.read.parquet(pq_dir).count() == 2
+
+    csv_dir = str(tmp_path / "out.csv")
+    duck_sql(spark, f"COPY copy_fmt_t TO '{csv_dir}' (FORMAT CSV)")
+    part = _glob.glob(csv_dir + "/part-*")[0]
+    text = open(part).read()
+    assert "id" in text.splitlines()[0]  # header, like DuckDB's default
+    back = spark.read.option("header", True).csv(csv_dir)
+    assert back.count() == 2
+
+    # extension fallback: .json → ndjson, like DuckDB
+    js_dir = str(tmp_path / "out.json")
+    duck_sql(spark, f"COPY copy_fmt_t TO '{js_dir}'")
+    assert spark.read.json(js_dir).count() == 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        duck_sql(spark, f"COPY copy_fmt_t TO '{tmp_path}/o' (FORMAT ORC)")
+
+
+def test_intdiv_nonintegral_caveat(spark):
+    """`//` → DIV is exact for INTEGRAL operands (both truncate toward
+    zero, duckdb v1.0.0 verified); non-integral operands are a DOCUMENTED
+    divergence (duckdb degenerates to plain division, Spark DIV coerces
+    decimals / rejects doubles).  Pin the integral parity incl. negatives
+    so a dialect drift in either engine surfaces."""
+    import duckdb
+
+    from overturemaps_duckdb_spark.compat import duck_sql
+
+    spark.createDataFrame(
+        [(-7, 2), (7, -2), (7, 2), (9, 4)], "a int, b int"
+    ).createOrReplaceTempView("intdiv_t")
+    got = sorted(
+        tuple(r) for r in duck_sql(spark, "SELECT a, b, a // b AS q FROM intdiv_t").collect()
+    )
+    want = sorted(
+        duckdb.sql(
+            "SELECT a, b, a // b FROM (VALUES (-7, 2), (7, -2), (7, 2), (9, 4)) t(a, b)"
+        ).fetchall()
+    )
+    assert got == want
