@@ -731,15 +731,23 @@ def centroid_assign(
     named column before the argmin so the HOF fold is evaluated once,
     not once per reference.
 
-    NULL or wrong-dimension vectors are REJECTED (raise_error in the
-    plan): a silent NULL `_list` would land the row in the Hive default
-    partition where no probe ever reads it — the MLlib path fails loudly
-    on the same input, and so does this one."""
+    NULL, wrong-dimension, or NULL-ELEMENT vectors are REJECTED
+    (raise_error in the plan): a silent NULL `_list` would land the row
+    in the Hive default partition where no probe ever reads it — the
+    MLlib path fails loudly on the same input, and so does this one.
+    (r11 review: the element check mirrors _probe_assign's r8 fix — a
+    correct-length vector with ONE NULL element folded every centroid
+    distance to NULL, array_position returned NULL, and the append
+    landed in the dead partition with no error.)"""
     dim = len(centroids[0])
     C = F.array(
         *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
     )
-    bad = F.col(vec_col).isNull() | (F.size(vec_col) != dim)
+    bad = (
+        F.col(vec_col).isNull()
+        | (F.size(vec_col) != dim)
+        | F.exists(vec_col, lambda x: x.isNull())
+    )
     prepared = df.select(
         F.col(id_col).alias("id"),
         F.when(

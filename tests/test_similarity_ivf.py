@@ -788,3 +788,27 @@ def test_ivf_all_defaults_end_to_end_recall(spark, tmp_path):
     # fraction auto sizing picks here (n_lists≈22, n_probe≈5 → ~23%
     # of the corpus vs the explicit test's 4/16 = 25%).
     assert mean_recall >= 0.45, f"all-defaults mean recall {mean_recall:.2f}"
+
+
+def test_centroid_assign_rejects_null_elements(spark):
+    """r11 review: a correct-length vector with ONE NULL element slipped
+    past the NULL/dim guard, folded every centroid distance to NULL, and
+    landed SILENTLY in the Hive default partition (`_list` NULL) where no
+    probe ever reads it — the exact failure mode the guard documents.
+    Mirrors _probe_assign's r8 NULL-element fix on the append path."""
+    import numpy as np
+    import pytest
+
+    from overturemaps_duckdb_spark.operators.similarity import centroid_assign
+
+    cents = np.array([[0.0, 0.0], [1.0, 1.0]])
+    df = spark.createDataFrame(
+        [(1, [0.1, None]), (2, [0.9, 1.0])], "vec_id int, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="NULL or non-2-dim"):
+        centroid_assign(df, cents).collect()
+    # clean vectors still assign
+    ok = spark.createDataFrame(
+        [(2, [0.9, 1.0])], "vec_id int, embedding array<double>"
+    )
+    assert centroid_assign(ok, cents).collect()[0]["_list"] == 1
