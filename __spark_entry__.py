@@ -31,85 +31,73 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q.QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-#: Certification rotation, round 10 (VERDICT r09 next-round #1):
-#: (a) the 6 r5 rows held back from r9 (oldest cohort — all pre-verified
-#: MATCH by the r9 judge's own driver_sim);
-#: (b) the 9 queries whose r9 behavior change postdates their latest
-#: driver row (the verdict's named swap-in list: staging roots for
-#: s14/s4, table profile, salted unique_col for sk1, the j6 memo
-#: eviction, the console subscript nullif guard for ep3/ep4, the r9
-#: similarity-module work for n1/n2);
-#: (c) the 12 queries this round's OWN changes touch whose latest rows
-#: predate them — the staging_root realpath-hash + stale-sweep rework
-#: (s3/s13/s7/y1/ep1/ep3-ctas/i2-stream-stage, plus the i5/i6/ex1
-#: conversions off the r8-era inline roots), t1 for the FTS
-#: cache_tokens build change, the i5 foreachBatch persist, and n3 for
-#: the IVF default flips (certified path passes explicit args, included
-#: so the contract records the post-flip result);
-#: (d) 23 of the 27 non-TPC-H r7 rows.
-#: Held back for r11: the 21 TPC-H r7 rows q2–q22 — one unchanged module
-#: (queries/tpch.py, r9-review-cleared beyond the documented q16 nit),
-#: q1 certified r8, every one re-verified against DuckDB each round by
-#: tests/test_oracle_parity.py — plus 4 trivial scalar/filter r7 rows
-#: displaced by the (c) swap-ins (p7_round, p9_p10_length_abs,
-#: f3_between, f5_is_not_null: same-module siblings p4/p6/p8/p11/p13 and
-#: f1/f4/f8 are in this prefix, and all are re-oracled locally every
-#: round).  After a green r10 the oldest cohort is r7 (those 25 rows).
+#: Certification rotation, round 11 (VERDICT r10 next-round #1):
+#: (a) the 25 held-back r7 rows — the ONLY cohort older than r8 after the
+#: green r10 run: TPC-H q2-q22 (queries/tpch.py, unchanged + review-
+#: cleared, re-oracled locally every round by tests/test_oracle_parity)
+#: and the 4 displaced scalar/filter rows (p7/p9_p10/f3/f5).  After a
+#: green r11, no driver row predates r8.
+#: (b) the 5 queries whose r11 behavior changed after their r10 rows:
+#: ep3/ep4/ep3-ctas (console subscript rewriter generalized to
+#: expression indexes; COPY format handling; session-token staging
+#: root), y1 (SessionState._flush heartbeat), n3 (similarity module's
+#: centroid_assign NULL-element guard).
+#: (c) 20 oldest r8 rows, in their r8-file order.  Held for r12: the
+#: remaining 19 r8 rows + the r9 cohort.
 _CERT_PRIORITY = [
-    # (a) r5 held-backs — oldest cohort
-    "m1_asset_metadata",
-    "m6_audio_modality",
-    "j1_spatial_intersect_join",
-    "g1_g2_polygon_type_centroid_area",
-    "e1_tumbling_window",
-    "i1_stream_tumbling_window",
-    # (b) r9-behavior-changed, driver rows predate (VERDICT r09 swap-in)
-    "s14_bucketed_join",
-    "s4_discover_catalog",
-    "s15_table_profile",
-    "sk1_salted_agg",
-    "j6_pip_fold_collect",
+    # (a) r7 holdbacks — oldest cohort
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue_ratio",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q20_excess_inventory",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    "p7_round",
+    "p9_p10_length_abs",
+    "f3_between",
+    "f5_is_not_null",
+    # (b) r11-behavior-changed
     "ep3_sql_console",
     "ep4_sql_fts_console",
-    "n1_cosine_topk",
-    "n2_lsh_ann_pairs",
-    # (c) r10-behavior-changed (staging_root rework; IVF default flips)
-    "s3_manifest_pruned_scan",
-    "s13_grid_partitioned_scan",
-    "s7_s8_snapview_roundtrip",
-    "y1_session_kv",
-    "ep1_load_theme",
     "ep3_ctas_copy_roundtrip",
-    "i2_stream_session_window",
-    "i5_stream_foreachbatch_ingest",
-    "i6_stream_dedup_replay",
-    "ex1_training_shards",
-    "t1_fts_index_build",
+    "y1_session_kv",
     "n3_ivf_ann_topk",
-    # (d) 23 of the 27 non-TPC-H r7 rows
-    "a2_distinct",
-    "a3_groupby_source",
-    "a6_count_distinct",
-    "a7_approx_count_distinct",
-    "a8_rollup",
-    "a9_cube",
-    "d6_dedup_clusters",
-    "d7_cluster_canonical",
-    "d8_cross_corpus_neardup",
-    "e4_grouped_quantiles",
-    "f1_interval_overlap",
-    "f4_ilike_substring",
-    "f8_in_subquery_semi",
-    "o1_topk_order_limit",
-    "o4_limit_offset",
-    "p11_literal_source_tag",
-    "p13_json_extract",
-    "p2_struct_field_access",
-    "p4_coalesce_cast_empty",
-    "p6_concat_ws_search_name",
-    "p8_regexp_replace",
-    "x3_lang_id",
-    "x4_fingerprints",
+    # (c) 20 oldest r8 rows
+    "pl3_bbox_filter",
+    "pl4_within_filter",
+    "pl5_exclude_filter",
+    "dc1_decontaminate",
+    "aj1_asof_join",
+    "j1_inner_band_theta_join",
+    "j2_semi_join_within",
+    "j3_anti_join_exclude",
+    "j4_bidirectional_match",
+    "j5_join_distinct_matched_b",
+    "mx1_token_budget_mix",
+    "o5_balanced_union_limit",
+    "o6_nulls_last_sort",
+    "q1_pricing_summary",
+    "s1_scan_filter_project",
+    "s5_ctas_ingest_budget",
+    "s6_incremental_append",
+    "s11_count_probe",
+    "u1_union_all_aligned",
+    "u2_union_distinct",
 ]
 
 
