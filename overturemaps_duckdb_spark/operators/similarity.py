@@ -857,6 +857,108 @@ def ivf_topk_from_store(
     return result
 
 
+def n_probe_for_recall(
+    assigned: DataFrame,
+    centroids,
+    sample_queries: DataFrame,
+    *,
+    target: float = 0.9,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    return_curve: bool = False,
+):
+    """Smallest ``n_probe`` whose measured recall@k reaches ``target`` on a
+    held-out query sample — the principled knob for production callers
+    (VERDICT r10 #7): :func:`auto_n_probe` picks a sane default POINT,
+    this measures the caller's own corpus/queries and returns the width
+    for a recall TARGET.
+
+    One pass, no repeated probing: recall at width w is the fraction of
+    EXACT top-k neighbors whose inverted list ranks within the query's w
+    nearest centroids (scoring inside probed candidates is exact, so
+    candidate-generation recall IS top-k recall).  The exact top-k runs
+    once (brute force over the corpus — the sample is small, this is a
+    calibration step), each true neighbor joins to its `_list`, and the
+    whole recall-vs-width curve falls out of the neighbor's list rank.
+    The sample itself is bounded by ``MAX_DRIVER_PROBE_QUERIES`` (the
+    centroid ranking runs driver-side against the tiny centroid matrix —
+    a calibration sample past that cap is a misuse, not a scale path).
+
+    Returns the width (int), or ``(width, curve)`` with
+    ``return_curve=True`` where curve[w] = measured mean recall@k at w
+    (1-indexed list ranks; curve[n_lists] is exact-scan recall 1.0 by
+    construction).  If no width below ``n_lists`` reaches the target the
+    full width is returned — a probe of every list is an exact scan."""
+    import numpy as np
+
+    n_lists = len(centroids)
+    if not 0.0 < target <= 1.0:
+        raise ValueError(f"target out of (0, 1]: {target}")
+    sample = sample_queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).limit(MAX_DRIVER_PROBE_QUERIES + 1).collect()
+    if len(sample) > MAX_DRIVER_PROBE_QUERIES:
+        raise ValueError(
+            f"n_probe_for_recall: calibration sample exceeds "
+            f"{MAX_DRIVER_PROBE_QUERIES} queries — pass a (random) sample, "
+            "not the production query stream"
+        )
+    if not sample:
+        raise ValueError("n_probe_for_recall: empty query sample")
+    dim = len(centroids[0])
+    ranks: dict[object, list[int]] = {}
+    for r in sample:
+        if r["q_vec"] is None or len(r["q_vec"]) != dim or any(
+            x is None for x in r["q_vec"]
+        ):
+            raise ValueError(
+                f"n_probe_for_recall: NULL or non-{dim}-dim query vector at "
+                f"{r['query_id']}"
+            )
+        qv = np.asarray(r["q_vec"], dtype="float64")
+        d = ((centroids - qv) ** 2).sum(axis=1)
+        order = np.argsort(d, kind="stable")  # same tie-break as the probes
+        rank_of_list = np.empty(n_lists, dtype=np.int64)
+        rank_of_list[order] = np.arange(1, n_lists + 1)
+        ranks[r["query_id"]] = rank_of_list
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = sample_queries.schema[query_id_col].dataType
+    vec_type = sample_queries.schema[vec_col].dataType
+    q_df = assigned.sparkSession.createDataFrame(
+        [(r["query_id"], r["q_vec"]) for r in sample],
+        StructType(
+            [StructField("query_id", id_type), StructField("v", vec_type)]
+        ),
+    )
+    exact = cosine_topk(assigned, q_df, id_col="id", vec_col="v", k=k)
+    # fresh exprIds on the list lookup (exact derives from assigned —
+    # the pipeline compiler's _clone pattern for self-join ambiguity)
+    lists = assigned.select(
+        F.col("id").alias("_lid"), F.col("_list").alias("_list")
+    )
+    hits = (
+        exact.join(lists, exact["vec_id"] == F.col("_lid"))
+        .select("query_id", "_list")
+        .collect()
+    )
+    per_query: dict[object, list[int]] = {}
+    for h in hits:
+        per_query.setdefault(h["query_id"], []).append(
+            int(ranks[h["query_id"]][h["_list"]])
+        )
+    curve = {}
+    for w in range(1, n_lists + 1):
+        recalls = [
+            sum(1 for r in rs if r <= w) / len(rs)
+            for rs in per_query.values()
+        ]
+        curve[w] = sum(recalls) / len(recalls)
+    width = next((w for w in range(1, n_lists + 1) if curve[w] >= target), n_lists)
+    return (width, curve) if return_curve else width
+
+
 def quantize_embeddings(
     df: DataFrame,
     *,
