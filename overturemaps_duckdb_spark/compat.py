@@ -247,9 +247,16 @@ def _rewrite_subscripts(sql: str) -> str:
 
 
 def _strip_regexp_g(text: str, literals: list[str]) -> str:
-    """Drop a 4th-argument 'g' flag from EVERY regexp_replace call, however
-    nested.  Operates on literal-masked text (string literals are
-    \\x00Ln\\x00 placeholders), so paren/comma scanning is exact."""
+    """Translate a 4th-argument DuckDB flag string on EVERY regexp_replace
+    call, however nested.  'g' simply drops (Spark replaces globally by
+    default); 'i'/'s'/'m' become inline ``(?i)``-style prefixes on the
+    PATTERN argument ('c' = case-sensitive is the default, drops); any
+    other flag leaves the call untouched for Spark to reject loudly.
+    DIVERGENCE (same class as the documented flag-less form): a flag
+    string WITHOUT 'g' means first-occurrence-only in DuckDB, while
+    Spark always replaces globally — the reference's generated SQL
+    always passes 'g'.  Operates on literal-masked text (string literals
+    are \\x00Ln\\x00 placeholders), so paren/comma scanning is exact."""
     m = re.search(r"(?is)regexp_replace\s*\(", text)
     if m is None:
         return text
@@ -277,8 +284,28 @@ def _strip_regexp_g(text: str, literals: list[str]) -> str:
             commas.append(k)
     if len(commas) == 3:
         lm = re.fullmatch(r"\s*\x00L(\d+)\x00\s*", args[commas[2] + 1 :])
-        if lm and literals[int(lm.group(1))] == "'g'":
+        flags = None
+        if lm:
+            fl = literals[int(lm.group(1))]
+            if re.fullmatch(r"'[gismc]+'", fl):
+                flags = fl[1:-1]
+        if flags is not None:
             args = args[: commas[2]]
+            inline = "".join(f"(?{f})" for f in "ism" if f in flags)
+            if inline:
+                patt = args[commas[0] + 1 : commas[1]]
+                pm = re.fullmatch(r"\s*\x00L(\d+)\x00\s*", patt)
+                if pm:
+                    # pattern is a literal → prepend inside its quotes
+                    pi = int(pm.group(1))
+                    literals[pi] = "'" + inline + literals[pi][1:-1] + "'"
+                else:
+                    # pattern is an expression → SQL-concat the prefix
+                    args = (
+                        args[: commas[0] + 1]
+                        + f" '{inline}' || ({patt.strip()})"
+                        + args[commas[1] :]
+                    )
     return (
         text[:start] + args + ")" + _strip_regexp_g(text[j + 1 :], literals)
     )

@@ -80,9 +80,12 @@ def test_read_parquet_list_form(spark):
 def test_regexp_replace_g_flag_stripped():
     out = translate("SELECT regexp_replace(lower(x), '[^a-z]+', ' ', 'g') FROM t")
     assert out == "SELECT regexp_replace(lower(x), '[^a-z]+', ' ') FROM t"
-    # a non-'g' 4th arg is untouched
+    # a non-'g' known flag becomes an inline pattern prefix (r11)
     out2 = translate("SELECT regexp_replace(x, 'a', 'b', 'i') FROM t")
-    assert "'i'" in out2
+    assert out2 == "SELECT regexp_replace(x, '(?i)a', 'b') FROM t"
+    # an unknown flag string stays untouched → Spark errors loudly
+    out3 = translate("SELECT regexp_replace(x, 'a', 'b', 'z9') FROM t")
+    assert "'z9'" in out3
 
 
 def test_session_kv_sql_intercepts(spark, tmp_path):
@@ -442,3 +445,41 @@ def test_intdiv_nonintegral_caveat(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_regexp_replace_flag_translation(spark):
+    """r11 backlog: DuckDB flag strings beyond 'g' ('i'/'s'/'m', combos)
+    previously hit Spark's 4th-arg position cast with a loud error; they
+    now translate to inline (?i)-style pattern prefixes.  Values pinned
+    against duckdb (global forms — the non-'g' first-occurrence-only
+    divergence is documented, same class as the flag-less form)."""
+    import duckdb
+
+    from overturemaps_duckdb_spark.compat import duck_sql
+
+    spark.createDataFrame([("AbAb",)], "s string").createOrReplaceTempView(
+        "regex_fl"
+    )
+    q = (
+        "SELECT regexp_replace(s, 'a', 'x', 'gi') AS gi, "
+        "regexp_replace(s, 'a.', 'x', 'gis') AS gis FROM regex_fl"
+    )
+    got = duck_sql(spark, q).collect()[0]
+    want = duckdb.sql(
+        "SELECT regexp_replace(s, 'a', 'x', 'gi'), "
+        "regexp_replace(s, 'a.', 'x', 'gis') FROM (SELECT 'AbAb' AS s)"
+    ).fetchone()
+    assert (got["gi"], got["gis"]) == want == ("xbxb", "xx")
+
+    # expression pattern (non-literal) gets the prefix via SQL concat
+    got2 = duck_sql(
+        spark,
+        "SELECT regexp_replace(s, upper('a'), 'x', 'gi') AS r FROM regex_fl",
+    ).collect()[0]
+    assert got2["r"] == "xbxb"
+
+    # unknown flag letters stay untouched -> loud Spark error, never silent
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        duck_sql(spark, "SELECT regexp_replace(s, 'a', 'x', 'z9') FROM regex_fl").collect()
