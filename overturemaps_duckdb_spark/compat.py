@@ -173,10 +173,22 @@ def _rewrite_subscripts(sql: str) -> str:
         # non-deterministic or expensive subscripted expression would
         # change results/cost vs the single-reference original; bind such
         # an expression once via a lateral alias before subscripting it.
+        # BOTH branches CAST the index to INT (r11 differential-fuzz
+        # find): Spark's element_at requires an INT index on arrays, so a
+        # BIGINT-typed index expression (len(arr), a bigint column)
+        # failed ANALYSIS where DuckDB accepts it — and since Catalyst
+        # type-checks the untaken CASE branch too, the cast cannot live
+        # in the array branch alone.  For maps an INT key upcasts to the
+        # map's int/bigint key type; variable subscripts on maps with
+        # genuinely-string keys are therefore out of scope (the console's
+        # string-KEY lookups are string LITERALS, which never rewrite —
+        # they stay native struct/map access above).  A bigint index past
+        # 2^31 wraps under the cast; every such value is astronomically
+        # out of range for a real array and DuckDB answers NULL anyway.
         return (
             f"CASE WHEN typeof({expr}) LIKE 'array%' "
-            f"THEN try_element_at({expr}, nullif({idx}, 0)) "
-            f"ELSE try_element_at({expr}, {idx}) END"
+            f"THEN try_element_at({expr}, CAST(nullif({idx}, 0) AS INT)) "
+            f"ELSE try_element_at({expr}, CAST({idx} AS INT)) END"
         )
 
     i = 0

@@ -483,3 +483,50 @@ def test_regexp_replace_flag_translation(spark):
 
     with _pytest.raises(Exception):
         duck_sql(spark, "SELECT regexp_replace(s, 'a', 'x', 'z9') FROM regex_fl").collect()
+
+
+def test_subscript_rewriter_differential_fuzz(spark):
+    """Differential fuzz for the r11 balanced-scan subscript rewriter:
+    deterministic random index expressions (literals, negatives,
+    variables, arithmetic, nested subscripts, function calls) must agree
+    with duckdb row-for-row.  Catches any context where the scanner
+    silently leaves Spark's 0-based native subscript in play."""
+    import random
+
+    import duckdb
+
+    from overturemaps_duckdb_spark.compat import duck_sql
+
+    rng = random.Random(1107)
+    spark.createDataFrame(
+        [(["a", "b", "c", "d"], [2, 4, 1], 1, 2)],
+        "arr array<string>, ix array<int>, i int, j int",
+    ).createOrReplaceTempView("fz_subs")
+    duck = duckdb.connect()
+    duck.execute(
+        "CREATE VIEW fz_subs AS SELECT ['a','b','c','d'] AS arr, "
+        "[2, 4, 1] AS ix, 1 AS i, 2 AS j"
+    )
+
+    def gen_index(depth=0):
+        choices = [
+            lambda: str(rng.randint(-5, 5)),
+            lambda: rng.choice(["i", "j"]),
+            lambda: f"{rng.choice(['i', 'j'])} + {rng.randint(0, 3)}",
+            lambda: f"{rng.randint(1, 4)} - {rng.choice(['i', 'j'])}",
+            lambda: "len(arr)",
+            lambda: f"least({rng.randint(1, 4)}, {rng.choice(['i', 'j'])})",
+        ]
+        if depth < 1:
+            choices.append(lambda: f"ix[{gen_index(depth + 1)}]")
+        return rng.choice(choices)()
+
+    mismatches = []
+    for n in range(40):
+        expr = f"arr[{gen_index()}]"
+        q = f"SELECT {expr} AS v FROM fz_subs"
+        got = duck_sql(spark, q).collect()[0]["v"]
+        want = duck.execute(q.replace("size(", "len(")).fetchone()[0]
+        if got != want:
+            mismatches.append((expr, got, want))
+    assert not mismatches, mismatches
