@@ -530,3 +530,71 @@ def test_subscript_rewriter_differential_fuzz(spark):
         if got != want:
             mismatches.append((expr, got, want))
     assert not mismatches, mismatches
+
+
+def test_translation_surface_composite_fuzz(spark):
+    """Composite differential fuzz: random expressions composed from the
+    WHOLE translation surface — subscripts over renamed list_* functions,
+    `//` inside index expressions, list_sum/list_avg splicing around
+    CASE-rewritten subscripts — must agree with duckdb.  Guards the
+    INTERACTIONS between the rewrite passes (subscripts run before
+    renames before call-splicing before `//`), which the per-feature
+    tests cannot see."""
+    import random
+
+    import duckdb
+
+    from overturemaps_duckdb_spark.compat import duck_sql
+
+    rng = random.Random(2211)
+    spark.createDataFrame(
+        [(["a", "b", "c", "d"], [2, 4, 1], 1, 2)],
+        "arr array<string>, ix array<int>, i int, j int",
+    ).createOrReplaceTempView("fz_comp")
+    duck = duckdb.connect()
+    duck.execute(
+        "CREATE VIEW fz_comp AS SELECT ['a','b','c','d'] AS arr, "
+        "[2, 4, 1] AS ix, 1 AS i, 2 AS j"
+    )
+
+    def num(depth=0):
+        opts = [
+            lambda: str(rng.randint(-3, 6)),
+            lambda: rng.choice(["i", "j"]),
+            lambda: "len(arr)",
+            lambda: "list_min(ix)",
+            lambda: "list_max(ix)",
+            lambda: f"({num(depth + 1)} + {num(depth + 1)})" if depth < 2 else "i",
+            lambda: f"({num(depth + 1)} // 2)" if depth < 2 else "j",
+            lambda: f"ix[{num(depth + 1)}]" if depth < 2 else "1",
+        ]
+        return rng.choice(opts)()
+
+    def scalar():
+        opts = [
+            lambda: f"arr[{num()}]",
+            lambda: f"list_sort(ix)[{num()}]",
+            lambda: f"string_split('p q r', ' ')[{num()}]",
+            lambda: f"list_sum(list_transform(ix, x -> x + {rng.randint(0, 3)}))",
+            lambda: f"list_avg(ix) + {num()}",
+            lambda: f"len(arr) {rng.choice(['+', '*'])} {num()}",
+        ]
+        return rng.choice(opts)()
+
+    mismatches = []
+    for n in range(50):
+        expr = scalar()
+        q = f"SELECT {expr} AS v FROM fz_comp"
+        try:
+            got = duck_sql(spark, q).collect()[0]["v"]
+        except Exception as exc:  # loud failure = a translation gap to record
+            mismatches.append((expr, "SPARK_ERROR", str(exc)[:100]))
+            continue
+        want = duck.execute(q).fetchone()[0]
+        if got != want and not (
+            isinstance(got, float)
+            and isinstance(want, (int, float))
+            and abs(got - float(want)) < 1e-9
+        ):
+            mismatches.append((expr, got, want))
+    assert not mismatches, mismatches
