@@ -545,17 +545,56 @@ def _intercept(
 
 
 def _materialize_read_parquet(spark: SparkSession, sql: str) -> str:
-    """`read_parquet([...])` / `read_parquet('f')` → registered temp view."""
+    """`read_parquet([...])` / `read_parquet('f')` → registered temp view.
 
-    def repl(m: re.Match) -> str:
-        files = re.findall(r"'([^']+)'", m.group(1))
+    Literal-aware (r11 review): the rewrite only fires where the
+    ``read_parquet`` token sits OUTSIDE a string literal — a data value
+    like ``'use read_parquet(''f'')'`` used to be rewritten (registering
+    a view against a path from inside the data and corrupting the
+    literal's text).  The call's own path arguments ARE literals, so the
+    scan works on the literal-split form and reassembles around them."""
+    parts = _split_literals(sql)
+    out: list[str] = []
+    i = 0
+    open_call = re.compile(r"(?is)read_parquet\s*\(\s*\[?\s*$")
+    close_call = re.compile(r"\s*\]?\s*(?:,[^)']*)?\)")
+    while i < len(parts):
+        is_lit, chunk = parts[i]
+        m = None if is_lit else open_call.search(chunk)
+        if m is None:
+            out.append(chunk)
+            i += 1
+            continue
+        # consume the literal path args (separated by non-literal commas)
+        files: list[str] = []
+        j = i + 1
+        while j < len(parts):
+            lit, c2 = parts[j]
+            if lit:
+                files.append(c2[1:-1].replace("''", "'"))
+            elif c2.lstrip().startswith(",") and ")" not in c2:
+                pass  # separator between path literals — keep consuming
+            else:
+                break
+            j += 1
+        close = (
+            close_call.match(parts[j][1])
+            if files and j < len(parts) and not parts[j][0]
+            else None
+        )
+        if close is None:  # not the shape we materialize — leave as-is
+            out.append(chunk)
+            i += 1
+            continue
         _RP_COUNTER[0] += 1
         name = f"__read_parquet_{_RP_COUNTER[0]}"
         spark.read.parquet(*files).createOrReplaceTempView(name)
-        return name
-
-    return re.sub(r"(?is)read_parquet\s*\(\s*(\[[^\]]*\]|'[^']*')\s*"
-                  r"(?:,[^)]*)?\)", repl, sql)
+        out.append(chunk[: m.start()] + name)
+        # re-scan the post-close remainder (a second read_parquet call may
+        # open inside it)
+        parts[j] = (False, parts[j][1][close.end() :])
+        i = j
+    return "".join(out)
 
 
 def _ensure_len_udf(spark: SparkSession) -> None:

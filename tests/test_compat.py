@@ -598,3 +598,28 @@ def test_translation_surface_composite_fuzz(spark):
         ):
             mismatches.append((expr, got, want))
     assert not mismatches, mismatches
+
+
+def test_read_parquet_literal_safety_and_multiple_calls(spark):
+    """r11 review: the read_parquet materializer ran on UNMASKED text, so
+    a data literal containing `read_parquet('…')` was rewritten — a view
+    registered against a path from inside the data, and the literal's
+    text corrupted.  Now literal-aware; multiple real calls in one
+    statement still materialize, and option arguments are tolerated."""
+    from overturemaps_duckdb_spark.compat import duck_sql
+
+    # a literal mentioning read_parquet stays data
+    row = duck_sql(
+        spark, "SELECT 'use read_parquet(''f'')' AS hint"
+    ).collect()[0]
+    assert row["hint"] == "use read_parquet('f')"
+
+    # two real calls in one statement
+    single = spark.read.parquet(f"{SF_SMOKE}/region.parquet").count()
+    row = duck_sql(
+        spark,
+        f"SELECT (SELECT count(*) FROM read_parquet('{SF_SMOKE}/region.parquet'))"
+        f" + (SELECT count(*) FROM read_parquet(['{SF_SMOKE}/region.parquet',"
+        f" '{SF_SMOKE}/region.parquet'])) AS c",
+    ).collect()[0]
+    assert row["c"] == 3 * single
