@@ -477,3 +477,58 @@ def test_sizing_cache_memoizes_probe(spark):
         sizing_cache=cache3, sizing_key="k3",
     ).collect()
     assert cache3 == {}
+
+
+def test_quantile_cont_randomized_differential(spark):
+    """Randomized differential pin for the quantile_cont ≡ percentile
+    mapping the console and the distributed operator both rely on:
+    random groups with NULLs, duplicates, negatives, and single-row
+    groups, at random probs — per-value agreement with duckdb to 9 dp,
+    through BOTH the B=1 fast path and the forced-bucketed path."""
+    import random
+
+    import duckdb
+
+    from overturemaps_duckdb_spark.operators.quantiles import (
+        grouped_quantile_cont,
+    )
+
+    rng = random.Random(411)
+    rows = []
+    for g in range(8):
+        n = rng.choice([1, 2, 3, 7, 40])
+        for _ in range(n):
+            v = (
+                None
+                if rng.random() < 0.15
+                else round(rng.uniform(-50, 50), 3) * rng.choice([1, 1, 1, 0])
+            )
+            rows.append((f"g{g}", v))
+    probs = sorted(rng.sample([0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99], 3))
+    df = spark.createDataFrame(rows, "grp string, v double")
+
+    con = duckdb.connect()
+    con.register("tq", __import__("pandas").DataFrame(rows, columns=["grp", "v"]))
+    want = {}
+    sel = ", ".join(
+        f"quantile_cont(v, {p}) AS q{k}" for k, p in enumerate(probs)
+    )
+    for r in con.execute(
+        f"SELECT grp, {sel}, count(*) AS n FROM tq GROUP BY grp"
+    ).fetchall():
+        want[r[0]] = tuple(
+            round(x, 9) if x is not None else None for x in r[1:-1]
+        ) + (r[-1],)
+
+    names = [f"q{k}" for k in range(len(probs))]
+    for kwargs in ({"n_buckets": 1}, {"n_buckets": 3}):
+        got = {}
+        for r in grouped_quantile_cont(
+            df, ["grp"], "v", probs, out_names=names, **kwargs
+        ).collect():
+            got[r["grp"]] = tuple(
+                round(r[nm], 9) if r[nm] is not None else None for nm in names
+            ) + (r["n"],)
+        assert got == want, (kwargs, {
+            k: (got[k], want[k]) for k in want if got.get(k) != want[k]
+        })
