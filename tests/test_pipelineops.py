@@ -382,3 +382,95 @@ def test_asof_double_order_tiebreak_not_truncated(spark):
         right_cols=["px"],
     ).collect()
     assert out[0]["r_px"] == 1.9  # largest order value wins the tie
+
+
+def test_asof_range_impl_matches_keys_impl(spark):
+    """r11: the range-partitioned + driver-stitched as-of form must be
+    value-identical to the per-key window form on randomized data with
+    ties, NULL timestamps, NULL order values, and multiple keys — in
+    both directions — while actually splitting one key's stream across
+    MANY partitions (the low-cardinality scale case the per-key window
+    serializes)."""
+    import random
+
+    rng = random.Random(77)
+    keys = ["k1", "k2"]
+    lefts = [
+        (rng.choice(keys), rng.choice([None] + list(range(0, 200, 3))), i)
+        for i in range(120)
+    ]
+    # NULL-ord rights get UNIQUE (key, ts) slots: two rights tied on both
+    # ts and a NULL ord are an unspecified-order case in the window form
+    # itself (same class as the reference's bare LIMIT), so the
+    # equivalence pin excludes full ties while keeping every other tie
+    # shape (shared ts + distinct ords, NULL vs non-NULL ord).
+    rights = [
+        (
+            rng.choice(keys),
+            rng.choice(list(range(0, 200, 5)) + [None]),
+            rng.choice([1, 2, 5, 9]),
+            f"q{i}",
+        )
+        for i in range(70)
+    ] + [
+        (k, 1000 + 7 * i, None, f"qn{k}{i}")
+        for i in range(5)
+        for k in keys
+    ]
+    ldf = spark.createDataFrame(lefts, "k string, ts int, lid int")
+    rdf = spark.createDataFrame(rights, "k string, ts int, ord int, quote string")
+
+    def rows(df):
+        return sorted(
+            (tuple(r) for r in df.collect()),
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
+
+    for direction in ("backward", "forward"):
+        base = asof_join(
+            ldf, rdf.withColumnRenamed("ts", "rts"), ["k"], "ts", "rts",
+            ["ord", "quote"], right_order="ord", direction=direction,
+        )
+        ranged = asof_join(
+            ldf, rdf.withColumnRenamed("ts", "rts"), ["k"], "ts", "rts",
+            ["ord", "quote"], right_order="ord", direction=direction,
+            impl="range", num_partitions=7,
+        )
+        assert rows(ranged) == rows(base), direction
+
+    # global as-of (by=[]) — the case the default form runs on ONE task
+    base0 = asof_join(
+        ldf, rdf.withColumnRenamed("ts", "rts"), [], "ts", "rts",
+        ["quote"], right_order="ord",
+    )
+    rng0 = asof_join(
+        ldf, rdf.withColumnRenamed("ts", "rts"), [], "ts", "rts",
+        ["quote"], right_order="ord", impl="range", num_partitions=6,
+    )
+    assert rows(rng0) == rows(base0)
+
+
+def test_asof_range_impl_is_actually_parallel(spark):
+    """The point of impl='range': a single-key stream spreads across
+    multiple range partitions instead of one window task."""
+    from pyspark.sql import functions as F
+
+    n = 5000
+    ldf = spark.range(n).select(
+        F.lit("only").alias("k"), F.col("id").alias("ts"), F.col("id").alias("lid")
+    )
+    rdf = spark.range(0, n, 10).select(
+        F.lit("only").alias("k"),
+        F.col("id").alias("rts"),
+        F.col("id").alias("ord"),
+        F.concat(F.lit("q"), F.col("id")).alias("quote"),
+    )
+    out = asof_join(
+        ldf, rdf, ["k"], "ts", "rts", ["quote"], right_order="ord",
+        impl="range", num_partitions=8,
+    )
+    got = {r["lid"]: r["r_quote"] for r in out.collect()}
+    # spot-check the carry crosses partition boundaries correctly
+    assert got[0] == "q0" and got[9] == "q0" and got[10] == "q10"
+    assert got[n - 1] == f"q{((n - 1) // 10) * 10}"
+    assert len(got) == n
