@@ -89,10 +89,15 @@ def asof_join(
     if impl not in ("keys", "range"):
         raise ValueError(f"unsupported impl {impl!r}")
     order_col = right_order or right_cols[0]
-    # NULL timestamps never match (DuckDB ASOF semantics): right rows with
+    # NULL timestamps never match (documented contract): right rows with
     # NULL ts are unmatchable — drop them BEFORE the union, or they would
     # sort ahead of everything (ASC NULLS FIRST) and their payload would be
-    # carried forward as a bogus match.  NULL-ts LEFT rows sort before any
+    # carried forward as a bogus match.  Known divergence: duckdb 1.0.0's
+    # native ASOF treats NULL ts as sort sentinels instead (backward
+    # NULL≈+inf — a NULL left matches the LARGEST right; forward
+    # NULL≈-inf), measured in test_asof_randomized_differential_vs_duckdb;
+    # unmatchable-NULL is the cleaner contract and is what we pin.
+    # NULL-ts LEFT rows sort before any
     # (non-null) right row in both directions below, so they correctly get
     # a NULL match while still appearing in the output (left join).
     right = right.where(F.col(right_ts).isNotNull())

@@ -474,3 +474,105 @@ def test_asof_range_impl_is_actually_parallel(spark):
     assert got[0] == "q0" and got[9] == "q0" and got[10] == "q10"
     assert got[n - 1] == f"q{((n - 1) // 10) * 10}"
     assert len(got) == n
+
+
+def test_asof_randomized_differential_vs_duckdb(spark):
+    """Randomized differential pin of asof_join against duckdb's NATIVE
+    ASOF LEFT JOIN — an independent formulation from aj1's window-based
+    oracle SQL.  Random keys (some one-sided), ts collisions across
+    sides (at-or-before includes equality), NULL left ts (row emitted,
+    payload NULL) and NULL right ts (never matchable), both directions,
+    through BOTH impls ('keys' window and 'range' stitched).  Rights get
+    UNIQUE (k, ts) so duckdb's tie choice is deterministic.
+
+    NULL-ts contract divergence (measured on duckdb 1.0.0): duckdb's
+    ASOF treats NULL ts as sort-order sentinels — backward (>=) NULL
+    acts as +inf (a NULL left matches the LARGEST right, a NULL right
+    is matched by a NULL left), forward (<=) NULL acts as -inf.  Our
+    engine's documented semantics are cleaner: NULL ts never matches,
+    NULL-ts left rows emit with NULL payload (asof.py module doc).  The
+    oracle below encodes OUR contract explicitly (IS NOT NULL filters +
+    a UNION ALL of the NULL-ts lefts), so the differential still covers
+    NULL rows end-to-end while pinning the documented behavior."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    rng = random.Random(1213)
+    keys = ["a", "b", "c", "left_only", "d"]
+    lefts = [
+        (
+            rng.choice(keys),
+            None if rng.random() < 0.1 else rng.randrange(0, 300),
+            i,
+        )
+        for i in range(150)
+    ]
+    seen: set[tuple] = set()
+    rights = []
+    for i in range(90):
+        k = rng.choice(["a", "b", "c", "d", "right_only"])
+        ts = None if rng.random() < 0.1 else rng.randrange(0, 300)
+        if ts is not None and (k, ts) in seen:
+            continue
+        seen.add((k, ts))
+        rights.append((k, ts, f"q{i}"))
+
+    ldf = spark.createDataFrame(lefts, "k string, ts int, lid int")
+    rdf = spark.createDataFrame(rights, "k string, rts int, quote string")
+
+    con = duckdb.connect()
+    con.register("l", pd.DataFrame(lefts, columns=["k", "ts", "lid"]))
+    con.register("r", pd.DataFrame(rights, columns=["k", "rts", "quote"]))
+
+    for direction, cmp in (("backward", ">="), ("forward", "<=")):
+        want = sorted(
+            (r[0], r[1])
+            for r in con.execute(
+                f"SELECT l.lid, r.quote"
+                f" FROM (SELECT * FROM l WHERE ts IS NOT NULL) l"
+                f" ASOF LEFT JOIN (SELECT * FROM r WHERE rts IS NOT NULL) r"
+                f" ON l.k = r.k AND l.ts {cmp} r.rts"
+                f" UNION ALL SELECT lid, NULL FROM l WHERE ts IS NULL"
+            ).fetchall()
+        )
+        for impl in ("keys", "range"):
+            got = sorted(
+                (r["lid"], r["r_quote"])
+                for r in asof_join(
+                    ldf, rdf, ["k"], "ts", "rts", ["quote"],
+                    direction=direction, impl=impl, num_partitions=5,
+                ).collect()
+            )
+            assert got == want, (direction, impl)
+
+    # global as-of (no equality key) — duckdb ASOF with only the
+    # inequality condition vs by=[]
+    uniq_ts: set = set()
+    g_rights = []
+    for k, ts, q in rights:
+        if ts is None or ts in uniq_ts:
+            continue
+        uniq_ts.add(ts)
+        g_rights.append((ts, q))
+    g_rdf = spark.createDataFrame(g_rights, "rts int, quote string")
+    con.register("gr", pd.DataFrame(g_rights, columns=["rts", "quote"]))
+    want0 = sorted(
+        (r[0], r[1])
+        for r in con.execute(
+            "SELECT l.lid, gr.quote"
+            " FROM (SELECT * FROM l WHERE ts IS NOT NULL) l"
+            " ASOF LEFT JOIN gr ON l.ts >= gr.rts"
+            " UNION ALL SELECT lid, NULL FROM l WHERE ts IS NULL"
+        ).fetchall()
+    )
+    for impl in ("keys", "range"):
+        got0 = sorted(
+            (r["lid"], r["r_quote"])
+            for r in asof_join(
+                ldf, g_rdf, [], "ts", "rts", ["quote"],
+                impl=impl, num_partitions=4,
+            ).collect()
+        )
+        assert got0 == want0, impl
