@@ -185,10 +185,14 @@ def _rewrite_subscripts(sql: str) -> str:
         # they stay native struct/map access above).  A bigint index past
         # 2^31 wraps under the cast; every such value is astronomically
         # out of range for a real array and DuckDB answers NULL anyway.
+        # parenthesized so a CHAINED subscript (`arr[i][j]`) walking back
+        # from the next bracket captures the whole CASE via the balanced-
+        # paren scan — bare `... END[j]` walked back to the token `END`
+        # and emitted typeof(END) garbage (r12 review find)
         return (
-            f"CASE WHEN typeof({expr}) LIKE 'array%' "
+            f"(CASE WHEN typeof({expr}) LIKE 'array%' "
             f"THEN try_element_at({expr}, CAST(nullif({idx}, 0) AS INT)) "
-            f"ELSE try_element_at({expr}, CAST({idx} AS INT)) END"
+            f"ELSE try_element_at({expr}, CAST({idx} AS INT)) END)"
         )
 
     i = 0

@@ -377,6 +377,28 @@ def test_nested_and_chained_subscripts(spark):
     assert (got["nested"],) == want == ("b",)
 
 
+def test_chained_variable_subscripts(spark):
+    """r12 review: a chained subscript whose FIRST index is non-literal
+    (`mat[i][j]`) walked the next bracket back to the bare token `END`
+    and emitted `typeof(END)` garbage; the CASE form is parenthesized
+    now so the balanced-paren walk-back captures it whole."""
+    import duckdb
+
+    from overturemaps_duckdb_spark.compat import duck_sql
+
+    spark.createDataFrame(
+        [([["a", "b"], ["c", "d"]], 2, 1)],
+        "mat array<array<string>>, i int, j int",
+    ).createOrReplaceTempView("subs_chain")
+    q = "SELECT mat[i][j] AS vv, mat[i][1] AS vl FROM subs_chain"
+    got = duck_sql(spark, q).collect()[0]
+    want = duckdb.sql(
+        "SELECT mat[i][j], mat[i][1] "
+        "FROM (SELECT [['a','b'],['c','d']] mat, 2 i, 1 j)"
+    ).fetchone()
+    assert (got["vv"], got["vl"]) == want == ("c", "c")
+
+
 def test_array_constructor_and_slice_not_rewritten():
     from overturemaps_duckdb_spark.compat import translate
 
