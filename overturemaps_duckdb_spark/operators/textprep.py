@@ -483,3 +483,158 @@ def intra_doc_line_dedup(
         F.size(lines).cast("bigint").alias("n_before"),
         F.size(ded).cast("bigint").alias("n_after"),
     )
+
+
+def hot_ngram_span_removal(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 8,
+    min_docs: int = 4,
+    collapse_exact: bool = True,
+) -> DataFrame:
+    """Corpus-level boilerplate SPAN removal (the substring half of the
+    "Deduplicating Training Data Makes Language Models Better" pass, at
+    token granularity): drop every token covered by an n-gram that occurs
+    in ≥ ``min_docs`` DISTINCT documents — licence blurbs, share bars,
+    cookie banners — keeping the rest of each document intact.  Finer
+    than :func:`line_corpus_dedup` (a hot sentence inside an otherwise
+    unique line still goes) and complementary to whole-doc near-dup
+    (which REMOVES documents; this CLEANS them).
+
+    Returns (``id_col``, clean_text, n_tokens, n_removed) — clean_text is
+    the surviving tokens space-joined in original order (a training
+    pipeline re-tokenizes anyway; raw inter-token whitespace is not
+    reconstructed).  NULL text → (NULL, NULL, NULL).
+
+    Scale shape — the full texts are NEVER shuffled:
+    1. each ≥n-token document explodes its n-gram START POSITIONS with an
+       8-byte ``xxhash64`` gram key; one map-side-combined distinct+count
+       on the key ⇒ distinct-document frequency per gram (the whole-doc
+       fallback gram of a <n-token document is EXCLUDED — tiny duplicated
+       docs are the exact-dedup family's job, and their fallback grams
+       would otherwise mark entire short docs as "spans").
+    2. the hot set joins back to the positions and regroups to one sorted
+       per-doc start array — only HIT positions (boilerplate, a tiny
+       fraction) flow through this shuffle.
+    3. the corpus joins the per-doc arrays on id (AQE broadcasts the hit
+       table when small — the common case) and the positional
+       ``filter(tk, (x, i) -> …)`` drops covered tokens map-side;
+       overlapping spans union naturally under the EXISTS test.
+
+    Hotness rides the 64-bit gram hash (same collision caveat and remedy
+    as :func:`line_corpus_dedup`).  The DuckDB oracle counts the gram
+    STRINGS themselves — identical results absent hash collisions.
+
+    ``collapse_exact`` (default True, same trade as
+    :func:`~overturemaps_duckdb_spark.operators.dedup.minhash_lsh_pairs`):
+    the whole tokenize → gram → span → rebuild pipeline runs once per
+    DISTINCT text — identical texts have identical spans AND identical
+    clean output, and each distinct text contributes its member count to
+    every gram's document frequency, so results are row-identical to the
+    per-document form (pytest-pinned on randomized duplicated corpora).
+    Web corpora are 30–60 % exact duplicates and scale fixtures 10×,
+    so this divides the heavy per-token work by the duplication depth at
+    the cost of ONE text-keyed shuffle (the groupBy).  Member ids ride a
+    per-text sorted array (value-keyed — no hash in the member mapping)
+    and fan back out with a plain explode; a text duplicated M times
+    holds an M-id array in one row (~8 B/id), the same depth caveat as
+    `_exact_groups` but uncappable here — every input row must produce
+    an output row.
+    """
+    # spread a narrow arrival (single-file local sources scan as ONE
+    # partition, serializing the tokenize+explode) — at 100 TB the scan
+    # arrives wider than the core count and this is a no-op
+    spread = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < spread:
+        docs = docs.repartition(spread)
+
+    if collapse_exact:
+        groups = (
+            docs.where(F.col(text_col).isNotNull())
+            .groupBy(F.col(text_col).alias("_t"))
+            .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("_gids"))
+        )
+        base = groups.select(
+            F.col("_gids"),
+            F.element_at("_gids", 1).alias("_id"),
+            F.size("_gids").cast("long").alias("_w"),
+            F.lit(True).alias("_has"),
+            tokens("_t").alias("_tk"),
+        )
+    else:
+        base = docs.select(
+            F.array(F.col(id_col)).alias("_gids"),
+            F.col(id_col).alias("_id"),
+            F.lit(1).cast("long").alias("_w"),
+            F.col(text_col).isNotNull().alias("_has"),
+            tokens(text_col).alias("_tk"),
+        )
+    grams = (
+        base.where(F.size("_tk") >= n)
+        .select(
+            "_id",
+            "_w",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_tk") - F.lit(n - 1)),
+                    lambda i: F.xxhash64(
+                        F.array_join(F.slice(F.col("_tk"), i, n), " ")
+                    ),
+                )
+            ).alias("_p0", "_gh"),
+        )
+        .select("_id", "_w", (F.col("_p0") + 1).alias("_pos"), "_gh")
+        # feeds BOTH the frequency count and the span join — persisted so
+        # the tokenize+explode subtree runs once, not once per consumer
+        # (same LRU-released policy as minhash_index's persist; the frame
+        # is (id, weight, pos, 8-byte hash) — a sliver of corpus bytes,
+        # and the default storage level spills rather than OOMs at scale)
+        .persist()
+    )
+    # distinct-document frequency: each distinct text counts once per
+    # MEMBER document (weight) — identical to the per-doc count because
+    # identical texts generate identical gram sets
+    hot = (
+        grams.select("_id", "_w", "_gh")
+        .distinct()
+        .groupBy("_gh")
+        .agg(F.sum("_w").alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("_gh")
+    )
+    doc_spans = (
+        grams.join(hot, "_gh")
+        .groupBy("_id")
+        .agg(F.sort_array(F.collect_set("_pos")).alias("_hs"))
+    )
+    hs = F.coalesce(F.col("_hs"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("_tk"),
+        lambda x, i: ~F.exists(
+            hs, lambda s: (i + 1 >= s) & (i + 1 < s + F.lit(n))
+        ),
+    )
+    per_text = base.join(doc_spans, "_id", "left").select(
+        F.col("_gids"),
+        F.when(F.col("_has"), F.concat_ws(" ", kept)).alias("clean_text"),
+        F.when(F.col("_has"), F.size("_tk")).cast("bigint").alias("n_tokens"),
+        F.when(F.col("_has"), F.size("_tk") - F.size(kept))
+        .cast("bigint")
+        .alias("n_removed"),
+    )
+    out = per_text.select(
+        F.explode("_gids").alias(id_col), "clean_text", "n_tokens", "n_removed"
+    )
+    if collapse_exact:
+        # NULL-text rows bypassed the groupBy (a NULL grouping value would
+        # have formed a bogus group); reattach them untouched
+        nulls = docs.where(F.col(text_col).isNull()).select(
+            F.col(id_col),
+            F.lit(None).cast("string").alias("clean_text"),
+            F.lit(None).cast("bigint").alias("n_tokens"),
+            F.lit(None).cast("bigint").alias("n_removed"),
+        )
+        out = out.unionByName(nulls)
+    return out

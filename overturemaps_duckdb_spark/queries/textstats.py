@@ -490,3 +490,60 @@ def x13_intra_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return intra_doc_line_dedup(staged, "doc_id", "text")
+
+
+@query(
+    "x14_hot_span_removal",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, text, {{tok}} AS tk FROM documents),
+    g AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS pos,
+               array_to_string(list_slice(tk, CAST(i AS INTEGER),
+                                          CAST(i + 7 AS INTEGER)), ' ') AS gram
+        FROM tk, UNNEST(range(1, greatest(len(tk) - 7, 0) + 1)) AS u(i)
+        WHERE len(tk) >= 8
+    ),
+    hot AS (
+        SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+        GROUP BY gram HAVING count(*) >= 3
+    ),
+    spans AS (
+        SELECT doc_id, list_sort(list(DISTINCT pos)) AS hs
+        FROM g JOIN hot USING (gram) GROUP BY doc_id
+    ),
+    k AS (
+        SELECT tk.doc_id, tk.text, tk.tk,
+               list_filter(tk.tk, (x, i) -> len(list_filter(
+                   coalesce(spans.hs, CAST([] AS INTEGER[])),
+                   s -> i >= s AND i < s + 8)) = 0) AS kept
+        FROM tk LEFT JOIN spans ON tk.doc_id = spans.doc_id
+    )
+    SELECT doc_id,
+           -- coalesce: duckdb's array_to_string([]) is NULL, but a doc
+           -- whose EVERY token was removed must read '' (emptied), not
+           -- NULL (missing) — Spark's concat_ws says the same
+           CASE WHEN text IS NOT NULL
+                THEN coalesce(array_to_string(kept, ' '), '') END AS clean_text,
+           CASE WHEN text IS NOT NULL
+                THEN CAST(len(tk) AS BIGINT) END AS n_tokens,
+           CASE WHEN text IS NOT NULL
+                THEN CAST(len(tk) - len(kept) AS BIGINT) END AS n_removed
+    FROM k
+    """.format(tok=tokens_sql("text")),
+)
+def x14_hot_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-hot n-gram SPAN removal (operators/textprep.
+    hot_ngram_span_removal): every token covered by an 8-gram occurring
+    in ≥3 distinct documents is dropped, the rest of each doc survives —
+    the substring-granularity boilerplate pass between line dedup (ld1)
+    and whole-doc near-dup (d2).  Texts never shuffle: gram hashes and
+    start positions carry the frequency pass, only hit positions regroup,
+    and the positional filter runs map-side after one id join.  The
+    oracle states the identical spans over gram STRINGS (engine side
+    rides xxhash64 — identical absent 64-bit collisions)."""
+    from overturemaps_duckdb_spark.operators.textprep import (
+        hot_ngram_span_removal,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    return hot_ngram_span_removal(d, "doc_id", "text", n=8, min_docs=3)

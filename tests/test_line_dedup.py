@@ -179,3 +179,103 @@ def test_intra_doc_line_dedup_order_and_nulls(spark):
     assert (out[1]["n_before"], out[1]["n_after"]) == (6, 4)
     assert out[2]["text"] == "single" and out[2]["n_after"] == 1
     assert out[3]["text"] is None and out[3]["n_before"] is None
+
+
+def test_hot_span_removal_basic_and_edges(spark):
+    """r12: corpus-hot n-gram SPAN removal — overlapping spans union,
+    short docs are exempt from hotness, NULL text passes through as
+    (NULL, NULL, NULL), and a fully-covered doc empties to '' (not
+    NULL)."""
+    from overturemaps_duckdb_spark.operators.textprep import (
+        hot_ngram_span_removal,
+    )
+
+    boiler = "all rights reserved by the example site inc"  # 8 tokens
+    rows = [
+        (1, f"alpha beta {boiler} gamma delta"),
+        (2, f"{boiler} unique two text here body"),
+        (3, f"prefix words {boiler} and suffix stuff"),
+        (4, "completely unrelated document with enough tokens to clear n"),
+        (5, boiler),                # exactly the hot 8-gram, nothing else
+        (6, "short doc"),           # < n tokens: exempt, untouched
+        (7, None),                  # NULL text
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in hot_ngram_span_removal(
+            df, "doc_id", "text", n=8, min_docs=3
+        ).collect()
+    }
+    # the boilerplate 8-gram occurs in docs 1,2,3,5 (≥3) → hot
+    assert out[1] == ("alpha beta gamma delta", 12, 8)
+    assert out[2] == ("unique two text here body", 13, 8)
+    assert out[3] == ("prefix words and suffix stuff", 13, 8)
+    assert out[4][2] == 0 and out[4][0].startswith("completely")
+    assert out[5] == ("", 8, 8)            # emptied, not NULL
+    assert out[6] == ("short doc", 2, 0)   # exempt from hotness
+    assert out[7] == (None, None, None)
+
+
+def test_hot_span_removal_overlapping_spans_union(spark):
+    """Two hot 3-grams overlapping by one token remove the UNION of their
+    spans — the shared token is not double-counted or resurrected."""
+    from overturemaps_duckdb_spark.operators.textprep import (
+        hot_ngram_span_removal,
+    )
+
+    # hot grams (n=3): 'a b c' and 'c d e' — overlap on 'c' when adjacent
+    rows = [
+        (1, "x a b c d e y"),
+        (2, "a b c one thing"),
+        (3, "a b c two thing"),
+        (4, "c d e one here"),
+        (5, "c d e two here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in hot_ngram_span_removal(
+            df, "doc_id", "text", n=3, min_docs=3
+        ).collect()
+    }
+    assert out[1] == ("x y", 5)  # a b c d e all covered, x/y survive
+
+
+def test_hot_span_removal_collapse_matches_per_doc(spark):
+    """collapse_exact=True (distinct-text pipeline + weighted frequency +
+    member fan-out) must be row-identical to the per-document form on a
+    randomized corpus with heavy exact duplication, NULLs, empties, and
+    short docs."""
+    import random
+
+    from overturemaps_duckdb_spark.operators.textprep import (
+        hot_ngram_span_removal,
+    )
+
+    rng = random.Random(55)
+    vocab = [f"w{i}" for i in range(30)]
+    boiler = " ".join(vocab[:4])
+    texts = []
+    for _ in range(25):
+        body = " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 14)))
+        t = f"{body} {boiler}" if rng.random() < 0.5 else body
+        texts.append(t.strip())
+    rows = []
+    for i in range(120):
+        r = rng.random()
+        rows.append(
+            (i, None if r < 0.08 else ("" if r < 0.14 else rng.choice(texts)))
+        )
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    def rowset(collapse):
+        return sorted(
+            tuple(r)
+            for r in hot_ngram_span_removal(
+                df, "doc_id", "text", n=4, min_docs=3,
+                collapse_exact=collapse,
+            ).collect()
+        )
+
+    assert rowset(True) == rowset(False)
