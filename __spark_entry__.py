@@ -31,7 +31,11 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q.QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-#: Certification rotation, round 11 (VERDICT r10 next-round #1):
+#: Certification rotation, round 12.  The r11 driver run never produced
+#: CORRECTNESS_r11.json, so the r11 prefix below is still the right one
+#: (the 25 r7 rows remain the oldest cohort); the one r12 edit swaps the
+#: brand-new x14_hot_span_removal in for u2_union_distinct.
+#: Original r11 rationale (VERDICT r10 next-round #1):
 #: (a) the 25 held-back r7 rows — the ONLY cohort older than r8 after the
 #: green r10 run: TPC-H q2-q22 (queries/tpch.py, unchanged + review-
 #: cleared, re-oracled locally every round by tests/test_oracle_parity)
@@ -97,7 +101,10 @@ _CERT_PRIORITY = [
     "s6_incremental_append",
     "s11_count_probe",
     "u1_union_all_aligned",
-    "u2_union_distinct",
+    # new in r12 — no driver row yet, certify immediately (displaces
+    # u2_union_distinct, an r8-certified set-op whose u1/u3 siblings
+    # stay covered; it re-certifies with the r13 rotation)
+    "x14_hot_span_removal",
 ]
 
 
