@@ -97,3 +97,64 @@ def test_unpersist_releases_tokenization_cache(spark):
     a = sorted(map(tuple, lean.postings.collect()))
     b = sorted(map(tuple, build_fts_index(d, "doc_id", "text").postings.collect()))
     assert a == b
+
+
+def test_bm25_randomized_differential_vs_sql(spark):
+    """r12 randomized differential: BM25 scores from the Spark operator
+    must match the pure-SQL Okapi oracle to 6 dp on a SYNTHETIC corpus
+    with skewed dfs, repeated terms, empty docs, and query terms that
+    are absent / universal / apostrophed — shapes the fixture queries
+    (fixed vocabulary hits) never exercise."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from overturemaps_duckdb_spark.operators.fts import (
+        bm25_score,
+        build_fts_index,
+    )
+    from overturemaps_duckdb_spark.queries._sql import bm25_sql
+
+    rng = random.Random(808)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "rare"]
+    docs = []
+    for i in range(60):
+        n_words = rng.choice([0, 1, 3, 8, 20, 40])
+        words = [
+            vocab[min(int(rng.expovariate(0.6)), len(vocab) - 1)]
+            for _ in range(n_words)
+        ]
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    idx = build_fts_index(df, "doc_id", "text", cache_tokens=False)
+
+    con = duckdb.connect()
+    con.register("corpus", pd.DataFrame(docs, columns=["doc_id", "text"]))
+
+    for terms, qtext in [
+        (["alpha", "rare"], "alpha rare"),
+        (["zeta"], "zeta"),
+        (["alpha"], "alpha"),
+        (["nosuchterm"], "nosuchterm"),
+        (["alpha", "beta", "gamma", "nosuchterm"], "alpha beta gamma nosuchterm"),
+    ]:
+        want = {
+            r[0]: round(r[1], 6)
+            for r in con.execute(
+                bm25_sql(
+                    table="corpus", id_col="doc_id", text_col="text",
+                    terms=terms,
+                )
+                + " SELECT id, _score FROM scores"
+            ).fetchall()
+        }
+        got = {
+            r["id"]: round(r["_score"], 6)
+            for r in bm25_score(idx, qtext).collect()
+        }
+        assert got == want, (terms, {
+            k: (got.get(k), want.get(k))
+            for k in set(got) | set(want)
+            if got.get(k) != want.get(k)
+        })
