@@ -545,10 +545,14 @@ def hot_ngram_span_removal(
     """
     # spread a narrow arrival (single-file local sources scan as ONE
     # partition, serializing the tokenize+explode) — at 100 TB the scan
-    # arrives wider than the core count and this is a no-op
-    spread = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < spread:
-        docs = docs.repartition(spread)
+    # arrives wider than the core count and this is a no-op.  Collapse
+    # mode SKIPS it: its groupBy(text) exchange already redistributes
+    # before any per-token work, so a pre-repartition is a second full
+    # text shuffle for nothing (r12 plan read)
+    if not collapse_exact:
+        spread = docs.sparkSession.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() < spread:
+            docs = docs.repartition(spread)
 
     if collapse_exact:
         groups = (
