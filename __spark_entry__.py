@@ -99,12 +99,13 @@ _CERT_PRIORITY = [
     "s1_scan_filter_project",
     "s5_ctas_ingest_budget",
     "s6_incremental_append",
-    "s11_count_probe",
     "u1_union_all_aligned",
-    # new in r12 — no driver row yet, certify immediately (displaces
-    # u2_union_distinct, an r8-certified set-op whose u1/u3 siblings
-    # stay covered; it re-certifies with the r13 rotation)
+    # new in r12 — no driver row yet, certify immediately (displace
+    # u2_union_distinct and s11_count_probe, both r8-certified trivial
+    # forms structurally covered by u1/u3 and the count aggregates
+    # everywhere; they re-certify with the r13 rotation)
     "x14_hot_span_removal",
+    "dc2_decontaminate_spans",
 ]
 
 

@@ -485,6 +485,102 @@ def intra_doc_line_dedup(
     )
 
 
+def _span_base(
+    docs: DataFrame, id_col: str, text_col: str, *, collapse_exact: bool
+) -> DataFrame:
+    """(_gids, _id, _w, _has, _tk) — the per-unit frame the span family
+    works over: one row per DISTINCT non-null text (collapse) or one row
+    per document (plain).  See :func:`hot_ngram_span_removal` for the
+    collapse trade; NULL-text docs are excluded here in collapse mode
+    (reattached by :func:`_rebuild_without_spans`)."""
+    if collapse_exact:
+        groups = (
+            docs.where(F.col(text_col).isNotNull())
+            .groupBy(F.col(text_col).alias("_t"))
+            .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("_gids"))
+        )
+        return groups.select(
+            F.col("_gids"),
+            F.element_at("_gids", 1).alias("_id"),
+            F.size("_gids").cast("long").alias("_w"),
+            F.lit(True).alias("_has"),
+            tokens("_t").alias("_tk"),
+        )
+    return docs.select(
+        F.array(F.col(id_col)).alias("_gids"),
+        F.col(id_col).alias("_id"),
+        F.lit(1).cast("long").alias("_w"),
+        F.col(text_col).isNotNull().alias("_has"),
+        tokens(text_col).alias("_tk"),
+    )
+
+
+def _gram_positions(base: DataFrame, n: int) -> DataFrame:
+    """(_id, _w, _pos, _gh) — every real n-gram start position with its
+    8-byte xxhash64 key, one row per position.  Documents shorter than
+    ``n`` tokens contribute nothing (no whole-doc fallback gram here —
+    a span needs n real tokens)."""
+    return (
+        base.where(F.size("_tk") >= n)
+        .select(
+            "_id",
+            "_w",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_tk") - F.lit(n - 1)),
+                    lambda i: F.xxhash64(
+                        F.array_join(F.slice(F.col("_tk"), i, n), " ")
+                    ),
+                )
+            ).alias("_p0", "_gh"),
+        )
+        .select("_id", "_w", (F.col("_p0") + 1).alias("_pos"), "_gh")
+    )
+
+
+def _rebuild_without_spans(
+    docs: DataFrame,
+    base: DataFrame,
+    doc_spans: DataFrame,
+    n: int,
+    id_col: str,
+    text_col: str,
+    *,
+    collapse_exact: bool,
+) -> DataFrame:
+    """Rebuild every unit without the tokens covered by its ``_hs`` span
+    starts, fan results back to member ids, reattach NULL-text docs."""
+    hs = F.coalesce(F.col("_hs"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("_tk"),
+        lambda x, i: ~F.exists(
+            hs, lambda s: (i + 1 >= s) & (i + 1 < s + F.lit(n))
+        ),
+    )
+    per_text = base.join(doc_spans, "_id", "left").select(
+        F.col("_gids"),
+        F.when(F.col("_has"), F.concat_ws(" ", kept)).alias("clean_text"),
+        F.when(F.col("_has"), F.size("_tk")).cast("bigint").alias("n_tokens"),
+        F.when(F.col("_has"), F.size("_tk") - F.size(kept))
+        .cast("bigint")
+        .alias("n_removed"),
+    )
+    out = per_text.select(
+        F.explode("_gids").alias(id_col), "clean_text", "n_tokens", "n_removed"
+    )
+    if collapse_exact:
+        # NULL-text rows bypassed the groupBy (a NULL grouping value would
+        # have formed a bogus group); reattach them untouched
+        nulls = docs.where(F.col(text_col).isNull()).select(
+            F.col(id_col),
+            F.lit(None).cast("string").alias("clean_text"),
+            F.lit(None).cast("bigint").alias("n_tokens"),
+            F.lit(None).cast("bigint").alias("n_removed"),
+        )
+        out = out.unionByName(nulls)
+    return out
+
+
 def hot_ngram_span_removal(
     docs: DataFrame,
     id_col: str,
@@ -554,49 +650,13 @@ def hot_ngram_span_removal(
         if docs.rdd.getNumPartitions() < spread:
             docs = docs.repartition(spread)
 
-    if collapse_exact:
-        groups = (
-            docs.where(F.col(text_col).isNotNull())
-            .groupBy(F.col(text_col).alias("_t"))
-            .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("_gids"))
-        )
-        base = groups.select(
-            F.col("_gids"),
-            F.element_at("_gids", 1).alias("_id"),
-            F.size("_gids").cast("long").alias("_w"),
-            F.lit(True).alias("_has"),
-            tokens("_t").alias("_tk"),
-        )
-    else:
-        base = docs.select(
-            F.array(F.col(id_col)).alias("_gids"),
-            F.col(id_col).alias("_id"),
-            F.lit(1).cast("long").alias("_w"),
-            F.col(text_col).isNotNull().alias("_has"),
-            tokens(text_col).alias("_tk"),
-        )
-    grams = (
-        base.where(F.size("_tk") >= n)
-        .select(
-            "_id",
-            "_w",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("_tk") - F.lit(n - 1)),
-                    lambda i: F.xxhash64(
-                        F.array_join(F.slice(F.col("_tk"), i, n), " ")
-                    ),
-                )
-            ).alias("_p0", "_gh"),
-        )
-        .select("_id", "_w", (F.col("_p0") + 1).alias("_pos"), "_gh")
-        # feeds BOTH the frequency count and the span join — persisted so
-        # the tokenize+explode subtree runs once, not once per consumer
-        # (same LRU-released policy as minhash_index's persist; the frame
-        # is (id, weight, pos, 8-byte hash) — a sliver of corpus bytes,
-        # and the default storage level spills rather than OOMs at scale)
-        .persist()
-    )
+    base = _span_base(docs, id_col, text_col, collapse_exact=collapse_exact)
+    # the gram frame feeds BOTH the frequency count and the span join —
+    # persisted so the tokenize+explode subtree runs once, not once per
+    # consumer (same LRU-released policy as minhash_index's persist; the
+    # frame is (id, weight, pos, 8-byte hash) — a sliver of corpus bytes,
+    # and the default storage level spills rather than OOMs at scale)
+    grams = _gram_positions(base, n).persist()
     # distinct-document frequency: each distinct text counts once per
     # MEMBER document (weight) — identical to the per-doc count because
     # identical texts generate identical gram sets
@@ -613,32 +673,67 @@ def hot_ngram_span_removal(
         .groupBy("_id")
         .agg(F.sort_array(F.collect_set("_pos")).alias("_hs"))
     )
-    hs = F.coalesce(F.col("_hs"), F.array().cast("array<int>"))
-    kept = F.filter(
-        F.col("_tk"),
-        lambda x, i: ~F.exists(
-            hs, lambda s: (i + 1 >= s) & (i + 1 < s + F.lit(n))
-        ),
+    return _rebuild_without_spans(
+        docs, base, doc_spans, n, id_col, text_col,
+        collapse_exact=collapse_exact,
     )
-    per_text = base.join(doc_spans, "_id", "left").select(
-        F.col("_gids"),
-        F.when(F.col("_has"), F.concat_ws(" ", kept)).alias("clean_text"),
-        F.when(F.col("_has"), F.size("_tk")).cast("bigint").alias("n_tokens"),
-        F.when(F.col("_has"), F.size("_tk") - F.size(kept))
-        .cast("bigint")
-        .alias("n_removed"),
-    )
-    out = per_text.select(
-        F.explode("_gids").alias(id_col), "clean_text", "n_tokens", "n_removed"
-    )
-    if collapse_exact:
-        # NULL-text rows bypassed the groupBy (a NULL grouping value would
-        # have formed a bogus group); reattach them untouched
-        nulls = docs.where(F.col(text_col).isNull()).select(
-            F.col(id_col),
-            F.lit(None).cast("string").alias("clean_text"),
-            F.lit(None).cast("bigint").alias("n_tokens"),
-            F.lit(None).cast("bigint").alias("n_removed"),
+
+
+def decontaminate_spans(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 8,
+    collapse_exact: bool = True,
+) -> DataFrame:
+    """Surgical decontamination: REMOVE every token span in ``train``
+    covered by a verbatim benchmark n-gram, instead of flagging/dropping
+    the whole document (:func:`ngram_decontaminate` is the flag form) —
+    the mitigation that keeps a long document's clean remainder when one
+    quoted benchmark item contaminates it.
+
+    Returns (``id_col``, clean_text, n_tokens, n_removed), same contract
+    as :func:`hot_ngram_span_removal` (NULL text → NULL row; emptied doc
+    → '').
+
+    Scale shape: the benchmark's distinct gram hashes BROADCAST (eval
+    sets stay small no matter the corpus size), so the span pass is a
+    map-side join over the train side's gram positions — the corpus
+    never shuffles for the matching; ``collapse_exact`` shares
+    :func:`hot_ngram_span_removal`'s distinct-text trade.  Bench docs
+    shorter than ``n`` tokens contribute no gram (a span needs n real
+    tokens; the <n whole-doc fallback is the flag form's concern).
+    Matching rides the same 64-bit gram hash as the hot-span pass —
+    identical to string matching absent collisions (the oracle states
+    strings)."""
+    if not collapse_exact:
+        spread = train.sparkSession.sparkContext.defaultParallelism
+        if train.rdd.getNumPartitions() < spread:
+            train = train.repartition(spread)
+    base = _span_base(train, id_col, text_col, collapse_exact=collapse_exact)
+    btk = bench.select(tokens(text_col).alias("_tk")).where(F.size("_tk") >= n)
+    bg = (
+        btk.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_tk") - F.lit(n - 1)),
+                    lambda i: F.xxhash64(
+                        F.array_join(F.slice(F.col("_tk"), i, n), " ")
+                    ),
+                )
+            ).alias("_gh")
         )
-        out = out.unionByName(nulls)
-    return out
+        .distinct()
+    )
+    doc_spans = (
+        _gram_positions(base, n)
+        .join(F.broadcast(bg), "_gh")
+        .groupBy("_id")
+        .agg(F.sort_array(F.collect_set("_pos")).alias("_hs"))
+    )
+    return _rebuild_without_spans(
+        train, base, doc_spans, n, id_col, text_col,
+        collapse_exact=collapse_exact,
+    )

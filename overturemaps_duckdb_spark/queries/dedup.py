@@ -680,3 +680,61 @@ def fz1_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_pairs(c, "c_custkey", "c_name", max_dist=1).select(
         "a_id", "b_id", F.col("dist").cast("int").alias("dist")
     )
+
+
+_DC2_ORACLE = f"""
+WITH tk AS (
+    SELECT doc_id, text, {{tok}} AS tk FROM documents WHERE doc_id % 7 <> 0
+),
+btk AS (SELECT {{tok}} AS tk FROM documents WHERE doc_id % 7 = 0),
+bg AS (
+    SELECT DISTINCT array_to_string(list_slice(tk, CAST(i AS INTEGER),
+                                               CAST(i + 7 AS INTEGER)), ' ') AS gram
+    FROM btk, UNNEST(range(1, greatest(len(tk) - 7, 0) + 1)) AS u(i)
+    WHERE len(tk) >= 8
+),
+g AS (
+    SELECT doc_id, CAST(i AS INTEGER) AS pos,
+           array_to_string(list_slice(tk, CAST(i AS INTEGER),
+                                      CAST(i + 7 AS INTEGER)), ' ') AS gram
+    FROM tk, UNNEST(range(1, greatest(len(tk) - 7, 0) + 1)) AS u(i)
+    WHERE len(tk) >= 8
+),
+spans AS (
+    SELECT doc_id, list_sort(list(DISTINCT pos)) AS hs
+    FROM g JOIN bg USING (gram) GROUP BY doc_id
+),
+k AS (
+    SELECT tk.doc_id, tk.text, tk.tk,
+           list_filter(tk.tk, (x, i) -> len(list_filter(
+               coalesce(spans.hs, CAST([] AS INTEGER[])),
+               s -> i >= s AND i < s + 8)) = 0) AS kept
+    FROM tk LEFT JOIN spans ON tk.doc_id = spans.doc_id
+)
+SELECT doc_id,
+       CASE WHEN text IS NOT NULL
+            THEN coalesce(array_to_string(kept, ' '), '') END AS clean_text,
+       CASE WHEN text IS NOT NULL
+            THEN CAST(len(tk) AS BIGINT) END AS n_tokens,
+       CASE WHEN text IS NOT NULL
+            THEN CAST(len(tk) - len(kept) AS BIGINT) END AS n_removed
+FROM k
+""".format(tok=tokens_sql("text"))
+
+
+@query("dc2_decontaminate_spans", oracle=_DC2_ORACLE)
+def dc2_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surgical decontamination (operators/textprep.decontaminate_spans):
+    every 8-token span of a training document (doc_id % 7 ≠ 0) that
+    appears verbatim in the benchmark split (doc_id % 7 = 0) is REMOVED,
+    the document's clean remainder kept — dc1's flag form upgraded to the
+    mitigation pipelines actually apply.  The benchmark gram hashes
+    broadcast; the corpus never shuffles for the matching."""
+    from overturemaps_duckdb_spark.operators.textprep import (
+        decontaminate_spans,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 7 == 0)
+    train = d.where(F.col("doc_id") % 7 != 0)
+    return decontaminate_spans(train, bench, "doc_id", "text", n=8)

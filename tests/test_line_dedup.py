@@ -279,3 +279,44 @@ def test_hot_span_removal_collapse_matches_per_doc(spark):
         )
 
     assert rowset(True) == rowset(False)
+
+
+def test_decontaminate_spans_edges(spark):
+    """r12: span-level decontamination — only bench-covered spans go,
+    overlaps union, short bench docs contribute no gram, NULL text and
+    fully-contaminated docs follow the span-removal contract, and both
+    collapse modes agree."""
+    from overturemaps_duckdb_spark.operators.textprep import (
+        decontaminate_spans,
+    )
+
+    bench_gram = "the quick brown fox"          # 4 tokens
+    train = spark.createDataFrame(
+        [
+            (1, f"intro words {bench_gram} outro words"),
+            (2, bench_gram),                    # fully contaminated → ''
+            (3, "clean document with enough tokens"),
+            (4, None),
+            (5, f"{bench_gram} and quick brown fox trailing"),  # overlap
+        ],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, f"prefix {bench_gram} suffix"), (101, "tiny")],
+        "doc_id int, text string",
+    )
+    for collapse in (True, False):
+        out = {
+            r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+            for r in decontaminate_spans(
+                train, bench, "doc_id", "text", n=4, collapse_exact=collapse
+            ).collect()
+        }
+        assert out[1] == ("intro words outro words", 8, 4), collapse
+        assert out[2] == ("", 4, 4), collapse
+        assert out[3][2] == 0, collapse
+        assert out[4] == (None, None, None), collapse
+        # doc 5: 'the quick brown fox and quick brown fox trailing' — only
+        # the bench 4-gram span [1,5) matches ('quick brown fox trailing'
+        # is not a bench gram; 'and quick brown fox' is not either)
+        assert out[5] == ("and quick brown fox trailing", 9, 4), collapse
