@@ -96,16 +96,17 @@ _CERT_PRIORITY = [
     "o5_balanced_union_limit",
     "o6_nulls_last_sort",
     "q1_pricing_summary",
-    "s1_scan_filter_project",
     "s5_ctas_ingest_budget",
     "s6_incremental_append",
     "u1_union_all_aligned",
     # new in r12 — no driver row yet, certify immediately (displace
     # u2_union_distinct and s11_count_probe, both r8-certified trivial
     # forms structurally covered by u1/u3 and the count aggregates
-    # everywhere; they re-certify with the r13 rotation)
+    # everywhere, plus s1_scan_filter_project — double-certified r1+r3
+    # and re-rowed r8; they re-certify with the r13 rotation)
     "x14_hot_span_removal",
     "dc2_decontaminate_spans",
+    "sd1_semantic_dedup",
 ]
 
 

@@ -710,7 +710,12 @@ def read_ivf_centroids(spark, path: str):
 
 
 def centroid_assign(
-    df: DataFrame, centroids, *, id_col: str = "vec_id", vec_col: str = "embedding"
+    df: DataFrame,
+    centroids,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_d2: int | None = None,
 ) -> DataFrame:
     """(id, v, _list) — nearest-centroid assignment as pure column math.
 
@@ -738,7 +743,15 @@ def centroid_assign(
     (r11 review: the element check mirrors _probe_assign's r8 fix — a
     correct-length vector with ONE NULL element folded every centroid
     distance to NULL, array_position returned NULL, and the append
-    landed in the dead partition with no error.)"""
+    landed in the dead partition with no error.)
+
+    ``round_d2`` rounds each squared distance to that many decimal
+    places BEFORE the argmin.  The IVF store path leaves it None (the
+    un-rounded fold is the store's single reproducible code path); the
+    engine-portable :func:`semantic_dedup` certification sets it so a
+    SQL twin computing the same fold in a different engine cannot flip
+    an assignment on last-bit summation noise — ties after rounding
+    break on the first (lowest) centroid index in both engines."""
     dim = len(centroids[0])
     C = F.array(
         *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
@@ -771,6 +784,8 @@ def centroid_assign(
             lambda acc, x: acc + x,
         ),
     )
+    if round_d2 is not None:
+        d2 = F.transform(d2, lambda x: F.round(x, round_d2))
     staged = prepared.select("id", "v", d2.alias("_d2"))
     lst = (F.array_position(F.col("_d2"), F.array_min("_d2")) - 1).cast("int")
     return staged.select("id", "v", lst.alias("_list"))
@@ -1100,3 +1115,140 @@ def lsh_bucket_neighbors(
         rep_pairs, groups, groups, ["bucket", "cosine"], normalize_order=True
     )
     return intra.unionByName(cross)
+
+
+# ---------------------------------------------------------------------------
+# semantic deduplication (SemDeDup)
+# ---------------------------------------------------------------------------
+
+
+def seed_centroids(
+    df: DataFrame,
+    n_seeds: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """The ``n_seeds`` lowest-id vectors as a centroid matrix.
+
+    The deterministic, engine-portable quantizer for
+    :func:`semantic_dedup`'s certified form: no iteration, no RNG — any
+    engine reading the same table derives the same matrix, so an
+    external oracle can replicate cluster assignment exactly.  Bounded
+    driver collect (``n_seeds`` rows, KBs).  Production callers pass
+    k-means centroids from :func:`ivf_build` instead — the operator is
+    quantizer-agnostic."""
+    rows = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .where(F.col("v").isNotNull())
+        .orderBy("id")
+        .limit(n_seeds)
+        .collect()
+    )
+    if len(rows) < n_seeds:
+        raise ValueError(
+            f"seed_centroids: corpus has only {len(rows)} non-NULL vectors, "
+            f"need {n_seeds}"
+        )
+    return [list(r["v"]) for r in rows]
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+    round_d2: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-bounded
+    semantic deduplication — the embedding-space pruning pass between
+    exact/near-dup removal (d1/d2/d5) and model training.
+
+    Every vector is assigned to its nearest centroid
+    (:func:`centroid_assign` — pure column math, scan-speed), then
+    cosine similarity is evaluated ONLY within clusters.  A row ``b``
+    is a semantic duplicate iff some same-cluster row ``a`` with
+    ``a.id < b.id`` has ``round(cosine(a, b), 6) >= threshold`` — the
+    greedy keep-first-seen rule of the paper, made deterministic by
+    ordering on the id.  Returns the REMOVAL REPORT::
+
+        (<id_col>, cluster, dup_of, cosine)
+
+    one row per removed vector, where ``dup_of`` is the SMALLEST
+    qualifying ``a`` and ``cosine`` the similarity to that specific
+    survivor.  :func:`semantic_survivors` is the complement.
+
+    Scale shape: the intra-cluster self-join is an equi-join on the
+    cluster id — pair expansion is sum(c_k²)/2, bounded by the caller's
+    cluster count, never the corpus N².  The paper runs K ≈ N/1k-10k
+    clusters at web scale; size K via ivf_build's √N rule and the same
+    quantizer serves both the ANN store and this pass.  Per-vector
+    norms are computed once per side before the join (the d5 shape:
+    one HOF traversal per pair, not three); the removal window
+    (row_number over ``b_id``) shuffles bare ids + one double.  Nothing
+    broadcasts the corpus and texts/payloads never enter the plan.
+
+    Reference parity: the reference engine has no semantic-dedup
+    surface; this extends the dedup family (operators/dedup.py) per the
+    published pipeline recipe.
+    """
+    assigned = centroid_assign(
+        df, centroids, id_col=id_col, vec_col=vec_col, round_d2=round_d2
+    )
+    a = assigned.select(
+        F.col("id").alias("a_id"),
+        F.col("v").alias("a_v"),
+        norm_expr(F.col("v")).alias("_na"),
+        F.col("_list").alias("cluster"),
+    )
+    b = assigned.select(
+        F.col("id").alias("b_id"),
+        F.col("v").alias("b_v"),
+        norm_expr(F.col("v")).alias("_nb"),
+        F.col("_list").alias("cluster"),
+    )
+    cos = F.round(
+        dot_expr(F.col("a_v"), F.col("b_v")) / (F.col("_na") * F.col("_nb")), 6
+    )
+    dup = (
+        a.join(b, ["cluster"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= threshold)
+        .select("b_id", "cluster", "a_id", "cosine")
+    )
+    w = Window.partitionBy("b_id").orderBy("a_id")
+    return (
+        dup.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("b_id").alias(id_col),
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col("a_id").alias("dup_of"),
+            "cosine",
+        )
+    )
+
+
+def semantic_survivors(
+    df: DataFrame,
+    centroids,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+    round_d2: int | None = None,
+) -> DataFrame:
+    """The kept side of :func:`semantic_dedup`: the input minus removed
+    ids (left_anti on the id — original columns pass through untouched)."""
+    removed = semantic_dedup(
+        df,
+        centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        round_d2=round_d2,
+    ).select(id_col)
+    return df.join(removed, id_col, "left_anti")

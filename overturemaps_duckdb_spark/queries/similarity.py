@@ -13,6 +13,8 @@ from overturemaps_duckdb_spark.operators.similarity import (
     ivf_topk,
     lsh_bucket_neighbors,
     quantize_embeddings,
+    seed_centroids,
+    semantic_dedup,
 )
 from overturemaps_duckdb_spark.operators._util import materialize
 from overturemaps_duckdb_spark.queries import query, t
@@ -289,4 +291,96 @@ def n3_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_q.crossJoin(F.broadcast(mean_r)).select(
         "query_id", "k_exact", "exact_id_sum", "exact_cos_sum", "k_ivf",
         (F.col("_mean_recall") >= F.lit(N3_RECALL_BOUND)).alias("recall_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sd1 — SemDeDup semantic dedup (cluster-bounded cosine pruning)
+# ---------------------------------------------------------------------------
+
+_SD_SEEDS = 8
+_SD_THRESHOLD = 0.35
+
+#: pairwise-cosine fragments over the `assigned a JOIN assigned b` aliases
+#: (same shape as queries/dedup.py's _EMB_DOT family)
+_SD_DOT = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)"
+    " * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)))"
+)
+_SD_NORM_A = (
+    "sqrt(list_sum(list_transform(range(1, 65), "
+    "i -> CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)"
+    " * CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE))))"
+)
+_SD_NORM_B = (
+    "sqrt(list_sum(list_transform(range(1, 65), "
+    "i -> CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)"
+    " * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE))))"
+)
+_SD_COS = f"ROUND({_SD_DOT} / ({_SD_NORM_A} * {_SD_NORM_B}), 6)"
+
+_SD_ORACLE = f"""
+WITH seeds AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS sidx,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS sv
+    FROM embeddings WHERE vec_id < {_SD_SEEDS}
+),
+dist AS (
+    SELECT e.vec_id, s.sidx,
+           ROUND(list_sum(list_transform(range(1, 65),
+               i -> (CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                      - s.sv[CAST(i AS INTEGER)])
+                  * (CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                      - s.sv[CAST(i AS INTEGER)]))), 6) AS d2
+    FROM embeddings e CROSS JOIN seeds s
+),
+assigned AS (
+    SELECT d.vec_id, e.embedding, CAST(d.sidx AS INTEGER) AS cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, sidx) AS rn
+        FROM dist) d
+    JOIN embeddings e ON e.vec_id = d.vec_id
+    WHERE d.rn = 1
+),
+pairs AS (
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.cluster, {_SD_COS} AS cosine
+    FROM assigned a JOIN assigned b
+      ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE {_SD_COS} >= {_SD_THRESHOLD}
+)
+SELECT b_id AS vec_id, cluster, a_id AS dup_of, cosine FROM (
+    SELECT *, row_number() OVER (PARTITION BY b_id ORDER BY a_id) AS rn
+    FROM pairs
+) WHERE rn = 1
+"""
+
+
+@query("sd1_semantic_dedup", oracle=_SD_ORACLE)
+def sd1_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup removal report (operators/similarity.semantic_dedup —
+    Abbas et al. 2023): assign every vector to its nearest of 8
+    deterministic seed centroids (the 8 lowest-id vectors — the
+    engine-portable stand-in for the k-means quantizer production runs
+    via ivf_build), then flag row b as a semantic duplicate iff some
+    same-cluster a < b has cosine ≥ 0.35 (greedy keep-first; dup_of =
+    the smallest such a).  0.35 is the fixture's non-vacuous level (the
+    d5 precedent): the synthetic near-orthogonal corpus has no pairs at
+    the production-style 0.8.
+
+    Scale shape: assignment is one codegen'd HOF pass (no shuffle);
+    pair expansion is an equi-join on the cluster id, sum(c_k²)/2 —
+    never N²; norms fold once per vector per side; the removal window
+    shuffles bare ids.  ``round_d2=6`` makes the argmin
+    summation-order-proof so DuckDB's list_sum and Spark's sequential
+    fold cannot disagree on an assignment."""
+    e = t(spark, sf_dir, "embeddings")
+    seeds = seed_centroids(e, _SD_SEEDS, id_col="vec_id", vec_col="embedding")
+    return semantic_dedup(
+        e,
+        seeds,
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=_SD_THRESHOLD,
+        round_d2=6,
     )
