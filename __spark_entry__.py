@@ -91,10 +91,8 @@ _CERT_PRIORITY = [
     "j2_semi_join_within",
     "j3_anti_join_exclude",
     "j4_bidirectional_match",
-    "j5_join_distinct_matched_b",
     "mx1_token_budget_mix",
     "o5_balanced_union_limit",
-    "o6_nulls_last_sort",
     "q1_pricing_summary",
     "s5_ctas_ingest_budget",
     "s6_incremental_append",
@@ -103,10 +101,14 @@ _CERT_PRIORITY = [
     # u2_union_distinct and s11_count_probe, both r8-certified trivial
     # forms structurally covered by u1/u3 and the count aggregates
     # everywhere, plus s1_scan_filter_project — double-certified r1+r3
-    # and re-rowed r8; they re-certify with the r13 rotation)
+    # and re-rowed r8 — plus o6_nulls_last_sort (trivial sort form) and
+    # j5_join_distinct_matched_b (operator path shared with the certified
+    # j1–j4 family); they re-certify with the r13 rotation)
     "x14_hot_span_removal",
     "dc2_decontaminate_spans",
     "sd1_semantic_dedup",
+    "x15_tfidf_keywords",
+    "x16_unigram_logprob",
 ]
 
 

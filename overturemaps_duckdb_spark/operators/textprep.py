@@ -737,3 +737,116 @@ def decontaminate_spans(
         train, base, doc_spans, n, id_col, text_col,
         collapse_exact=collapse_exact,
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction + unigram-LM scoring
+# ---------------------------------------------------------------------------
+
+
+def tfidf_keywords(
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 3
+) -> DataFrame:
+    """Per-document top-k keywords by smooth TF-IDF
+    (sklearn's formula: ``tf · (ln((1+N)/(1+df)) + 1)``).
+
+    Returns ``(<id_col>, token, tf, score, rank)`` — ``score`` rounded to
+    6 dp BEFORE ranking (float-noise-free order; token string breaks
+    ties), ``rank`` 1-based, ``rank <= k``.
+
+    Scale shape: explode → groupBy(doc, token) with map-side combine
+    (shuffle carries per-doc distinct tokens, not instances); document
+    frequency is a second vocabulary-sized groupBy over that frame;
+    tf ⋈ df is a token-key equi-join (the vocabulary is NOT broadcast —
+    at web scale it doesn't fit); N rides a 1-row broadcast; the final
+    per-doc window is rank-limited (WindowGroupLimit pushes the k-cut
+    map-side).  No UDFs, no driver loops — every stage is a
+    hash-partitioned aggregate a 1000-executor cluster spreads evenly
+    (token keys are zipf-skewed but the df agg is partial-combined, so
+    hot tokens collapse before the shuffle)."""
+    from pyspark.sql import Window
+
+    inst = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("token")
+    )
+    tf = inst.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.round(
+        F.col("tf")
+        * (
+            F.log(
+                (1.0 + F.col("n_docs").cast("double"))
+                / (1.0 + F.col("df").cast("double"))
+            )
+            + 1.0
+        ),
+        6,
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col),
+            "token",
+            F.col("tf").cast("bigint").alias("tf"),
+            "score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own unigram LM —
+    the CCNet-style statistical quality signal (docs far from the corpus
+    distribution score high): ``nll = -Σ tf·ln(c(t)/TT) / n_tokens`` in
+    nats, where ``c(t)`` is the corpus count of token t and ``TT`` the
+    total token mass.
+
+    Returns ``(<id_col>, n_tokens, nll)`` for documents with ≥1 token.
+
+    Determinism across engines AND partial-agg orders: each per-token
+    term is quantized to an exact integer of micro-nats
+    (``CAST(ROUND(term·1e6) AS BIGINT)``) before the per-document sum —
+    the money-column cents trick applied to log space, so no float
+    summation order can flip a bit; the final division rounds to 6 dp.
+
+    Scale shape: one groupBy(doc, token) (map-side combined), one
+    vocabulary groupBy, one token-key equi-join, one 1-row broadcast for
+    TT, one per-doc sum.  Everything partial-aggregates; nothing
+    broadcasts the vocabulary or collects to the driver."""
+    inst = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("token")
+    )
+    tf = inst.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("token").agg(F.sum("tf").alias("c"))
+    tt = vocab.agg(F.sum("c").alias("tt"))
+    term_micro = F.round(
+        -F.col("tf").cast("double")
+        * F.log(F.col("c").cast("double") / F.col("tt").cast("double"))
+        * 1e6
+    ).cast("bigint")
+    return (
+        tf.join(vocab, "token")
+        .crossJoin(F.broadcast(tt))
+        .select("id", "tf", term_micro.alias("_tm"))
+        .groupBy("id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.sum("_tm").alias("_nll_micro"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.round(
+                F.col("_nll_micro").cast("double")
+                / 1e6
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("nll"),
+        )
+    )

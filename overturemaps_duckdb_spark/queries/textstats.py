@@ -547,3 +547,80 @@ def x14_hot_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     return hot_ngram_span_removal(d, "doc_id", "text", n=8, min_docs=3)
+
+
+_X15_SCORE = (
+    "ROUND(tf.tf * (ln((1.0 + n.n_docs) / (1.0 + dfreq.df)) + 1.0), 6)"
+)
+
+@query(
+    "x15_tfidf_keywords",
+    oracle=f"""
+    WITH inst AS (
+        SELECT doc_id, unnest({tokens_sql('text')}) AS token FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM inst GROUP BY doc_id, token
+    ),
+    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    ranked AS (
+        SELECT tf.doc_id, tf.token, tf.tf, {_X15_SCORE} AS score,
+               row_number() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY {_X15_SCORE} DESC, tf.token) AS rank
+        FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, score,
+           CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def x15_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 tokens by smooth TF-IDF
+    (operators/textprep.tfidf_keywords — sklearn's tf·(ln((1+N)/(1+df))+1)
+    with 6-dp pre-rank rounding and token-string tie-break).  The
+    vocabulary-statistics half of a corpus indexing pass: same shuffles
+    as x12's vocab head plus a token-key equi-join back to the per-doc
+    frame and a WindowGroupLimit k-cut — no vocabulary broadcast, so the
+    shape survives a web-scale token space."""
+    from overturemaps_duckdb_spark.operators.textprep import tfidf_keywords
+
+    d = t(spark, sf_dir, "documents")
+    return tfidf_keywords(d, "doc_id", "text", k=3)
+
+
+@query(
+    "x16_unigram_logprob",
+    oracle=f"""
+    WITH inst AS (
+        SELECT doc_id, unnest({tokens_sql('text')}) AS token FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM inst GROUP BY doc_id, token
+    ),
+    vocab AS (SELECT token, CAST(sum(tf) AS DOUBLE) AS c FROM tf GROUP BY token),
+    tt AS (SELECT CAST(sum(c) AS DOUBLE) AS tt FROM vocab),
+    terms AS (
+        SELECT tf.doc_id, tf.tf,
+               CAST(ROUND(-CAST(tf.tf AS DOUBLE) * ln(vocab.c / tt.tt) * 1e6)
+                    AS BIGINT) AS tm
+        FROM tf JOIN vocab USING (token) CROSS JOIN tt
+    )
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+           ROUND(CAST(CAST(sum(tm) AS HUGEINT) AS BIGINT)
+                 / 1e6 / CAST(sum(tf) AS DOUBLE), 6) AS nll
+    FROM terms GROUP BY doc_id
+    """,
+)
+def x16_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus unigram LM
+    (operators/textprep.unigram_logprob — the CCNet-style statistical
+    quality signal; x2's heuristic score is its rule-based sibling).
+    Per-token terms are quantized to integer micro-nats before the
+    per-doc sum (the cents trick in log space), so the value is exact
+    under any partial-agg order in either engine; docs with ≥1 token
+    only."""
+    from overturemaps_duckdb_spark.operators.textprep import unigram_logprob
+
+    d = t(spark, sf_dir, "documents")
+    return unigram_logprob(d, "doc_id", "text")

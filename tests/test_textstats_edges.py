@@ -147,3 +147,89 @@ def test_sliding_chunks_rejects_gapped_stride(spark):
     df = spark.createDataFrame([(1, "x" * 500)], "doc_id long, text string")
     with pytest.raises(ValueError, match="coverage gaps"):
         sliding_chunks(df, "doc_id", "text", chunk_chars=200, stride=300)
+
+
+def test_tfidf_keywords_formula_and_ties(spark):
+    """Hand-checked smooth TF-IDF on a 3-doc corpus + token tie-break."""
+    import math
+
+    from overturemaps_duckdb_spark.operators.textprep import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry date"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["rank"]): (r["token"], r["tf"], r["score"])
+        for r in tfidf_keywords(docs, "doc_id", "text", k=2).collect()
+    }
+
+    def score(tf, df, n=3):
+        return round(tf * (math.log((1 + n) / (1 + df)) + 1), 6)
+
+    # doc 1: apple tf2 df1, banana tf1 df2
+    assert got[(1, 1)] == ("apple", 2, score(2, 1))
+    assert got[(1, 2)] == ("banana", 1, score(1, 2))
+    # doc 2: banana/cherry both tf1 df2 — equal score, token breaks tie
+    assert got[(2, 1)][0] == "banana" and got[(2, 2)][0] == "cherry"
+    assert got[(2, 1)][2] == got[(2, 2)][2] == score(1, 2)
+    # doc 3: cherry tf3 dominates; date tf1 df1 beats nothing else
+    assert got[(3, 1)] == ("cherry", 3, score(3, 2))
+    assert got[(3, 2)] == ("date", 1, score(1, 1))
+
+
+def test_tfidf_keywords_skips_empty_docs(spark):
+    from overturemaps_duckdb_spark.operators.textprep import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [(1, "real words here"), (2, "---"), (3, None)],
+        "doc_id long, text string",
+    )
+    ids = {r["doc_id"] for r in tfidf_keywords(docs, "doc_id", "text").collect()}
+    assert ids == {1}
+    # but empty/NULL docs still count in N (corpus size is table size)
+    one = tfidf_keywords(docs, "doc_id", "text", k=1).collect()[0]
+    import math
+
+    assert one["score"] == round(1 * (math.log((1 + 3) / (1 + 1)) + 1), 6)
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """nll matches the exact hand formula incl. the micro-nat quantize."""
+    import math
+
+    from overturemaps_duckdb_spark.operators.textprep import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "")],
+        "doc_id long, text string",
+    )
+    # corpus counts: a=2 b=2 c=1, TT=5
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["nll"])
+        for r in unigram_logprob(docs, "doc_id", "text").collect()
+    }
+
+    def micro(tf, c, tt=5.0):
+        return round(-tf * math.log(c / tt) * 1e6)
+
+    nll1 = round((micro(2, 2) + micro(1, 2)) / 1e6 / 3, 6)
+    nll2 = round((micro(1, 2) + micro(1, 1)) / 1e6 / 2, 6)
+    assert got == {1: (3, nll1), 2: (2, nll2)}  # doc 3 has no tokens
+
+
+def test_unigram_logprob_uniform_corpus_is_ln_n(spark):
+    """All-distinct tokens: every doc's nll is ln(TT) exactly."""
+    import math
+
+    from overturemaps_duckdb_spark.operators.textprep import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    for r in unigram_logprob(docs, "doc_id", "text").collect():
+        assert r["nll"] == round(round(math.log(4) * 1e6) * 2 / 1e6 / 2, 6)
