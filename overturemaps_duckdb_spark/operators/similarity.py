@@ -1161,6 +1161,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     threshold: float = 0.8,
     round_d2: int | None = None,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-bounded
     semantic deduplication — the embedding-space pruning pass between
@@ -1190,12 +1191,36 @@ def semantic_dedup(
     (row_number over ``b_id``) shuffles bare ids + one double.  Nothing
     broadcasts the corpus and texts/payloads never enter the plan.
 
+    ``collapse_exact`` (default on, the d2/d5/n2/fz1 convention):
+    bit-identical vectors group first — assignment and pairing run once
+    per DISTINCT vector and member pairs fan back out through the group
+    map before the removal window, so a corpus duplicated d× sheds d²
+    from the intra-cluster quadratic.  Row-identical to the direct form
+    (pinned in tests): intra-group pairs score cosine(v, v) computed,
+    not assumed, and cross-group pairs inherit their representatives'
+    cosine verbatim; the min-``dup_of`` window then sees exactly the
+    qualifying pair set either way.  NULL/malformed vectors are REJECTED
+    loudly by :func:`centroid_assign` in both modes.
+
     Reference parity: the reference engine has no semantic-dedup
     surface; this extends the dedup family (operators/dedup.py) per the
     published pipeline recipe.
     """
+    from overturemaps_duckdb_spark.operators.dedup import (
+        _exact_groups,
+        _explode_ordered_pairs,
+        _fanout_members,
+    )
+
+    v0 = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    groups = None
+    if collapse_exact:
+        groups = _exact_groups(
+            v0, "v", group_cap=1000, obs_name="semantic_group_cap"
+        )
+        v0 = groups.select(F.element_at("gids", 1).alias("id"), "v")
     assigned = centroid_assign(
-        df, centroids, id_col=id_col, vec_col=vec_col, round_d2=round_d2
+        v0, centroids, id_col="id", vec_col="v", round_d2=round_d2
     )
     a = assigned.select(
         F.col("id").alias("a_id"),
@@ -1212,16 +1237,42 @@ def semantic_dedup(
     cos = F.round(
         dot_expr(F.col("a_v"), F.col("b_v")) / (F.col("_na") * F.col("_nb")), 6
     )
-    dup = (
+    rep_pairs = (
         a.join(b, ["cluster"])
         .where(F.col("a_id") < F.col("b_id"))
         .withColumn("cosine", cos)
         .where(F.col("cosine") >= threshold)
-        .select("b_id", "cluster", "a_id", "cosine")
+        .select("a_id", "b_id", "cluster", "cosine")
     )
+    if groups is None:
+        pairs = rep_pairs
+    else:
+        # intra-group: identical vectors share their rep's cluster;
+        # cosine(v, v) is computed, not assumed, so zero-norm/NaN
+        # vectors drop exactly like the direct path
+        gc = groups.join(
+            assigned.select(
+                F.col("id").alias("_rep"), F.col("_list").alias("cluster")
+            ),
+            F.element_at("gids", 1) == F.col("_rep"),
+        ).drop("_rep")
+        intra = _explode_ordered_pairs(
+            gc.where(F.size("gids") > 1)
+            .withColumn(
+                "cosine", F.round(cosine_expr(F.col("v"), F.col("v")), 6)
+            )
+            .where(F.col("cosine") >= threshold),
+            "gids",
+            ["cluster", "cosine"],
+        ).select("a_id", "b_id", "cluster", "cosine")
+        cross = _fanout_members(
+            rep_pairs, groups, groups, ["cluster", "cosine"],
+            normalize_order=True,
+        )
+        pairs = intra.unionByName(cross)
     w = Window.partitionBy("b_id").orderBy("a_id")
     return (
-        dup.withColumn("_rn", F.row_number().over(w))
+        pairs.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .select(
             F.col("b_id").alias(id_col),
@@ -1240,6 +1291,7 @@ def semantic_survivors(
     vec_col: str = "embedding",
     threshold: float = 0.8,
     round_d2: int | None = None,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """The kept side of :func:`semantic_dedup`: the input minus removed
     ids (left_anti on the id — original columns pass through untouched)."""
@@ -1250,5 +1302,6 @@ def semantic_survivors(
         vec_col=vec_col,
         threshold=threshold,
         round_d2=round_d2,
+        collapse_exact=collapse_exact,
     ).select(id_col)
     return df.join(removed, id_col, "left_anti")

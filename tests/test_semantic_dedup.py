@@ -148,3 +148,31 @@ def test_threshold_one_keeps_exact_dups_only(spark):
     assert [(r["vec_id"], r["dup_of"], r["cosine"]) for r in got] == [
         (1, 0, 1.0)
     ]
+
+
+def test_collapse_exact_row_identical_on_duplicated_corpus(spark):
+    """10×-duplicated corpus: collapse mode must return EXACTLY the
+    direct form's removal report (ids, clusters, dup_of, cosines)."""
+    base = _planted(spark)
+    dup = base
+    for k in range(1, 4):
+        dup = dup.unionByName(
+            base.select(
+                (F.col("vec_id") + 100 * k).alias("vec_id"), "embedding"
+            )
+        )
+    cents = seed_centroids(dup, 3)
+    want = sorted(
+        tuple(r) for r in semantic_dedup(
+            dup, cents, threshold=0.8, round_d2=6, collapse_exact=False
+        ).collect()
+    )
+    got = sorted(
+        tuple(r) for r in semantic_dedup(
+            dup, cents, threshold=0.8, round_d2=6, collapse_exact=True
+        ).collect()
+    )
+    assert got == want
+    # every replica beyond the first is removed (cos(v,v)=1 ≥ 0.8), so
+    # the report covers at least 3/4 of the corpus
+    assert len(got) >= 36
