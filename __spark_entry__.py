@@ -84,7 +84,6 @@ _CERT_PRIORITY = [
     # (c) 20 oldest r8 rows
     "pl3_bbox_filter",
     "pl4_within_filter",
-    "pl5_exclude_filter",
     "dc1_decontaminate",
     "aj1_asof_join",
     "j1_inner_band_theta_join",
@@ -103,12 +102,14 @@ _CERT_PRIORITY = [
     # everywhere, plus s1_scan_filter_project — double-certified r1+r3
     # and re-rowed r8 — plus o6_nulls_last_sort (trivial sort form) and
     # j5_join_distinct_matched_b (operator path shared with the certified
-    # j1–j4 family); they re-certify with the r13 rotation)
+    # j1–j4 family) and pl5_exclude_filter (path shared with pl4/j3); they
+    # re-certify with the r13 rotation)
     "x14_hot_span_removal",
     "dc2_decontaminate_spans",
     "sd1_semantic_dedup",
     "x15_tfidf_keywords",
     "x16_unigram_logprob",
+    "sp1_leakage_safe_split",
 ]
 
 

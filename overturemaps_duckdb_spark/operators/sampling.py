@@ -268,3 +268,40 @@ def write_training_shards(
         .partitionBy("_shard")
         .parquet(path)
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    clusters: DataFrame,
+    *,
+    eval_permille: int = 100,
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Train/eval split whose unit is the NEAR-DUP CLUSTER, not the row.
+
+    A per-document hash split leaks: a document and its near-duplicate
+    land on opposite sides ~2·p·(1-p) of the time, and the eval set then
+    scores memorization.  Here the split key is the cluster id from
+    :func:`operators.dedup.dedup_clusters` (or any (id, cluster) map),
+    so every member of a near-dup cluster lands on the SAME side —
+    ``split`` is a pure function of ``cluster_col`` (md5 bucket <
+    ``eval_permille`` → 'eval'), deterministic under retries and
+    engine-portable like every md5-threshold sampler in this module.
+
+    ``clusters`` must carry columns ``(id, <cluster_col>)`` — the
+    dedup_clusters output shape; rows of ``df`` joined on
+    ``id_col == id`` (inner: d6 assigns every document a cluster, so
+    nothing drops).  Returns df's columns + ``cluster_col`` + ``split``.
+
+    Scale shape: one id-key equi-join against the cluster map + per-row
+    column math — no extra shuffle beyond the join, nothing collects."""
+    cl = clusters.select(
+        F.col("id").alias(id_col), F.col(cluster_col)
+    )
+    return df.join(cl, id_col).withColumn(
+        "split",
+        F.when(
+            hash_bucket(cluster_col) < eval_permille, F.lit("eval")
+        ).otherwise(F.lit("train")),
+    )

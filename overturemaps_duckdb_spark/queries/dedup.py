@@ -468,6 +468,51 @@ def d7_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# leakage-safe train/eval split (cluster-keyed)
+# ---------------------------------------------------------------------------
+
+_SP1_EVAL_PM = 200
+
+_SPLIT_TAIL = f""", assign AS (
+    SELECT id, CAST(MIN(r) AS BIGINT) AS cluster_id FROM reach GROUP BY id
+)
+SELECT id AS doc_id, cluster_id,
+       CASE WHEN {md5_long_sql("CAST(cluster_id AS VARCHAR)")} % 1000
+                 < {_SP1_EVAL_PM}
+            THEN 'eval' ELSE 'train' END AS split
+FROM assign
+"""
+
+_SPLIT_ORACLE = _CLUSTER_ORACLE[: -len(_D6_TAIL)] + _SPLIT_TAIL
+
+
+@query("sp1_leakage_safe_split", oracle=_SPLIT_ORACLE)
+def sp1_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/eval split (operators/sampling.
+    leakage_safe_split): the split unit is the d6 near-dup CLUSTER, so a
+    document and its near-duplicates always land on the same side — the
+    eval-contamination guard a curation pipeline runs before publishing
+    a held-out set.  split = md5(cluster_id) bucket < 200‰ → 'eval'
+    (deterministic, retry-stable, engine-portable; the md5-threshold
+    convention of every sampler here).  Composes two certified pieces —
+    the d6 connected-components closure and the sa1 hash bucket — into
+    the pipeline artifact; one id-key join, no new shuffle class."""
+    d = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", n_hashes=16, bands=4, shingle_k=5,
+        jaccard_threshold=0.5,
+    )
+    clusters = dedup_clusters(d, "doc_id", pairs)
+    from overturemaps_duckdb_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    return leakage_safe_split(
+        d.select("doc_id"), "doc_id", clusters, eval_permille=_SP1_EVAL_PM
+    )
+
+
+# ---------------------------------------------------------------------------
 # benchmark decontamination
 # ---------------------------------------------------------------------------
 

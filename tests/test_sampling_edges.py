@@ -60,3 +60,53 @@ def test_search_all_tables_string_keyed_ids_survive(spark):
     ).collect()
     ids = {r["id"] for r in out}
     assert None not in ids and ids == {"08f2a5b", "08fffff"}
+
+
+def test_leakage_safe_split_cluster_coherent(spark):
+    """Near-dup cluster members always land on the same side; split is a
+    pure function of cluster_id (md5 bucket), fractions are sane."""
+    import pyspark.sql.functions as F
+
+    from overturemaps_duckdb_spark.operators.sampling import (
+        hash_bucket,
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(200)], "doc_id long, text string"
+    )
+    # clusters: pairs (2k, 2k+1) share a cluster labeled by the even id
+    clusters = spark.createDataFrame(
+        [(i, i - (i % 2)) for i in range(200)], "id long, cluster_id long"
+    )
+    out = leakage_safe_split(
+        docs, "doc_id", clusters, eval_permille=300
+    ).collect()
+    assert len(out) == 200
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())  # coherent
+    n_eval = sum(1 for r in out if r["split"] == "eval")
+    assert 0 < n_eval < 200  # both sides populated at 30%
+    # function-of-cluster check against the module's own bucket expr
+    want = {
+        r["cluster_id"]: "eval" if r["b"] < 300 else "train"
+        for r in clusters.select(
+            "cluster_id", hash_bucket("cluster_id").alias("b")
+        ).collect()
+    }
+    assert all(want[r["cluster_id"]] == r["split"] for r in out)
+
+
+def test_leakage_safe_split_keeps_df_columns(spark):
+    from overturemaps_duckdb_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(1, "a", 7), (2, "b", 9)], "doc_id long, text string, extra int"
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1)], "id long, cluster_id long"
+    )
+    out = leakage_safe_split(docs, "doc_id", clusters)
+    assert out.columns == ["doc_id", "text", "extra", "cluster_id", "split"]
