@@ -409,12 +409,30 @@ def intersects(a: Geometry, b: Geometry) -> bool:
     return False
 
 
+def _as_point_if_degenerate(g: Geometry) -> Geometry:
+    """A primitive with NO segments (single-vertex linestring, or a polygon
+    whose every ring is sub-2-point) collapses to its sole vertex.
+
+    Legal-but-degenerate WKB: without this, `_prim_distance(point, 1-pt
+    linestring)` hit ``min()`` over an empty segment generator —
+    ValueError, failing the whole Arrow batch for one malformed row (the
+    r8/r9 empty-geometry crash class) — and `_prim_intersects` answered
+    False for a 1-point line lying ON another geometry (r12 review)."""
+    if g.kind == "LINESTRING" and len(g.coords) == 1:
+        return Geometry("POINT", g.coords[0])
+    if g.kind == "POLYGON" and all(len(r) < 2 for r in g.coords):
+        return Geometry("POINT", g.coords[0][0])
+    return g
+
+
 def _prim_intersects(a: Geometry, b: Geometry) -> bool:
     # cheap bbox reject first (the reference's band prefilter, in-kernel)
     ax1, ay1, ax2, ay2 = bbox(a)
     bx1, by1, bx2, by2 = bbox(b)
     if ax1 > bx2 or bx1 > ax2 or ay1 > by2 or by1 > ay2:
         return False
+    a = _as_point_if_degenerate(a)
+    b = _as_point_if_degenerate(b)
     if _dim(a) > _dim(b):
         a, b = b, a
     if a.kind == "POINT":
@@ -491,6 +509,8 @@ def _prim_points(g: Geometry):
 
 
 def _prim_distance(a: Geometry, b: Geometry) -> float:
+    a = _as_point_if_degenerate(a)
+    b = _as_point_if_degenerate(b)
     if a.kind == "POINT" and b.kind == "POINT":
         return _euclid(a.coords[0] - b.coords[0], a.coords[1] - b.coords[1])
     best = math.inf

@@ -338,3 +338,31 @@ def test_empty_primitives_never_crash_kernels():
     # non-empty behavior unchanged
     assert wkb.distance(pt, wkb.point(4.0, 6.0)) == 5.0
     assert wkb.intersects(pt, box) is True
+
+
+def test_degenerate_single_point_linestring_no_crash():
+    """r12 review: a 1-point LINESTRING has no segments — distance used to
+    ValueError (min of empty generator) and intersects answered False for
+    a point lying ON it.  Both must behave as the point itself."""
+    from overturemaps_duckdb_spark.functions import wkb
+
+    one_pt_line = wkb.Geometry("LINESTRING", [(1.0, 2.0)])
+    pt_on = wkb.point(1.0, 2.0)
+    pt_off = wkb.point(4.0, 6.0)
+    assert wkb.intersects(one_pt_line, pt_on) is True
+    assert wkb.intersects(pt_on, one_pt_line) is True
+    assert wkb.distance(pt_off, one_pt_line) == 5.0
+    assert wkb.distance(one_pt_line, pt_off) == 5.0
+    # vs a real linestring: the vertex sits on the segment
+    seg = wkb.Geometry("LINESTRING", [(0.0, 2.0), (2.0, 2.0)])
+    assert wkb.intersects(one_pt_line, seg) is True
+    assert wkb.distance(one_pt_line, wkb.Geometry("LINESTRING", [(1.0, 5.0), (1.0, 9.0)])) == 3.0
+
+
+def test_degenerate_one_point_ring_polygon_no_crash():
+    from overturemaps_duckdb_spark.functions import wkb
+
+    degen_poly = wkb.Geometry("POLYGON", [[(1.0, 1.0)]])
+    assert wkb.distance(wkb.point(4.0, 5.0), degen_poly) == 5.0
+    assert wkb.intersects(degen_poly, wkb.point(1.0, 1.0)) is True
+    assert wkb.intersects(degen_poly, wkb.point(2.0, 1.0)) is False
