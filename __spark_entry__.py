@@ -87,7 +87,6 @@ _CERT_PRIORITY = [
     "dc1_decontaminate",
     "aj1_asof_join",
     "j1_inner_band_theta_join",
-    "j2_semi_join_within",
     "j3_anti_join_exclude",
     "j4_bidirectional_match",
     "mx1_token_budget_mix",
@@ -102,14 +101,16 @@ _CERT_PRIORITY = [
     # everywhere, plus s1_scan_filter_project — double-certified r1+r3
     # and re-rowed r8 — plus o6_nulls_last_sort (trivial sort form) and
     # j5_join_distinct_matched_b (operator path shared with the certified
-    # j1–j4 family) and pl5_exclude_filter (path shared with pl4/j3); they
-    # re-certify with the r13 rotation)
+    # j1–j4 family) and pl5_exclude_filter (path shared with pl4/j3) and
+    # j2_semi_join_within (spatial_join how=left_semi — family-covered by
+    # j1/j3/pl4); they re-certify with the r13 rotation)
     "x14_hot_span_removal",
     "dc2_decontaminate_spans",
     "sd1_semantic_dedup",
     "x15_tfidf_keywords",
     "x16_unigram_logprob",
     "sp1_leakage_safe_split",
+    "pq1_product_quantized_topk",
 ]
 
 
