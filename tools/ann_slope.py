@@ -67,6 +67,7 @@ def main() -> None:
     ]
     run_names = [n for n in NAMES if not only or n in only]
     run_ivf = not only or "ivf" in only
+    run_pq = not only or "pq" in only
     spark = get_spark("ann_slope", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     rows = t(spark, sf_dir, "embeddings").count()
     out: dict[str, float] = {}
@@ -117,6 +118,36 @@ def main() -> None:
         assert m and m.group(1).strip() and "_list" in m.group(1), (
             f"IVF store scan lost partition pruning at {rows} rows"
         )
+
+    if run_pq:
+        # PQ split (r12): one-time train + encode + code-table write, then
+        # the steady-state ADC+rerank probe over the persisted codes — the
+        # decade slope of the 16×-compressed scan
+        from overturemaps_duckdb_spark.operators.similarity import (
+            pq_encode,
+            pq_topk_rerank,
+            pq_train,
+        )
+
+        e = t(spark, sf_dir, "embeddings")
+        pq_root = tempfile.mkdtemp(prefix="omds_slope_pq_") + "/codes"
+        t0 = time.monotonic()
+        books = pq_train(e, m=16, n_codes=64, seed=42)
+        pq_encode(e, books).write.mode("overwrite").parquet(pq_root)
+        out["pq_train_encode_write"] = round(time.monotonic() - t0, 3)
+        codes = spark.read.parquet(pq_root)
+        queries_df = e.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        best = None
+        for _ in range(PASSES):
+            t0 = time.monotonic()
+            pq_topk_rerank(
+                codes, books, e, queries_df, k=10
+            ).write.format("noop").mode("overwrite").save()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        out["pq_adc_rerank_probe"] = round(best, 3)
 
     print(json.dumps({"dir": sf_dir, "rows": rows, "queries": out}), flush=True)
     spark.stop()
