@@ -176,3 +176,43 @@ def test_collapse_exact_row_identical_on_duplicated_corpus(spark):
     # every replica beyond the first is removed (cos(v,v)=1 ≥ 0.8), so
     # the report covers at least 3/4 of the corpus
     assert len(got) >= 36
+
+
+def test_randomized_differential_vs_python_bruteforce(spark):
+    """Random corpora (NULL-free, mixed scales, duplicate vectors, random
+    centroid counts/thresholds): the operator must equal the row-at-a-time
+    Python reference exactly — both collapse modes."""
+    import numpy as np
+
+    rng = np.random.default_rng(20260816)
+    for trial in range(4):
+        n = int(rng.integers(20, 60))
+        dim = int(rng.choice([4, 8]))
+        n_cents = int(rng.integers(2, 6))
+        thr = float(rng.choice([0.2, 0.5, 0.8]))
+        X = rng.standard_normal((n, dim)) * rng.choice([0.1, 1.0, 10.0])
+        # plant exact duplicates to exercise the collapse path
+        for _ in range(int(rng.integers(1, 6))):
+            X[int(rng.integers(0, n))] = X[int(rng.integers(0, n))]
+        rows = [(i, [float(x) for x in X[i]]) for i in range(n)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        cents = seed_centroids(df, n_cents)
+        want = {
+            bid: (cl, aid, cos)
+            for bid, (cl, aid, cos) in _brute_removed(df, cents, thr).items()
+        }
+        for collapse in (False, True):
+            got = {
+                r["vec_id"]: (r["cluster"], r["dup_of"], r["cosine"])
+                for r in semantic_dedup(
+                    df, cents, threshold=thr, round_d2=6,
+                    collapse_exact=collapse,
+                ).collect()
+            }
+            assert got.keys() == want.keys(), (trial, collapse)
+            for k in got:
+                assert got[k][0] == want[k][0], (trial, collapse, k)
+                assert got[k][1] == want[k][1], (trial, collapse, k)
+                assert got[k][2] == pytest.approx(want[k][2], abs=2e-6), (
+                    trial, collapse, k,
+                )
