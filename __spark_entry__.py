@@ -87,7 +87,6 @@ _CERT_PRIORITY = [
     "dc1_decontaminate",
     "aj1_asof_join",
     "j1_inner_band_theta_join",
-    "j3_anti_join_exclude",
     "j4_bidirectional_match",
     "mx1_token_budget_mix",
     "o5_balanced_union_limit",
@@ -102,8 +101,9 @@ _CERT_PRIORITY = [
     # and re-rowed r8 — plus o6_nulls_last_sort (trivial sort form) and
     # j5_join_distinct_matched_b (operator path shared with the certified
     # j1–j4 family) and pl5_exclude_filter (path shared with pl4/j3) and
-    # j2_semi_join_within (spatial_join how=left_semi — family-covered by
-    # j1/j3/pl4); they re-certify with the r13 rotation)
+    # j2_semi_join_within and j3_anti_join_exclude (spatial_join
+    # how=left_semi/left_anti — family-covered by j1/j4/pl4); they
+    # re-certify with the r13 rotation)
     "x14_hot_span_removal",
     "dc2_decontaminate_spans",
     "sd1_semantic_dedup",
@@ -111,6 +111,7 @@ _CERT_PRIORITY = [
     "x16_unigram_logprob",
     "sp1_leakage_safe_split",
     "pq1_product_quantized_topk",
+    "x17_char_entropy",
 ]
 
 

@@ -359,3 +359,48 @@ def shingle_fingerprint(text: str | Column, k: int = 3) -> Column:
 
     sh = F.transform(F.array(normalize(text)), from_norm)[0]
     return F.md5(F.array_join(F.array_sort(F.array_distinct(sh)), " "))
+
+
+def char_entropy_struct(text: str | Column) -> Column:
+    """struct(n_chars, entropy) — Shannon entropy (nats) of the normalized
+    character distribution, the junk/binary-text quality signal (low
+    entropy ⇒ repeated filler, high ⇒ random bytes).
+
+    Pure per-row column math — no explode, no shuffle; runs at scan speed
+    at any corpus size.  ``H = ln(n) − (Σ c·ln c)/n`` with each per-char
+    term quantized to integer micro-nats BEFORE the fold (the x16 cents
+    trick), so the value is bit-stable across engines and evaluation
+    orders.  Documents whose normalized text is empty (or NULL) yield a
+    NULL struct — the caller filters.  The per-distinct-char count is an
+    O(alphabet·len) filter pass per row; the normalized alphabet is ≤37
+    symbols, so the constant is small.  HOF-gotcha note: ``chars`` is
+    bound through a transform-over-singleton so `normalize` evaluates
+    once per row, not once per alphabet symbol."""
+    col = _col(text)
+
+    def from_chars(chars: Column) -> Column:
+        n = F.size(chars).cast("double")
+        cnt = lambda c: F.size(F.filter(chars, lambda x: x == c))  # noqa: E731
+        term = lambda c: F.round(  # noqa: E731
+            cnt(c).cast("double") * F.log(cnt(c).cast("double")) * 1e6
+        ).cast("bigint")
+        micro = F.aggregate(
+            F.transform(F.array_distinct(chars), term),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        ent = F.round(
+            F.log(n) - micro.cast("double") / 1e6 / n, 6
+        )
+        return F.struct(
+            F.size(chars).cast("bigint").alias("n_chars"),
+            ent.alias("entropy"),
+        )
+
+    norm = normalize(col)
+    out = F.transform(
+        F.array(F.split(norm, "")), from_chars
+    )[0]
+    return F.when(norm.isNull() | (F.length(norm) == 0), F.lit(None)).otherwise(
+        out
+    )

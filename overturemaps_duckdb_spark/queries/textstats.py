@@ -624,3 +624,48 @@ def x16_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     return unigram_logprob(d, "doc_id", "text")
+
+
+_X17_NORM = norm_sql("text")
+
+@query(
+    "x17_char_entropy",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, string_split({_X17_NORM}, '') AS chars,
+               length({_X17_NORM}) AS n
+        FROM documents
+        WHERE {_X17_NORM} IS NOT NULL AND length({_X17_NORM}) > 0
+    ),
+    t2 AS (
+        SELECT doc_id, n,
+               CAST(CAST(list_sum(list_transform(list_distinct(chars),
+                   c -> CAST(ROUND(
+                            len(list_filter(chars, x -> x = c))
+                            * ln(len(list_filter(chars, x -> x = c)))
+                            * 1e6) AS BIGINT))) AS HUGEINT) AS BIGINT)
+                   AS micro
+        FROM s
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+           ROUND(ln(n) - micro / 1e6 / n, 6) AS entropy
+    FROM t2
+    """,
+)
+def x17_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document (functions/
+    text.char_entropy_struct) — the junk/binary-text quality signal next
+    to x2's rule score and x16's LM cross-entropy.  Pure per-row column
+    math: no explode, no shuffle, scan-speed at 100 TB; per-char terms
+    quantize to integer micro-nats before the in-row fold so both
+    engines agree bit-for-bit at 6 dp.  Docs with empty normalized text
+    are excluded (stated identically in the oracle's WHERE)."""
+    from overturemaps_duckdb_spark.functions.text import char_entropy_struct
+
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", char_entropy_struct("text").alias("_e"))
+        .where(F.col("_e").isNotNull())
+        .select("doc_id", F.col("_e.n_chars").alias("n_chars"),
+                F.col("_e.entropy").alias("entropy"))
+    )

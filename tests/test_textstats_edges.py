@@ -233,3 +233,40 @@ def test_unigram_logprob_uniform_corpus_is_ln_n(spark):
     )
     for r in unigram_logprob(docs, "doc_id", "text").collect():
         assert r["nll"] == round(round(math.log(4) * 1e6) * 2 / 1e6 / 2, 6)
+
+
+def test_char_entropy_hand_values(spark):
+    """Uniform text → ln(alphabet); constant text → 0; empty/NULL → NULL."""
+    import math
+
+    from overturemaps_duckdb_spark.functions.text import char_entropy_struct
+
+    docs = spark.createDataFrame(
+        [(1, "abcd"), (2, "aaaa"), (3, "---"), (4, None), (5, "ab ab")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: None if r["e"] is None else (r["e"]["n_chars"], r["e"]["entropy"])
+        for r in docs.select(
+            "doc_id", char_entropy_struct("text").alias("e")
+        ).collect()
+    }
+    assert got[1] == (4, round(math.log(4), 6))  # 4 distinct chars, uniform
+    assert got[2] == (4, 0.0)  # single-symbol text
+    assert got[3] is None  # normalizes to empty
+    assert got[4] is None  # NULL text
+    # "ab ab": normalized keeps the space; counts a=2 b=2 ' '=1, n=5
+    micro = 2 * round(2 * math.log(2) * 1e6)  # ' ' term is round(1·ln1)=0
+    assert got[5] == (5, round(math.log(5) - micro / 1e6 / 5, 6))
+
+
+def test_char_entropy_plan_has_no_shuffle(spark):
+    from overturemaps_duckdb_spark.functions.text import char_entropy_struct
+
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    plan = (
+        docs.select("doc_id", char_entropy_struct("text").alias("e"))
+        ._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "Exchange" not in plan
