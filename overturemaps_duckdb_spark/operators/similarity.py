@@ -1383,6 +1383,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     normalize: bool = True,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, codes) — per-subspace nearest-codeword indices.
 
@@ -1432,7 +1433,9 @@ def pq_encode(
 
     enc = F.pandas_udf(_kernel, "array<int>")
     return df.select(
-        F.col(id_col).alias("id"), enc(F.col(vec_col)).alias("codes")
+        F.col(id_col).alias("id"),
+        enc(F.col(vec_col)).alias("codes"),
+        *[F.col(c) for c in extra_cols],
     )
 
 
@@ -1564,5 +1567,186 @@ def pq_topk_rerank(
         F.desc("cosine"), F.asc("vec_id")
     )
     return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def ivf_pq_write(
+    assigned: DataFrame,
+    codebooks,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    centroids=None,
+) -> None:
+    """The composed 100 TB index: PQ-compress the inverted lists.
+
+    Takes :func:`ivf_build`'s assigned frame (id, v, _list), encodes each
+    vector to PQ codes, and writes (id, codes) PARTITIONED BY `_list` —
+    a probe then reads ``n_probe/n_lists`` of a **16×-compressed** table:
+    partition pruning bounds the rows touched, PQ bounds the bytes per
+    row; together the scan cost is ~``m·n_probe/n_lists`` bytes per
+    corpus vector.  ``centroids`` persists the coarse quantizer under
+    ``_centroids/`` (as :func:`ivf_write` does); the PQ codebooks always
+    persist under ``_codebooks/`` (a store must be probe-able without the
+    training session).  Raw vectors are NOT stored here — the exact
+    re-rank fetches them from the caller's vector table (or a full-fat
+    ivf_write store) by id."""
+    import numpy as np
+
+    if mode == "append" and centroids is not None:
+        raise ValueError(
+            "ivf_pq_write(mode='append') cannot rewrite the quantizer"
+        )
+    codes = pq_encode(
+        assigned, codebooks, id_col="id", vec_col="v", extra_cols=("_list",)
+    )
+    codes.write.mode(mode).partitionBy("_list").parquet(path)
+    spark = assigned.sparkSession
+    B = np.asarray(codebooks, dtype=np.float64)
+    rows = [
+        (j, c, [float(x) for x in B[j, c]])
+        for j in range(B.shape[0])
+        for c in range(B.shape[1])
+    ]
+    spark.createDataFrame(
+        rows, "m int, code int, centroid array<double>"
+    ).coalesce(1).write.mode(mode).parquet(f"{path}/_codebooks")
+    if centroids is not None:
+        crows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+        spark.createDataFrame(
+            crows, "_list int, centroid array<double>"
+        ).coalesce(1).write.mode(mode).parquet(f"{path}/_centroids")
+
+
+def read_pq_codebooks(spark, path: str):
+    """The persisted PQ codebooks as an (m, n_codes, sub) ndarray."""
+    import numpy as np
+
+    rows = spark.read.parquet(f"{path}/_codebooks").collect()
+    m = 1 + max(r["m"] for r in rows)
+    k = 1 + max(r["code"] for r in rows)
+    by = {(r["m"], r["code"]): r["centroid"] for r in rows}
+    return np.array([[by[(j, c)] for c in range(k)] for j in range(m)])
+
+
+def ivf_pq_topk(
+    spark,
+    path: str,
+    centroids,
+    codebooks,
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_probe: int | None = None,
+    k: int = 10,
+    shortlist: int | None = None,
+) -> DataFrame:
+    """Probe the composed IVF-PQ store: static ``_list IN (...)`` filter
+    prunes unprobed partitions at plan time (the ivf_topk_from_store
+    property, pinned in tests), ADC scores the surviving 16×-compressed
+    codes as pure column math against per-query lookup tables, and the
+    per-query ``shortlist`` (default ``max(50, 5·k)``) re-ranks EXACTLY
+    against raw vectors fetched from ``corpus`` by id semi-join.
+
+    Queries are a bounded driver batch (≤ :data:`MAX_DRIVER_PROBE_QUERIES`
+    — probe assignment and LUT construction are a few KBs per query);
+    bulk frames must shard, as :func:`pq_adc_topk`.  Query→list
+    assignment mirrors ``_ivf_probes`` (squared-L2 argsort, stable
+    tie-break, loud NULL/wrong-dim rejection)."""
+    import numpy as np
+
+    if n_probe is None:
+        n_probe = min(auto_n_probe(len(centroids)), len(centroids))
+    shortlist = shortlist or max(50, 5 * k)
+    B = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, sub = B.shape
+    cents = np.asarray(centroids, dtype=np.float64)
+    dim = cents.shape[1]
+    qrows = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).collect()
+    if len(qrows) > MAX_DRIVER_PROBE_QUERIES:
+        raise ValueError(
+            f"ivf_pq_topk: {len(qrows)} queries exceed the driver cap "
+            f"{MAX_DRIVER_PROBE_QUERIES}; batch or shard the query frame"
+        )
+    probes = []
+    for r in qrows:
+        if r["qv"] is None or len(r["qv"]) != dim or any(
+            x is None for x in r["qv"]
+        ):
+            raise ValueError(
+                f"ivf_pq_topk: NULL or non-{dim}-dim query vector at "
+                f"{r['query_id']}"
+            )
+        qv = np.asarray(list(r["qv"]), dtype=np.float64)
+        nrm = float(np.sqrt((qv * qv).sum()))
+        if nrm == 0:
+            raise ValueError("ivf_pq_topk: zero-norm query")
+        qn = qv / nrm
+        lut = [
+            [float(np.dot(qn[j * sub : (j + 1) * sub], B[j, c])) for c in range(n_codes)]
+            for j in range(m)
+        ]
+        d = ((cents - qv) ** 2).sum(axis=1)
+        for lst in np.argsort(d, kind="stable")[:n_probe]:
+            probes.append((r["query_id"], lut, int(lst)))
+    probed_lists = sorted({p[2] for p in probes})
+    probe_df = spark.createDataFrame(
+        probes, "query_id long, lut array<array<double>>, _list int"
+    )
+    store = spark.read.parquet(path).where(F.col("_list").isin(probed_lists))
+    score = F.round(
+        sum(
+            F.element_at(
+                F.element_at(F.col("lut"), j + 1),
+                F.element_at(F.col("codes"), j + 1) + 1,
+            )
+            for j in range(m)
+        ),
+        6,
+    )
+    scored = store.join(F.broadcast(probe_df), "_list").select(
+        "query_id", F.col("id").alias("vec_id"), score.alias("adc_score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.asc("vec_id")
+    )
+    cand = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= shortlist)
+        .select("query_id", "vec_id")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm_expr(F.col(vec_col)).alias("_nc"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_expr(F.col(vec_col)).alias("_nq"),
+    )
+    reranked = (
+        cand.join(c, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                dot_expr(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("_nq") * F.col("_nc")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return reranked.withColumn("rank", F.row_number().over(w2)).where(
         F.col("rank") <= k
     )

