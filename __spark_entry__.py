@@ -82,7 +82,6 @@ _CERT_PRIORITY = [
     "y1_session_kv",
     "n3_ivf_ann_topk",
     # (c) 20 oldest r8 rows
-    "pl3_bbox_filter",
     "pl4_within_filter",
     "dc1_decontaminate",
     "aj1_asof_join",
@@ -102,8 +101,9 @@ _CERT_PRIORITY = [
     # j5_join_distinct_matched_b (operator path shared with the certified
     # j1–j4 family) and pl5_exclude_filter (path shared with pl4/j3) and
     # j2_semi_join_within and j3_anti_join_exclude (spatial_join
-    # how=left_semi/left_anti — family-covered by j1/j4/pl4); they
-    # re-certify with the r13 rotation)
+    # how=left_semi/left_anti — family-covered by j1/j4/pl4) and
+    # pl3_bbox_filter (native range predicates exercised by every pipeline
+    # query and the F-family); they re-certify with the r13 rotation)
     "x14_hot_span_removal",
     "dc2_decontaminate_spans",
     "sd1_semantic_dedup",
@@ -112,6 +112,7 @@ _CERT_PRIORITY = [
     "sp1_leakage_safe_split",
     "pq1_product_quantized_topk",
     "x17_char_entropy",
+    "io1_jsonl_roundtrip",
 ]
 
 

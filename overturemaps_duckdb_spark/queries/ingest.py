@@ -342,3 +342,57 @@ def s15_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     return profile_table(d, ["doc_id", "lang", "source", "n_chars"])
+
+
+@query(
+    "io1_jsonl_roundtrip",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(CAST(sum(doc_id) AS HUGEINT) AS BIGINT) AS id_sum,
+           CAST(CAST(sum(n_chars) AS HUGEINT) AS BIGINT) AS chars_sum,
+           CAST(CAST(sum(('0x' || substr(md5(coalesce(text, '<null>')), 1, 15))::BIGINT
+                         % 1000000007) AS HUGEINT) AS BIGINT) AS text_hash_sum,
+           CAST(CAST(sum(('0x' || substr(md5(coalesce(lang, '<null>') || '|' ||
+                                         coalesce(source, '<null>')), 1, 15))::BIGINT
+                         % 1000000007) AS HUGEINT) AS BIGINT) AS meta_hash_sum
+    FROM documents
+    """,
+)
+def io1_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink + source roundtrip — the interchange format LLM corpora
+    actually ship as.  The documents table is written as JSON Lines
+    (distributed writer, one shard per task), read back with the ORIGINAL
+    schema applied explicitly (schema inference is engine-specific; an
+    interchange path must pin types), and certified by VALUE IDENTITY:
+    the oracle computes the same per-column checksums over the source
+    parquet, so any escaping/unicode/NULL loss in the roundtrip
+    hash-mismatches.  NULL columns survive because the reader treats a
+    missing JSON field as NULL (Spark's writer drops NULL fields — the
+    asymmetry this query certifies as harmless).  Hashes fold mod 1e9+7
+    before summing so the aggregate stays in BIGINT at any corpus size."""
+    from overturemaps_duckdb_spark.functions.text import md5_long
+    from overturemaps_duckdb_spark.operators._util import staging_root
+
+    d = t(spark, sf_dir, "documents")
+    root = staging_root(spark, sf_dir, "jsonlrt")
+    d.write.mode("overwrite").json(root)
+    back = spark.read.schema(d.schema).json(root)
+    mod = F.lit(1000000007).cast("bigint")
+    th = md5_long(F.coalesce(F.col("text"), F.lit("<null>"))) % mod
+    mh = (
+        md5_long(
+            F.concat_ws(
+                "|",
+                F.coalesce(F.col("lang"), F.lit("<null>")),
+                F.coalesce(F.col("source"), F.lit("<null>")),
+            )
+        )
+        % mod
+    )
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+        F.sum("n_chars").cast("bigint").alias("chars_sum"),
+        F.sum(th).cast("bigint").alias("text_hash_sum"),
+        F.sum(mh).cast("bigint").alias("meta_hash_sum"),
+    )

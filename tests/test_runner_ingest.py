@@ -231,3 +231,22 @@ def test_debounced_failure_surfaces_in_flush(spark):
     time.sleep(0.1)
     r2.flush()
     assert r2.run_count == 1
+
+
+def test_jsonl_roundtrip_identity_on_nasty_text(spark, tmp_path):
+    """JSONL write→read must preserve newlines, tabs, quotes, unicode,
+    backslashes, and NULLs bit-for-bit (the io1 identity, off-fixture)."""
+    rows = [
+        (1, 'line1\nline2\r\nline3', "en", "s0", 18),
+        (2, 'tab\there "quoted" back\\slash', "de", None, 28),
+        (3, "東京 naïve Straße 🙂  sep", None, "s1", 20),
+        (4, None, "fr", "s2", None),
+        (5, "", "en", "s3", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    root = str(tmp_path / "jl")
+    df.write.mode("overwrite").json(root)
+    back = spark.read.schema(df.schema).json(root)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, rows))
