@@ -43,7 +43,16 @@ def pack_sequences(
 
     `weight_col` must be non-negative (token counts).  Output is
     independent of `num_partitions`: range boundaries only decide WHERE the
-    prefix sums are stitched, not their values."""
+    prefix sums are stitched, not their values.
+
+    `order_col` must be a TOTAL order (unique values — e.g. a document
+    id): tied keys would make each tied row's running sum depend on the
+    arbitrary within-tie ordering, so assignments would stop being
+    deterministic.  `budget` must be positive (r12 review: `DIV 0`
+    evaluates to NULL, which silently NULLed every seq_id instead of
+    failing)."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
     spark = df.sparkSession
     p = num_partitions or spark.sparkContext.defaultParallelism
     ranged = (

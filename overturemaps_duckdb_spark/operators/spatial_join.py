@@ -249,7 +249,12 @@ def matched_b_overlay(
     distance_m: float | None = None,
     band_deg: float = DEFAULT_BAND_DEG,
 ) -> DataFrame:
-    """J5: `SELECT DISTINCT b.* FROM A JOIN B ON ...` (analysisQueries.js:43-56)."""
+    """J5: `SELECT DISTINCT b.* FROM A JOIN B ON ...` (analysisQueries.js:43-56).
+
+    Dedups on ``b.id`` (the GERS unique-id contract, as in
+    :func:`spatial_join`'s semi/anti precondition): equivalent to the
+    reference's DISTINCT b.* while ids are unique, and the id form keeps
+    the shuffle key 8 bytes instead of the full row."""
     return (
         spatial_join(a, b, how="inner", predicate=predicate, distance_m=distance_m,
                      band_deg=band_deg)

@@ -188,3 +188,15 @@ def test_manifest_stats_fallback_column(spark, tmp_path):
     fb = file_bbox(p)
     assert fb is not None, "stats-less bbox column must not disable pruning"
     assert (fb.xmin, fb.xmax, fb.ymin, fb.ymax) == (10.0, 20.0, 30.0, 40.0)
+
+
+def test_pack_sequences_rejects_nonpositive_budget(spark):
+    """r12 review: `_before DIV 0` is NULL, so budget=0 silently NULLed
+    every seq_id — must raise instead."""
+    import pytest
+
+    from overturemaps_duckdb_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame([(1, 5)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError, match="positive"):
+        pack_sequences(df, "doc_id", "n_tokens", 0)
