@@ -92,7 +92,6 @@ _CERT_PRIORITY = [
     "q1_pricing_summary",
     "s5_ctas_ingest_budget",
     "s6_incremental_append",
-    "u1_union_all_aligned",
     # new in r12 — no driver row yet, certify immediately (displace
     # u2_union_distinct and s11_count_probe, both r8-certified trivial
     # forms structurally covered by u1/u3 and the count aggregates
@@ -103,7 +102,9 @@ _CERT_PRIORITY = [
     # j2_semi_join_within and j3_anti_join_exclude (spatial_join
     # how=left_semi/left_anti — family-covered by j1/j4/pl4) and
     # pl3_bbox_filter (native range predicates exercised by every pipeline
-    # query and the F-family); they re-certify with the r13 rotation)
+    # query and the F-family) and u1_union_all_aligned (trivial
+    # union+padding form, r8-certified); they re-certify with the r13
+    # rotation)
     "x14_hot_span_removal",
     "dc2_decontaminate_spans",
     "sd1_semantic_dedup",
@@ -113,6 +114,7 @@ _CERT_PRIORITY = [
     "pq1_product_quantized_topk",
     "x17_char_entropy",
     "io1_jsonl_roundtrip",
+    "a10_approx_quantile_band",
 ]
 
 

@@ -404,6 +404,39 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["ivf_persisted"] = f"extras: {exc}"[:300]
 
+    # PQ amortization split (r12, same shape): pq_train_encode_write is
+    # the one-time codebook fit + Arrow encode + code-table write;
+    # pq_adc_rerank_probe is the steady-state ADC shortlist + exact
+    # re-rank over the persisted 16×-compressed codes.
+    try:
+        import pyspark.sql.functions as F
+
+        from overturemaps_duckdb_spark.operators._util import staging_root
+        from overturemaps_duckdb_spark.operators.similarity import (
+            pq_encode,
+            pq_topk_rerank,
+            pq_train,
+        )
+        from overturemaps_duckdb_spark.queries import t as _t
+
+        e = _t(spark, sf_dir, "embeddings")
+        pq_root = staging_root(spark, sf_dir, "benchpq") + "/codes"
+        t0 = time.monotonic()
+        books = pq_train(e, m=16, n_codes=64, seed=42)
+        pq_encode(e, books).write.mode("overwrite").parquet(pq_root)
+        extras["pq_train_encode_write"] = round(time.monotonic() - t0, 3)
+        codes = spark.read.parquet(pq_root)
+        queries_df = e.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        t0 = time.monotonic()
+        pq_topk_rerank(
+            codes, books, e, queries_df, k=10
+        ).write.format("noop").mode("overwrite").save()
+        extras["pq_adc_rerank_probe"] = round(time.monotonic() - t0, 3)
+    except Exception as exc:  # noqa: BLE001
+        errors["pq_persisted"] = f"extras: {exc}"[:300]
+
     total = round(sum(times.values()), 3)
     # median reported ALONGSIDE the min (VERDICT r04): min-of-passes strips
     # host noise bursts but flatters vs the r1-r3 single-pass series; the

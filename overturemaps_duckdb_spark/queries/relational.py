@@ -1253,3 +1253,78 @@ def u3_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n_nationkey").alias("nationkey"))
     )
     return c.intersect(s).exceptAll(n0.distinct())
+
+
+_A10_ACC = 1000
+
+
+@query(
+    "a10_approx_quantile_band",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(l_extendedprice) AS BIGINT) AS nn,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS q50_exact,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS q95_exact,
+           TRUE AS band_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a10_approx_quantile_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch certification (the a7/n3 bounded-error pattern):
+    DuckDB cannot reproduce Spark's ``approx_percentile`` sketch, but it
+    CAN reproduce the exact quantiles and assert the sketch's published
+    guarantee.  Per group: the exact q50/q95 (Spark ``percentile`` —
+    same linear interpolation as DuckDB ``quantile_cont``, value-hashed)
+    and ``band_ok`` = the approx value's RANK INTERVAL (count <, count ≤
+    — duplicates give the value a rank span) intersects the target rank
+    ± nn/accuracy + 2, the sketch's ε·n contract with slack for the
+    rank-definition off-by-ones.  The rank probe is one broadcast join
+    of the 3-row approx frame back to the data — an aggregate pass, no
+    sort, no UDF."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").alias("_v")
+    )
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("_v").alias("nn"),
+        F.round(F.expr("percentile(_v, 0.5)"), 6).alias("q50_exact"),
+        F.round(F.expr("percentile(_v, 0.95)"), 6).alias("q95_exact"),
+        F.expr(f"approx_percentile(_v, array(0.5D, 0.95D), {_A10_ACC})").alias(
+            "_ap"
+        ),
+    )
+    ap = agg.select(
+        "l_returnflag", "nn", "q50_exact", "q95_exact",
+        F.col("_ap")[0].alias("_a50"), F.col("_ap")[1].alias("_a95"),
+    )
+    ranks = (
+        li.join(F.broadcast(ap.select("l_returnflag", "_a50", "_a95")),
+                "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(F.col("_v") < F.col("_a50"), 1).otherwise(0)).alias("_lo50"),
+            F.sum(F.when(F.col("_v") <= F.col("_a50"), 1).otherwise(0)).alias("_hi50"),
+            F.sum(F.when(F.col("_v") < F.col("_a95"), 1).otherwise(0)).alias("_lo95"),
+            F.sum(F.when(F.col("_v") <= F.col("_a95"), 1).otherwise(0)).alias("_hi95"),
+        )
+    )
+
+    def _ok(lo, hi, p):
+        target = F.lit(p) * (F.col("nn") - 1).cast("double") + 1.0
+        tol = F.col("nn").cast("double") / _A10_ACC + 2.0
+        return ~(
+            (F.col(hi).cast("double") < target - tol)
+            | (F.col(lo).cast("double") + 1.0 > target + tol)
+        )
+
+    return (
+        ap.join(ranks, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.col("nn").cast("bigint").alias("nn"),
+            "q50_exact",
+            "q95_exact",
+            (_ok("_lo50", "_hi50", 0.5) & _ok("_lo95", "_hi95", 0.95)).alias(
+                "band_ok"
+            ),
+        )
+    )
