@@ -87,7 +87,6 @@ _CERT_PRIORITY = [
     "aj1_asof_join",
     "j1_inner_band_theta_join",
     "j4_bidirectional_match",
-    "mx1_token_budget_mix",
     "o5_balanced_union_limit",
     "q1_pricing_summary",
     "s5_ctas_ingest_budget",
@@ -103,8 +102,8 @@ _CERT_PRIORITY = [
     # how=left_semi/left_anti — family-covered by j1/j4/pl4) and
     # pl3_bbox_filter (native range predicates exercised by every pipeline
     # query and the F-family) and u1_union_all_aligned (trivial
-    # union+padding form, r8-certified); they re-certify with the r13
-    # rotation)
+    # union+padding form, r8-certified) and mx1_token_budget_mix (r8 row +
+    # dedicated rate/cap pytests); they re-certify with the r13 rotation)
     "x14_hot_span_removal",
     "dc2_decontaminate_spans",
     "sd1_semantic_dedup",
@@ -115,6 +114,7 @@ _CERT_PRIORITY = [
     "x17_char_entropy",
     "io1_jsonl_roundtrip",
     "a10_approx_quantile_band",
+    "bpe1_merge_induction",
 ]
 
 

@@ -850,3 +850,108 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ).alias("nll"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge induction
+# ---------------------------------------------------------------------------
+
+
+def _merge_pair_expr(syms: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right non-overlapping merge of adjacent (left, right)
+    symbol pairs — the BPE apply step — as one in-row fold.
+
+    Greedy works through the accumulator: after a merge the last output
+    element is the CONCATENATED symbol, which no longer equals ``left``,
+    so an overlapping second merge (the "aaa" + (a,a) case) correctly
+    starts fresh — [aa, a], exactly the sequential BPE convention."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == left)
+            & (s == right),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(F.element_at(acc, -1), s)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_merges: int,
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merge rules over a corpus
+    (Sennrich et al. 2016 / GPT-2 vocab induction): per round, the
+    globally most frequent adjacent symbol pair (ties → lexicographic
+    (left, right)) becomes a new symbol everywhere, greedily
+    left-to-right within words.
+
+    Returns ``(rank, lhs, rhs, freq)`` — rank 1-based, freq the
+    pair's corpus occurrence count (weighted by word frequency) at the
+    time it was chosen.
+
+    Scale shape — the classic vocab-level trick: merges act on DISTINCT
+    WORDS weighted by count, so each round is one pair-count aggregation
+    over the vocabulary (map-side combined; the shuffle carries distinct
+    pairs), one 1-row TakeOrdered argmax to the driver, and one
+    scan-speed in-row fold rewriting the symbol arrays.  The corpus text
+    is read ONCE (word-count aggregation); rounds never touch it again.
+    The vocabulary frame is checkpoint-materialized every round (the d6
+    lineage cut) so K rounds cost K bounded jobs, not one 2^K plan.
+    Word length bounds the fold, vocabulary size bounds every shuffle —
+    both hold at 100 TB where the corpus is large but words stay words.
+    """
+    from overturemaps_duckdb_spark.operators._util import materialize
+
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    vocab = materialize(
+        df.select(F.explode(tokens(text_col)).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(F.split("_w", "").alias("_syms"), "_n"),
+        eager=True,
+    )
+    spark = df.sparkSession
+    out = []
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            vocab.select(
+                "_n",
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("_syms"), 1, F.size("_syms") - 1),
+                        F.slice(F.col("_syms"), 2, F.size("_syms") - 1),
+                        lambda a, b: F.struct(
+                            a.alias("l"), b.alias("r")
+                        ),
+                    )
+                ).alias("_p"),
+            )
+            .groupBy("_p.l", "_p.r")
+            .agg(F.sum("_n").alias("_f"))
+        )
+        best = pairs.orderBy(F.desc("_f"), F.asc("l"), F.asc("r")).limit(1).collect()
+        if not best:
+            break
+        left, right, freq = best[0]["l"], best[0]["r"], best[0]["_f"]
+        out.append((rank, left, right, int(freq)))
+        if rank < n_merges:
+            vocab = materialize(
+                vocab.select(
+                    _merge_pair_expr(F.col("_syms"), left, right).alias(
+                        "_syms"
+                    ),
+                    "_n",
+                ),
+                eager=True,
+            )
+    return spark.createDataFrame(
+        out, "rank int, lhs string, rhs string, freq bigint"
+    )

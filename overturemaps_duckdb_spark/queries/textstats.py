@@ -669,3 +669,89 @@ def x17_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("_e.n_chars").alias("n_chars"),
                 F.col("_e.entropy").alias("entropy"))
     )
+
+
+_BPE_MERGES = 4
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Chained-CTE twin of operators/textprep.bpe_learn_merges: per round,
+    pair counts → argmax → greedy left-to-right rewrite.  The greedy
+    non-overlap rule is stated positionally (overlapping matches only
+    arise for self-pairs, forming runs of consecutive positions; keeping
+    even offsets within each run IS the left-to-right fold)."""
+    sql = f"""
+WITH vocab0 AS (
+    SELECT w, string_split(w, '') AS syms, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest({tokens_sql('text')}) AS w FROM documents)
+    GROUP BY w
+)"""
+    for r in range(1, n_merges + 1):
+        prev = f"vocab{r - 1}"
+        sql += f""",
+pairs{r} AS (
+    SELECT syms[CAST(i AS INTEGER)] AS lft,
+           syms[CAST(i AS INTEGER) + 1] AS rgt,
+           CAST(sum(n) AS BIGINT) AS f
+    FROM {prev}, UNNEST(range(1, len(syms))) AS u(i)
+    GROUP BY 1, 2
+),
+best{r} AS (SELECT lft, rgt, f FROM pairs{r} ORDER BY f DESC, lft, rgt LIMIT 1)"""
+        if r < n_merges:
+            sql += f""",
+pos{r} AS (
+    SELECT w, n, syms, CAST(i AS INTEGER) AS i
+    FROM {prev}, UNNEST(range(1, len(syms) + 1)) AS u(i)
+),
+match{r} AS (
+    SELECT w, i FROM pos{r}
+    WHERE i < len(syms)
+      AND syms[i] = (SELECT lft FROM best{r})
+      AND syms[i + 1] = (SELECT rgt FROM best{r})
+),
+keep{r} AS (
+    SELECT w, i FROM (
+        SELECT w, i,
+               row_number() OVER (PARTITION BY w, grp ORDER BY i) - 1 AS k
+        FROM (SELECT w, i,
+                     i - row_number() OVER (PARTITION BY w ORDER BY i) AS grp
+              FROM match{r})
+    ) WHERE k % 2 = 0
+),
+vocab{r} AS (
+    SELECT p.w AS w, p.n AS n,
+           list(CASE WHEN k.i IS NOT NULL
+                     THEN p.syms[p.i] || p.syms[p.i + 1]
+                     ELSE p.syms[p.i] END ORDER BY p.i) AS syms
+    FROM pos{r} p
+    LEFT JOIN keep{r} k ON k.w = p.w AND k.i = p.i
+    LEFT JOIN keep{r} k2 ON k2.w = p.w AND k2.i = p.i - 1
+    WHERE k2.i IS NULL
+    GROUP BY p.w, p.n
+)"""
+    selects = [
+        f"SELECT CAST({r} AS INTEGER) AS rank, lft AS lhs, rgt AS rhs, "
+        f"f AS freq FROM best{r}"
+        for r in range(1, n_merges + 1)
+    ]
+    return sql + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@query("bpe1_merge_induction", oracle=_bpe_oracle(_BPE_MERGES))
+def bpe1_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction (operators/textprep.bpe_learn_merges —
+    Sennrich et al. 2016): the first 4 merge rules learned over the
+    corpus, each round's globally most frequent adjacent symbol pair
+    (ties → lexicographic) merged greedily left-to-right within words.
+
+    The iterative-algorithm showcase: K rounds of one vocabulary-level
+    pair-count aggregation (map-side combined, shuffle carries distinct
+    pairs) + a 1-row argmax + a scan-speed in-row fold rewrite, with the
+    vocabulary checkpointed per round (the d6 lineage cut).  The corpus
+    text is scanned once, ever.  The oracle replays the identical rounds
+    as chained CTEs, stating the greedy non-overlap rule positionally —
+    full value-hash certification of an iterative algorithm."""
+    from overturemaps_duckdb_spark.operators.textprep import bpe_learn_merges
+
+    d = t(spark, sf_dir, "documents")
+    return bpe_learn_merges(d, "doc_id", "text", _BPE_MERGES)

@@ -270,3 +270,79 @@ def test_char_entropy_plan_has_no_shuffle(spark):
         .split("== Initial Plan ==")[0]
     )
     assert "Exchange" not in plan
+
+
+def _py_bpe(texts, n_merges):
+    """Row-at-a-time reference BPE (vocab-level, greedy left-to-right)."""
+    import re
+    from collections import Counter
+
+    vocab = Counter()
+    for t_ in texts:
+        if t_ is None:
+            continue
+        norm = re.sub(r"[^a-z0-9]+", " ", t_.lower()).strip()
+        for w in norm.split():
+            if w:
+                vocab[w] += 1
+    syms = {w: list(w) for w in vocab}
+    out = []
+    for rank in range(1, n_merges + 1):
+        counts = Counter()
+        for w, s in syms.items():
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] += vocab[w]
+        if not counts:
+            break
+        (a, b), f = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        out.append((rank, a, b, f))
+        if rank < n_merges:
+            for w, s in syms.items():
+                ns, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        ns.append(s[i] + s[i + 1])
+                        i += 2
+                    else:
+                        ns.append(s[i])
+                        i += 1
+                syms[w] = ns
+    return out
+
+
+def test_bpe_merges_match_python_reference(spark):
+    """Randomized differential incl. self-pair runs ('aaaa' words) that
+    exercise the greedy non-overlap rule."""
+    import random
+
+    from overturemaps_duckdb_spark.operators.textprep import bpe_learn_merges
+
+    rng = random.Random(42)
+    words = ["low", "lower", "lowest", "aaaa", "aaa", "banana", "bandana",
+             "ababab", "xyxyxy", "zz"]
+    for trial in range(3):
+        texts = [
+            " ".join(rng.choice(words) for _ in range(rng.randrange(1, 12)))
+            for _ in range(30)
+        ] + [None, "", "!!!"]
+        rows = [(i, t_) for i, t_ in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = [
+            (r["rank"], r["lhs"], r["rhs"], r["freq"])
+            for r in bpe_learn_merges(df, "doc_id", "text", 5)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got == _py_bpe(texts, 5), f"trial {trial}"
+
+
+def test_bpe_merges_rejects_bad_k(spark):
+    import pytest
+
+    from overturemaps_duckdb_spark.operators.textprep import bpe_learn_merges
+
+    df = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe_learn_merges(df, "doc_id", "text", 0)
