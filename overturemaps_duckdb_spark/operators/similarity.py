@@ -1750,3 +1750,30 @@ def ivf_pq_topk(
     return reranked.withColumn("rank", F.row_number().over(w2)).where(
         F.col("rank") <= k
     )
+
+
+def ivf_pq_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental maintenance for the composed IVF-PQ store: assign the
+    increment with the store's persisted coarse centroids, encode it with
+    the store's persisted codebooks, append into the ``_list=K/``
+    partitions it lands in — neither quantizer retrains, no existing
+    partition rewrites (the :func:`ivf_append` contract, compressed).
+    Probes over the grown store equal a one-shot build from the union
+    (same centroids + same codebooks ⇒ same assignment + same codes;
+    pinned in tests).  Growth/drift re-clustering stays a deliberate new
+    ivf_build + ivf_pq_write."""
+    centroids = read_ivf_centroids(spark, path)
+    books = read_pq_codebooks(spark, path)
+    assigned = centroid_assign(
+        new_vectors, centroids, id_col=id_col, vec_col=vec_col
+    )
+    pq_encode(
+        assigned, books, id_col="id", vec_col="v", extra_cols=("_list",)
+    ).write.mode("append").partitionBy("_list").parquet(path)

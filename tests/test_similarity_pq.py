@@ -182,3 +182,48 @@ def test_ivf_pq_store_roundtrip_pruning_and_parity(spark, tmp_path):
     for r in probe.collect():
         by_q.setdefault(r["query_id"], []).append(r["vec_id"])
     assert all(len(v) == 5 for v in by_q.values())
+
+
+def test_ivf_pq_append_equals_one_shot(spark, tmp_path):
+    """Append-grown store probes identically to a one-shot build from
+    the union (same centroids + codebooks ⇒ same codes + lists)."""
+    from overturemaps_duckdb_spark.operators.similarity import (
+        ivf_build,
+        ivf_pq_append,
+        ivf_pq_topk,
+        ivf_pq_write,
+    )
+
+    full, _ = _corpus(spark, n=100, dim=16, seed=9)
+    base = full.where(F.col("vec_id") < 70)
+    inc = full.where(F.col("vec_id") >= 70)
+    books = pq_train(base, m=4, n_codes=16, seed=1)
+    assigned, cents = ivf_build(
+        base, id_col="vec_id", vec_col="embedding", n_lists=4, seed=42
+    )
+    grown = str(tmp_path / "grown")
+    ivf_pq_write(assigned, books, grown, centroids=cents)
+    ivf_pq_append(spark, grown, inc)
+
+    oneshot = str(tmp_path / "oneshot")
+    from overturemaps_duckdb_spark.operators.similarity import centroid_assign
+
+    all_assigned = centroid_assign(full, cents)
+    ivf_pq_write(all_assigned, books, oneshot, centroids=cents)
+
+    q = full.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sorted(
+        tuple(r)
+        for r in ivf_pq_topk(
+            spark, grown, cents, books, full, q, n_probe=2, k=5
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in ivf_pq_topk(
+            spark, oneshot, cents, books, full, q, n_probe=2, k=5
+        ).collect()
+    )
+    assert got == want
