@@ -83,7 +83,6 @@ _CERT_PRIORITY = [
     "n3_ivf_ann_topk",
     # (c) 20 oldest r8 rows
     "pl4_within_filter",
-    "dc1_decontaminate",
     "aj1_asof_join",
     "j1_inner_band_theta_join",
     "j4_bidirectional_match",
@@ -103,7 +102,9 @@ _CERT_PRIORITY = [
     # pl3_bbox_filter (native range predicates exercised by every pipeline
     # query and the F-family) and u1_union_all_aligned (trivial
     # union+padding form, r8-certified) and mx1_token_budget_mix (r8 row +
-    # dedicated rate/cap pytests); they re-certify with the r13 rotation)
+    # dedicated rate/cap pytests) and dc1_decontaminate (r9 row + the
+    # certified dc2 span twin on the same machinery); they re-certify
+    # with the r13 rotation)
     "x14_hot_span_removal",
     "dc2_decontaminate_spans",
     "sd1_semantic_dedup",
@@ -115,6 +116,7 @@ _CERT_PRIORITY = [
     "io1_jsonl_roundtrip",
     "a10_approx_quantile_band",
     "bpe1_merge_induction",
+    "hn1_hard_negatives",
 ]
 
 

@@ -486,3 +486,80 @@ def pq1_product_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "k_exact", "exact_id_sum", "exact_cos_sum", "k_pq",
         (F.col("_mean_recall") >= F.lit(PQ1_RECALL_BOUND)).alias("recall_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# hn1 — hard-negative mining (contrastive training-pair curation)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "hn1_hard_negatives",
+    oracle=f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, q.label AS query_label,
+               c.vec_id AS vec_id, c.label AS neg_label,
+               ROUND({_DOT} / ({_NORM_Q} * {_NORM_C}), 6) AS cosine
+        FROM embeddings q JOIN embeddings c
+          ON q.vec_id < 5 AND c.label <> q.label
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, neg_label, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, neg_label, cosine, rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def hn1_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding-model training
+    data: per anchor, the top-10 most similar vectors with a DIFFERENT
+    label — the negatives that actually move a contrastive loss
+    (random negatives are trivially separable).  Composes the n1
+    brute-force scorer with the label anti-predicate pushed INTO the
+    join condition, so excluded candidates never score; the scale path
+    swaps the scorer for the IVF/PQ probes unchanged (the predicate
+    rides the candidate join either way).  NULL-labeled candidates drop
+    on both engines (`<>` is NULL-rejecting)."""
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        "embedding",
+    )
+    from overturemaps_duckdb_spark.operators.similarity import (
+        dot_expr,
+        norm_expr,
+    )
+
+    q = queries.select(
+        "query_id", "query_label",
+        F.col("embedding").alias("q_vec"),
+        norm_expr(F.col("embedding")).alias("_nq"),
+    )
+    c = e.select(
+        F.col("vec_id"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").alias("c_vec"),
+        norm_expr(F.col("embedding")).alias("_nc"),
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("neg_label") != F.col("query_label")
+    ).select(
+        "query_id", "vec_id", "neg_label",
+        F.round(
+            dot_expr(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("_nq") * F.col("_nc")),
+            6,
+        ).alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= 10
+    )
