@@ -654,21 +654,21 @@ _X17_NORM = norm_sql("text")
 )
 def x17_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-distribution Shannon entropy per document (functions/
-    text.char_entropy_struct) — the junk/binary-text quality signal next
-    to x2's rule score and x16's LM cross-entropy.  Pure per-row column
-    math: no explode, no shuffle, scan-speed at 100 TB; per-char terms
-    quantize to integer micro-nats before the in-row fold so both
-    engines agree bit-for-bit at 6 dp.  Docs with empty normalized text
-    are excluded (stated identically in the oracle's WHERE)."""
-    from overturemaps_duckdb_spark.functions.text import char_entropy_struct
+    text.char_entropy_frame) — the junk/binary-text quality signal next
+    to x2's rule score and x16's LM cross-entropy.  No explode, no
+    shuffle: one staged normalize + one Arrow byte-bincount kernel per
+    batch (impl pinned explicitly, the n3/a7 convention; the UDF-free
+    fold twin is bit-identical — integer micro-nat terms — and
+    CI-pinned).  Per-char terms quantize to integer micro-nats before
+    the sum so both engines agree bit-for-bit at 6 dp.  Docs with empty
+    normalized text are excluded (stated identically in the oracle's
+    WHERE)."""
+    from overturemaps_duckdb_spark.functions.text import char_entropy_frame
 
     d = t(spark, sf_dir, "documents")
-    return (
-        d.select("doc_id", char_entropy_struct("text").alias("_e"))
-        .where(F.col("_e").isNotNull())
-        .select("doc_id", F.col("_e.n_chars").alias("n_chars"),
-                F.col("_e.entropy").alias("entropy"))
-    )
+    return char_entropy_frame(
+        d.select("doc_id", "text"), "text", impl="vectorized"
+    ).select("doc_id", "n_chars", "entropy")
 
 
 _BPE_MERGES = 4

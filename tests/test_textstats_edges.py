@@ -346,3 +346,32 @@ def test_bpe_merges_rejects_bad_k(spark):
     df = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
     with pytest.raises(ValueError, match="n_merges"):
         bpe_learn_merges(df, "doc_id", "text", 0)
+
+
+def test_char_entropy_fold_vs_vectorized_identical(spark):
+    """The Arrow kernel and the portable fold must produce IDENTICAL rows
+    (integer micro-nat sums leave no float summation freedom)."""
+    import random
+
+    from overturemaps_duckdb_spark.functions.text import char_entropy_frame
+
+    rng = random.Random(3)
+    words = ["spark", "naïve", "東京", "aaa", "x1y2", "!!!", ""]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randrange(0, 25))))
+        for i in range(200)
+    ] + [(200, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fold = sorted(
+        tuple(r)
+        for r in char_entropy_frame(df, "text", impl="fold")
+        .select("doc_id", "n_chars", "entropy")
+        .collect()
+    )
+    vec = sorted(
+        tuple(r)
+        for r in char_entropy_frame(df, "text", impl="vectorized")
+        .select("doc_id", "n_chars", "entropy")
+        .collect()
+    )
+    assert fold == vec and len(fold) > 100
