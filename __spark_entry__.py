@@ -83,7 +83,6 @@ _CERT_PRIORITY = [
     "n3_ivf_ann_topk",
     # (c) 20 oldest r8 rows
     "pl4_within_filter",
-    "aj1_asof_join",
     "j1_inner_band_theta_join",
     "j4_bidirectional_match",
     "o5_balanced_union_limit",
@@ -103,8 +102,9 @@ _CERT_PRIORITY = [
     # query and the F-family) and u1_union_all_aligned (trivial
     # union+padding form, r8-certified) and mx1_token_budget_mix (r8 row +
     # dedicated rate/cap pytests) and dc1_decontaminate (r9 row + the
-    # certified dc2 span twin on the same machinery); they re-certify
-    # with the r13 rotation)
+    # certified dc2 span twin on the same machinery) and aj1_asof_join
+    # (r8 row + the r12 randomized differentials vs duckdb ASOF JOIN);
+    # they re-certify with the r13 rotation)
     "x14_hot_span_removal",
     "dc2_decontaminate_spans",
     "sd1_semantic_dedup",
@@ -117,6 +117,7 @@ _CERT_PRIORITY = [
     "a10_approx_quantile_band",
     "bpe1_merge_induction",
     "hn1_hard_negatives",
+    "bpe2_tokenize",
 ]
 
 

@@ -955,3 +955,26 @@ def bpe_learn_merges(
     return spark.createDataFrame(
         out, "rank int, lhs string, rhs string, freq bigint"
     )
+
+
+def bpe_apply(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Apply learned BPE merge rules: ``(word, segmented, n)`` — every
+    distinct corpus word, its symbol sequence after replaying ``merges``
+    IN ORDER (each greedy left-to-right, :func:`_merge_pair_expr`), and
+    its occurrence count.  The tokenizer's encode table: at 100 TB this
+    joins back to documents on the word (or ships as a broadcast dict to
+    an Arrow encoder); the apply pass itself is one word-count shuffle +
+    K scan-speed in-row folds, corpus text read once."""
+    vocab = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    syms = F.split(F.col("word"), "")
+    for left, right in merges:
+        syms = _merge_pair_expr(syms, left, right)
+    return vocab.select("word", syms.alias("segmented"), "n")

@@ -755,3 +755,42 @@ def bpe1_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     return bpe_learn_merges(d, "doc_id", "text", _BPE_MERGES)
+
+
+#: the _bpe_oracle CTE chain ends with vocab{K-1} + best{K}; bpe2 needs the
+#: state AFTER all K merges, so its oracle extends the chain one rewrite
+#: further and selects the final vocabulary
+def _bpe_apply_oracle(n_merges: int) -> str:
+    base = _bpe_oracle(n_merges + 1)
+    # reuse the generator's vocab{n_merges} (the state after n_merges
+    # rewrites), discarding its extra pairs/best CTEs via the final SELECT
+    head = base.rsplit(",\npairs" + str(n_merges + 1), 1)[0]
+    return (
+        head
+        + f"\nSELECT w AS word, syms AS segmented, n FROM vocab{n_merges}"
+    )
+
+
+@query("bpe2_tokenize", oracle=_bpe_apply_oracle(_BPE_MERGES))
+def bpe2_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The encode half of the tokenizer pipeline (bpe1 learns, this
+    applies): every distinct corpus word segmented by the 4 learned
+    merges, with occurrence counts — the encode table a dataloader joins
+    against (then x6 counts, pk1 packs).  Spark replays the learned
+    merges as K in-row greedy folds over the word-count vocabulary
+    (operators/textprep.bpe_apply); the oracle extends bpe1's chained
+    CTEs one rewrite further and reads the final vocabulary state —
+    learn and apply certified against the same machinery."""
+    from overturemaps_duckdb_spark.operators.textprep import (
+        bpe_apply,
+        bpe_learn_merges,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_learn_merges(d, "doc_id", "text", _BPE_MERGES)
+        .orderBy("rank")
+        .collect()
+    ]
+    return bpe_apply(d, "text", merges)

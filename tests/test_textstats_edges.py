@@ -375,3 +375,43 @@ def test_char_entropy_fold_vs_vectorized_identical(spark):
         .collect()
     )
     assert fold == vec and len(fold) > 100
+
+
+def test_bpe_apply_matches_python_reference(spark):
+    from overturemaps_duckdb_spark.operators.textprep import (
+        bpe_apply,
+        bpe_learn_merges,
+    )
+
+    texts = ["low lower lowest low low", "new newer newest new", "aaaa aaa"]
+    rows = [(i, t_) for i, t_ in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    learned = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_learn_merges(df, "doc_id", "text", 4)
+        .orderBy("rank")
+        .collect()
+    ]
+    got = {
+        r["word"]: (list(r["segmented"]), r["n"])
+        for r in bpe_apply(df, "text", learned).collect()
+    }
+
+    def apply_ref(word):
+        s = list(word)
+        for a, b in learned:
+            ns, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    ns.append(s[i] + s[i + 1])
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            s = ns
+        return s
+
+    from collections import Counter
+
+    vocab = Counter(w for t_ in texts for w in t_.split())
+    assert got == {w: (apply_ref(w), c) for w, c in vocab.items()}
