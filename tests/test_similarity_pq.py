@@ -227,3 +227,38 @@ def test_ivf_pq_append_equals_one_shot(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_ivf_pq_all_defaults_recall_floor(spark, tmp_path):
+    """End-to-end all-defaults pin for the COMPOSED store (the r11 IVF
+    precedent): pq_train + ivf_build + ivf_pq_write + ivf_pq_topk with
+    NOTHING overridden must keep mean recall@10 ≥ 0.3 on the fixture
+    (measured means 0.52-0.54 across sf0.001/0.01/0.1 — the floor sits
+    ≥40% below each).  Guards the coupled defaults (auto n_lists, auto
+    n_probe, m=8/n_codes=16 books, shortlist=max(50,5k)) as one path."""
+    from overturemaps_duckdb_spark.operators.similarity import (
+        ivf_build,
+        ivf_pq_topk,
+        ivf_pq_write,
+    )
+    from overturemaps_duckdb_spark.queries import t as _t
+
+    e = _t(spark, "/root/testdata/sf0.01", "embeddings")
+    books = pq_train(e, seed=42)
+    assigned, cents = ivf_build(
+        e, id_col="vec_id", vec_col="embedding", seed=42
+    )
+    root = str(tmp_path / "store")
+    ivf_pq_write(assigned, books, root, centroids=cents)
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pq = ivf_pq_topk(spark, root, cents, books, e, q, k=10)
+    exact = cosine_topk(e, q, k=10)
+    ex, got = {}, {}
+    for r in exact.collect():
+        ex.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in pq.collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    rs = [len(ex[k] & got.get(k, set())) / len(ex[k]) for k in ex]
+    assert sum(rs) / len(rs) >= 0.3, rs
