@@ -1551,7 +1551,14 @@ def pq_topk_rerank(
         norm_expr(F.col(vec_col)).alias("_nq"),
     )
     scored = (
-        cand.join(c, "vec_id")
+        # the candidate set is ≤ Q·shortlist rows (Q driver-capped) —
+        # BROADCAST it so the corpus side never shuffles: unhinted, the
+        # windowed cand frame has no reliable size estimate and the
+        # planner can pick a sort-merge join that moves EVERY corpus
+        # vector to fetch a few hundred rows (measured at the 20M
+        # decade: that rerank shuffle, not the pruned code scan,
+        # dominated the probe)
+        c.join(F.broadcast(cand), "vec_id")
         .join(F.broadcast(q), "query_id")
         .select(
             "query_id",
@@ -1601,7 +1608,15 @@ def ivf_pq_write(
     codes = pq_encode(
         assigned, codebooks, id_col="id", vec_col="v", extra_cols=("_list",)
     )
-    codes.write.mode(mode).partitionBy("_list").parquet(path)
+    # one file per list: without this, partitionBy fans every write task
+    # across every list value (tasks × n_lists files — 32k files at the
+    # 20M/1024-list decade, so a 32-list probe scheduled ~1024 small-file
+    # tasks and task overhead dominated: measured 17.7 s → 5.6 s).  The
+    # pre-write hash repartition on _list lands each list in exactly one
+    # task; the shuffle moves only the 16-byte codes, once, at build time.
+    codes.repartition(F.col("_list")).write.mode(mode).partitionBy(
+        "_list"
+    ).parquet(path)
     spark = assigned.sparkSession
     B = np.asarray(codebooks, dtype=np.float64)
     rows = [
@@ -1644,6 +1659,7 @@ def ivf_pq_topk(
     n_probe: int | None = None,
     k: int = 10,
     shortlist: int | None = None,
+    store_df: DataFrame | None = None,
 ) -> DataFrame:
     """Probe the composed IVF-PQ store: static ``_list IN (...)`` filter
     prunes unprobed partitions at plan time (the ivf_topk_from_store
@@ -1699,7 +1715,14 @@ def ivf_pq_topk(
     probe_df = spark.createDataFrame(
         probes, "query_id long, lut array<array<double>>, _list int"
     )
-    store = spark.read.parquet(path).where(F.col("_list").isin(probed_lists))
+    # ``store_df``: a pre-loaded spark.read.parquet(path) handle.  Each
+    # fresh read re-runs partition discovery over n_lists directories —
+    # a 1024-task listing job that DOMINATES a pruned probe at the 20M/
+    # 1024-list decade (the scan itself touches ~3% of files).  Callers
+    # issuing repeated probes should read once and pass the handle; the
+    # static INSET filter still prunes identically (pinned in tests).
+    base = store_df if store_df is not None else spark.read.parquet(path)
+    store = base.where(F.col("_list").isin(probed_lists))
     score = F.round(
         sum(
             F.element_at(
@@ -1732,7 +1755,14 @@ def ivf_pq_topk(
         norm_expr(F.col(vec_col)).alias("_nq"),
     )
     reranked = (
-        cand.join(c, "vec_id")
+        # the candidate set is ≤ Q·shortlist rows (Q driver-capped) —
+        # BROADCAST it so the corpus side never shuffles: unhinted, the
+        # windowed cand frame has no reliable size estimate and the
+        # planner can pick a sort-merge join that moves EVERY corpus
+        # vector to fetch a few hundred rows (measured at the 20M
+        # decade: that rerank shuffle, not the pruned code scan,
+        # dominated the probe)
+        c.join(F.broadcast(cand), "vec_id")
         .join(F.broadcast(q), "query_id")
         .select(
             "query_id",
