@@ -691,7 +691,15 @@ def ivf_write(
             "centroids are written once at store creation (use ivf_append "
             "for increments, or overwrite to re-cluster)"
         )
-    assigned.write.mode(mode).partitionBy("_list").parquet(path)
+    # one file per list (r12, the ivf_pq_write finding): partitionBy
+    # alone fans every write task across every list value — tasks ×
+    # n_lists small files, so a pruned probe schedules a task per FILE,
+    # not per list.  The pre-write hash repartition on _list lands each
+    # list in exactly one file; the one-time shuffle moves the assigned
+    # rows once at build time.
+    assigned.repartition(F.col("_list")).write.mode(mode).partitionBy(
+        "_list"
+    ).parquet(path)
     if centroids is not None:
         spark = assigned.sparkSession
         rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
@@ -818,7 +826,12 @@ def ivf_append(
     assigned = centroid_assign(
         new_vectors, centroids, id_col=id_col, vec_col=vec_col
     )
-    assigned.write.mode("append").partitionBy("_list").parquet(path)
+    # one file per touched list PER INCREMENT (see ivf_write) — appends
+    # still accumulate a file per drop, which is the append-only trade;
+    # re-clustering (a new build+write) is also the compaction point.
+    assigned.repartition(F.col("_list")).write.mode("append").partitionBy(
+        "_list"
+    ).parquet(path)
 
 
 def ivf_topk_from_store(
@@ -832,6 +845,7 @@ def ivf_topk_from_store(
     n_probe: int | None = None,
     k: int = 10,
     scorer: str = "vectorized",
+    store_df: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`ivf_topk` over a persisted :func:`ivf_write` store.
     The default scorer is the Arrow/numpy production form since r10
@@ -863,7 +877,12 @@ def ivf_topk_from_store(
     probe_df, probed_lists, small = _ivf_probes(
         spark, centroids, queries, query_id_col, vec_col, n_probe
     )
-    store = spark.read.parquet(path).where(F.col("_list").isin(probed_lists))
+    # ``store_df``: a pre-loaded spark.read.parquet(path) handle — each
+    # fresh read re-runs partition discovery over n_lists directories (a
+    # listing job that dominates a pruned probe at the 20M/1024-list
+    # decade); repeated probes should read once and pass the handle.
+    base = store_df if store_df is not None else spark.read.parquet(path)
+    store = base.where(F.col("_list").isin(probed_lists))
     cand = store.join(F.broadcast(probe_df) if small else probe_df, "_list")
     result = _ivf_score_topk(cand, k, scorer=scorer)
     result._probe_cache = None if small else probe_df
