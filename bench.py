@@ -437,6 +437,25 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["pq_persisted"] = f"extras: {exc}"[:300]
 
+    # SemDeDup (r12): the certified seeded form over the embeddings
+    # fixture — tracks the collapse-defaulted cluster-bounded pipeline
+    try:
+        from overturemaps_duckdb_spark.operators.similarity import (
+            seed_centroids,
+            semantic_dedup,
+        )
+        from overturemaps_duckdb_spark.queries import t as _t
+
+        e = _t(spark, sf_dir, "embeddings")
+        seeds = seed_centroids(e, 8)
+        t0 = time.monotonic()
+        semantic_dedup(
+            e, seeds, threshold=0.35, round_d2=6
+        ).write.format("noop").mode("overwrite").save()
+        extras["sd1_semantic_dedup"] = round(time.monotonic() - t0, 3)
+    except Exception as exc:  # noqa: BLE001
+        errors["semantic_dedup"] = f"extras: {exc}"[:300]
+
     total = round(sum(times.values()), 3)
     # median reported ALONGSIDE the min (VERDICT r04): min-of-passes strips
     # host noise bursts but flatters vs the r1-r3 single-pass series; the
