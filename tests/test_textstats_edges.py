@@ -415,3 +415,18 @@ def test_bpe_apply_matches_python_reference(spark):
 
     vocab = Counter(w for t_ in texts for w in t_.split())
     assert got == {w: (apply_ref(w), c) for w, c in vocab.items()}
+
+
+def test_char_entropy_frame_vectorized_no_shuffle(spark):
+    """The Arrow path must stay a pure per-row pass: Arrow eval node
+    present, no Exchange anywhere."""
+    from overturemaps_duckdb_spark.functions.text import char_entropy_frame
+
+    docs = spark.createDataFrame([(1, "abc abc")], "doc_id long, text string")
+    plan = (
+        char_entropy_frame(docs, "text")
+        ._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
