@@ -1494,8 +1494,18 @@ def pq_adc_topk(
             f"{MAX_DRIVER_PROBE_QUERIES}; batch or shard the query frame"
         )
     spark = codes.sparkSession
+    dim = m * sub
     luts = []
     for r in qrows:
+        # mirror the IVF probe guards: NULL / wrong-dim / NULL-element
+        # queries are rejected LOUDLY, not as a shape error deep in numpy
+        if r["qv"] is None or len(r["qv"]) != dim or any(
+            x is None for x in r["qv"]
+        ):
+            raise ValueError(
+                f"pq_adc_topk: NULL or non-{dim}-dim query vector at "
+                f"{r['query_id']}"
+            )
         q = np.asarray(list(r["qv"]), dtype=np.float64)
         if normalize:
             n = float(np.sqrt((q * q).sum()))
@@ -1507,8 +1517,24 @@ def pq_adc_topk(
             for j in range(m)
         ]
         luts.append((r["query_id"], lut))
+    # the id type follows the QUERY frame's schema (the ADVICE r05
+    # contract shared with _ivf_probes): a string-keyed query frame must
+    # work here exactly as it does on the IVF paths
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
     qdf = spark.createDataFrame(
-        luts, f"query_id long, lut array<array<double>>"
+        luts,
+        StructType(
+            [
+                StructField("query_id", queries.schema[query_id_col].dataType),
+                StructField("lut", ArrayType(ArrayType(DoubleType()))),
+            ]
+        ),
     )
     score = F.round(
         sum(
@@ -1731,8 +1757,24 @@ def ivf_pq_topk(
         for lst in np.argsort(d, kind="stable")[:n_probe]:
             probes.append((r["query_id"], lut, int(lst)))
     probed_lists = sorted({p[2] for p in probes})
+    # id type follows the query frame's schema (ADVICE r05, as above)
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
     probe_df = spark.createDataFrame(
-        probes, "query_id long, lut array<array<double>>, _list int"
+        probes,
+        StructType(
+            [
+                StructField("query_id", queries.schema[query_id_col].dataType),
+                StructField("lut", ArrayType(ArrayType(DoubleType()))),
+                StructField("_list", IntegerType()),
+            ]
+        ),
     )
     # ``store_df``: a pre-loaded spark.read.parquet(path) handle.  Each
     # fresh read re-runs partition discovery over n_lists directories —

@@ -262,3 +262,33 @@ def test_ivf_pq_all_defaults_recall_floor(spark, tmp_path):
         got.setdefault(r["query_id"], set()).add(r["vec_id"])
     rs = [len(ex[k] & got.get(k, set())) / len(ex[k]) for k in ex]
     assert sum(rs) / len(rs) >= 0.3, rs
+
+
+def test_pq_paths_preserve_string_query_ids(spark):
+    """ADVICE-r05 contract shared with the IVF probes: a string-keyed
+    query frame must work on the PQ paths too (the id type follows the
+    query frame's schema, never a hardcoded long)."""
+    df, _ = _corpus(spark, n=30)
+    books = pq_train(df, m=4, n_codes=8, seed=1)
+    codes_df = pq_encode(df, books)
+    q = df.where(F.col("vec_id") < 2).select(
+        F.concat(F.lit("q"), F.col("vec_id").cast("string")).alias(
+            "query_id"
+        ),
+        "embedding",
+    )
+    out = pq_adc_topk(codes_df, books, q, k=3).collect()
+    assert {r["query_id"] for r in out} == {"q0", "q1"}
+    out2 = pq_topk_rerank(codes_df, books, df, q, k=3, shortlist=30).collect()
+    assert {r["query_id"] for r in out2} == {"q0", "q1"}
+
+
+def test_pq_adc_rejects_bad_query_vectors(spark):
+    df, _ = _corpus(spark, n=20)
+    books = pq_train(df, m=4, n_codes=8, seed=1)
+    codes_df = pq_encode(df, books)
+    bad = spark.createDataFrame(
+        [(0, [1.0] * 5)], "query_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="non-16-dim"):
+        pq_adc_topk(codes_df, books, bad, k=3)
