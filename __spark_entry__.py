@@ -81,14 +81,18 @@ _CERT_PRIORITY = [
     "ep3_ctas_copy_roundtrip",
     "y1_session_kv",
     "n3_ivf_ann_topk",
-    # (c) 20 oldest r8 rows
+    # (c) oldest r8 rows (q1_pricing_summary displaced for ct1 — it is
+    # entry()'s flagship, smoke-run by the driver every round on top of
+    # its r8 row; j4_bidirectional_match displaced for x18 — same
+    # spatial_join operator family as the certified j1/pl4 rows; both
+    # re-certify with the r13 rotation)
     "pl4_within_filter",
     "j1_inner_band_theta_join",
-    "j4_bidirectional_match",
     "o5_balanced_union_limit",
-    "q1_pricing_summary",
     "s5_ctas_ingest_budget",
     "s6_incremental_append",
+    "ct1_containment_pairs",
+    "x18_bigram_logprob",
     # new in r12 — no driver row yet, certify immediately (displace
     # u2_union_distinct and s11_count_probe, both r8-certified trivial
     # forms structurally covered by u1/u3 and the count aggregates

@@ -852,6 +852,94 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def bigram_logprob(
+    df: DataFrame, id_col: str, text_col: str, *, alpha: float = 1.0
+) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own add-α-smoothed
+    BIGRAM LM — the conditional-probability upgrade of
+    :func:`unigram_logprob` (CCNet's KenLM filter is the 5-gram version
+    of this signal): ``nll = -Σ tf·ln P(r|l) / n_bigrams`` in nats with
+
+        ``P(r|l) = (c(l,r) + α) / (c(l·) + α·V)``
+
+    where ``c(l,r)`` is the corpus bigram count, ``c(l·)`` the count of
+    bigrams whose left token is ``l`` (the MLE context mass), and ``V``
+    the corpus vocabulary size (distinct tokens over the whole token
+    stream, so 1-token documents still contribute vocabulary).
+
+    Returns ``(<id_col>, n_bigrams, nll)`` for documents with ≥2 tokens.
+
+    Determinism: same micro-nat quantization as unigram_logprob — each
+    per-bigram term rounds to integer micro-nats before the per-document
+    sum — and one step further: the per-document MEAN is taken as an
+    exact half-up INTEGER division ``(2·Σtm + n) div (2·n)`` (still
+    micro-nats) before the single ``/1e6`` to double, because the
+    float form ``Σtm/1e6/n`` rounds differently across engines when a
+    document lands exactly on a 6-dp half boundary (measured: 3 of
+    5000 docs at the 10× fixture).  Integer in, integer out — no
+    partial-agg order OR division representation can flip a bit.
+
+    Scale shape: bigrams are SPACE-JOINED STRINGS from
+    :func:`token_ngrams` (tokens never contain spaces post-normalize, so
+    the join key is unambiguous and the left token splits back out
+    without a struct shuffle).  One groupBy(doc, bigram) (map-side
+    combined — the shuffle carries per-doc distinct bigrams), one
+    bigram-vocabulary groupBy, one left-context groupBy over THAT
+    (already vocabulary-sized), two token-key equi-joins (neither side
+    broadcasts — a web-scale bigram vocabulary doesn't fit), and two
+    1-row broadcasts (V).  The corpus text is tokenized twice (bigram
+    pass + vocabulary pass) — both scan-speed map stages; everything
+    downstream is vocabulary-sized."""
+    d = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_tk"))
+    inst = (
+        d.where(F.size("_tk") >= 2)
+        .select("id", F.explode(token_ngrams(F.col("_tk"), 2)).alias("bg"))
+    )
+    bf = inst.groupBy("id", "bg").agg(F.count(F.lit(1)).alias("tf"))
+    cb = bf.groupBy("bg").agg(F.sum("tf").alias("c"))
+    ctx = (
+        cb.select(F.element_at(F.split("bg", " "), 1).alias("l"), "c")
+        .groupBy("l")
+        .agg(F.sum("c").alias("cl"))
+    )
+    v = d.select(F.explode("_tk").alias("_t")).agg(
+        F.count_distinct("_t").alias("v")
+    )
+    term_micro = F.round(
+        -F.col("tf").cast("double")
+        * F.log(
+            (F.col("c").cast("double") + F.lit(float(alpha)))
+            / (
+                F.col("cl").cast("double")
+                + F.lit(float(alpha)) * F.col("v").cast("double")
+            )
+        )
+        * 1e6
+    ).cast("bigint")
+    return (
+        bf.join(cb, "bg")
+        .withColumn("l", F.element_at(F.split("bg", " "), 1))
+        .join(ctx, "l")
+        .crossJoin(F.broadcast(v))
+        .select("id", "tf", term_micro.alias("_tm"))
+        .groupBy("id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_bigrams"),
+            F.sum("_tm").alias("_nll_micro"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_bigrams",
+            (
+                F.expr(
+                    "(2 * _nll_micro + n_bigrams) div (2 * n_bigrams)"
+                ).cast("double")
+                / 1e6
+            ).alias("nll"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # BPE merge induction
 # ---------------------------------------------------------------------------

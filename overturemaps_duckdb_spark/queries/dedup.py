@@ -17,6 +17,7 @@ from overturemaps_duckdb_spark.operators.dedup import (
     embedding_neardup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
+    ngram_containment_pairs,
     ngram_jaccard_pairs,
     simhash_dedup_buckets,
 )
@@ -297,6 +298,47 @@ def d4_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification tier — at scale candidates come from LSH banding first."""
     d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
     return ngram_jaccard_pairs(d, "doc_id", "text", shingle_k=5, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# n-gram containment (asymmetric)
+# ---------------------------------------------------------------------------
+
+_CONTAINMENT_ORACLE = f"""
+WITH docs AS (
+    SELECT doc_id AS id, list_distinct({char_ngrams_sql('text', 5)}) AS shingles
+    FROM documents WHERE doc_id < 500
+),
+sh AS (SELECT id, unnest(shingles) AS s FROM docs),
+sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY id),
+inter AS (
+    SELECT a.id AS a_id, b.id AS b_id, CAST(count(*) AS BIGINT) AS c
+    FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+    GROUP BY a.id, b.id
+)
+SELECT i.a_id, i.b_id,
+       ROUND(CAST(i.c AS DOUBLE) / least(na.n, nb.n), 6) AS containment,
+       CASE WHEN na.n < nb.n THEN i.a_id
+            WHEN nb.n < na.n THEN i.b_id
+            ELSE least(i.a_id, i.b_id) END AS contained_id
+FROM inter i
+JOIN sizes na ON i.a_id = na.id
+JOIN sizes nb ON i.b_id = nb.id
+WHERE ROUND(CAST(i.c AS DOUBLE) / least(na.n, nb.n), 6) >= 0.6
+"""
+
+
+@query("ct1_containment_pairs", oracle=_CONTAINMENT_ORACLE)
+def ct1_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment pairs ≥ 0.6
+    (operators/dedup.ngram_containment_pairs): |A∩B|/min(|A|,|B|) — the
+    quote/subset detector Jaccard misses when document sizes diverge;
+    contained_id names the mostly-inside side.  Same verification-tier
+    doc_id < 500 cap as d4: at scale candidates come from LSH banding."""
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    return ngram_containment_pairs(
+        d, "doc_id", "text", shingle_k=5, threshold=0.6
+    )
 
 
 # ---------------------------------------------------------------------------

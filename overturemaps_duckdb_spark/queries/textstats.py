@@ -671,6 +671,60 @@ def x17_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_chars", "entropy")
 
 
+@query(
+    "x18_bigram_logprob",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id AS id, {tokens_sql('text')} AS tk FROM documents
+    ),
+    inst AS (
+        SELECT id, unnest({token_ngrams_sql('tk', 2)}) AS bg
+        FROM docs WHERE len(tk) >= 2
+    ),
+    bf AS (
+        SELECT id, bg, CAST(count(*) AS BIGINT) AS tf FROM inst GROUP BY id, bg
+    ),
+    cb AS (SELECT bg, CAST(sum(tf) AS BIGINT) AS c FROM bf GROUP BY bg),
+    ctx AS (
+        SELECT string_split(bg, ' ')[1] AS l, CAST(sum(c) AS BIGINT) AS cl
+        FROM cb GROUP BY 1
+    ),
+    vocab AS (
+        SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+        FROM (SELECT unnest(tk) AS tok FROM docs)
+    ),
+    terms AS (
+        SELECT bf.id, bf.tf,
+               CAST(ROUND(-CAST(bf.tf AS DOUBLE)
+                    * ln((CAST(cb.c AS DOUBLE) + 1.0)
+                         / (CAST(ctx.cl AS DOUBLE) + 1.0 * v.v)) * 1e6)
+                    AS BIGINT) AS tm
+        FROM bf JOIN cb USING (bg)
+        JOIN ctx ON string_split(bf.bg, ' ')[1] = ctx.l
+        CROSS JOIN vocab v
+    )
+    SELECT id AS doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+           CAST((2 * CAST(CAST(sum(tm) AS HUGEINT) AS BIGINT) + sum(tf))
+                // (2 * sum(tf)) AS DOUBLE) / 1e6 AS nll
+    FROM terms GROUP BY id
+    """,
+)
+def x18_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus's add-1-smoothed
+    BIGRAM LM (operators/textprep.bigram_logprob) — the conditional
+    upgrade of x16's unigram signal (CCNet's KenLM filter is the 5-gram
+    member of this family).  Bigrams are space-joined strings from
+    token_ngrams, so the context join needs no struct keys; per-bigram
+    terms quantize to integer micro-nats before the per-doc sum, and the
+    per-doc mean is an exact half-up integer division (both engines'
+    float ROUND flips on half-boundary docs — measured at the 10×
+    fixture); docs with ≥2 tokens only."""
+    from overturemaps_duckdb_spark.operators.textprep import bigram_logprob
+
+    d = t(spark, sf_dir, "documents")
+    return bigram_logprob(d, "doc_id", "text", alpha=1.0)
+
+
 _BPE_MERGES = 4
 
 

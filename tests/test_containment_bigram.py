@@ -1,0 +1,204 @@
+"""ct1 / x18 operator tests: shingle containment (asymmetric near-dup)
+and the add-1-smoothed bigram LM cross-entropy."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pyspark.sql.functions as F
+
+from overturemaps_duckdb_spark.operators.dedup import (
+    ngram_containment_pairs,
+    ngram_jaccard_pairs,
+)
+from overturemaps_duckdb_spark.operators.textprep import bigram_logprob
+
+
+def _shingles(text: str, k: int = 5) -> set[str]:
+    import re
+
+    norm = re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()
+    if len(norm) <= k:
+        return {norm}
+    return {norm[i : i + k] for i in range(len(norm) - k + 1)}
+
+
+# ---------------------------------------------------------------------------
+# containment
+# ---------------------------------------------------------------------------
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    """A short doc verbatim inside a much longer page: containment ≈ 1,
+    Jaccard small — the asymmetric case this operator exists for."""
+    quote = "the quick brown fox jumps over the lazy dog"
+    rng = random.Random(11)
+    filler = " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(7))
+        for _ in range(120)
+    )
+    df = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote + " " + filler[::-1])],
+        "id long, text string",
+    )
+    cont = ngram_containment_pairs(df, "id", "text", threshold=0.9).collect()
+    assert len(cont) == 1
+    row = cont[0]
+    assert (row["a_id"], row["b_id"], row["contained_id"]) == (1, 2, 1)
+    assert row["containment"] >= 0.99
+    jac = ngram_jaccard_pairs(df, "id", "text", threshold=0.3).collect()
+    assert jac == []  # symmetric similarity is blind to the quote
+
+
+def test_containment_matches_python_reference(spark):
+    rng = random.Random(23)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(1, 12))))
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        (r["a_id"], r["b_id"]): (r["containment"], r["contained_id"])
+        for r in ngram_containment_pairs(df, "id", "text", threshold=0.5).collect()
+    }
+    want = {}
+    sets = {i: _shingles(t) for i, t in rows}
+    for a in range(25):
+        for b in range(a + 1, 25):
+            c = len(sets[a] & sets[b])
+            denom = min(len(sets[a]), len(sets[b]))
+            cont = round(c / denom, 6)
+            if cont >= 0.5:
+                if len(sets[a]) < len(sets[b]):
+                    contained = a
+                elif len(sets[b]) < len(sets[a]):
+                    contained = b
+                else:
+                    contained = a
+                want[(a, b)] = (cont, contained)
+    assert got == want
+
+
+def test_containment_cap_preserves_exact_values(spark):
+    """stop_df_cap: unhit cap is a no-op; a low cap only drops pairs,
+    surviving values stay exact (full-set verification)."""
+    rng = random.Random(7)
+    boiler = "all rights reserved contact us"
+    rows = []
+    for i in range(20):
+        body = " ".join(
+            "".join(rng.choice("abcdefghij") for _ in range(6)) for _ in range(6)
+        )
+        rows.append((i, body + " " + boiler))
+    rows.append((100, "unique quoted passage about spark"))
+    rows.append((101, "prefix words unique quoted passage about spark suffix tail"))
+    df = spark.createDataFrame(rows, "id long, text string")
+    plain = {
+        (r["a_id"], r["b_id"]): (r["containment"], r["contained_id"])
+        for r in ngram_containment_pairs(df, "id", "text", threshold=0.4).collect()
+    }
+    nocap = {
+        (r["a_id"], r["b_id"]): (r["containment"], r["contained_id"])
+        for r in ngram_containment_pairs(
+            df, "id", "text", threshold=0.4, stop_df_cap=10_000
+        ).collect()
+    }
+    assert nocap == plain
+    capped = {
+        (r["a_id"], r["b_id"]): (r["containment"], r["contained_id"])
+        for r in ngram_containment_pairs(
+            df, "id", "text", threshold=0.4, stop_df_cap=5
+        ).collect()
+    }
+    assert set(capped) <= set(plain)
+    for pair, val in capped.items():
+        assert val == plain[pair]
+    assert (100, 101) in capped and capped[(100, 101)][1] == 100
+
+
+# ---------------------------------------------------------------------------
+# bigram LM
+# ---------------------------------------------------------------------------
+
+
+def _bigram_reference(rows: list[tuple[int, str]], alpha: float = 1.0):
+    import re
+
+    toks = {
+        i: [w for w in re.sub(r"[^a-z0-9]+", " ", t.lower()).strip().split(" ") if w]
+        for i, t in rows
+    }
+    vocab = {w for ws in toks.values() for w in ws}
+    cb: dict[tuple[str, str], int] = {}
+    for ws in toks.values():
+        for l, r in zip(ws, ws[1:]):
+            cb[(l, r)] = cb.get((l, r), 0) + 1
+    cl: dict[str, int] = {}
+    for (l, _), c in cb.items():
+        cl[l] = cl.get(l, 0) + c
+    out = {}
+    for i, ws in toks.items():
+        if len(ws) < 2:
+            continue
+        s = 0
+        n = 0
+        per_pair: dict[tuple[str, str], int] = {}
+        for l, r in zip(ws, ws[1:]):
+            per_pair[(l, r)] = per_pair.get((l, r), 0) + 1
+        for (l, r), tf in per_pair.items():
+            p = (cb[(l, r)] + alpha) / (cl[l] + alpha * len(vocab))
+            s += math.floor(-tf * math.log(p) * 1e6 + 0.5)
+            n += tf
+        micro = (2 * s + n) // (2 * n)
+        out[i] = (n, micro / 1e6)
+    return out
+
+
+def test_bigram_logprob_matches_python_reference(spark):
+    rng = random.Random(41)
+    words = ["aa", "bb", "cc", "dd", "ee"]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(0, 9))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: (r["n_bigrams"], r["nll"])
+        for r in bigram_logprob(df, "id", "text").collect()
+    }
+    want = _bigram_reference(rows)
+    assert set(got) == set(want)
+    for i in got:
+        assert got[i][0] == want[i][0]
+        assert got[i][1] == want[i][1], f"doc {i}: {got[i][1]} != {want[i][1]}"
+
+
+def test_bigram_logprob_short_docs_excluded(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "solo"), (3, "two tokens"), (4, None)],
+        "id long, text string",
+    )
+    rows = {r["id"]: r for r in bigram_logprob(df, "id", "text").collect()}
+    assert set(rows) == {3}
+    assert rows[3]["n_bigrams"] == 1
+
+
+def test_bigram_logprob_partition_invariant(spark):
+    rows = [
+        (i, f"tok{i % 3} tok{(i + 1) % 4} tok{(i + 2) % 3} tok{i % 5}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    base = {
+        (r["id"], r["n_bigrams"], r["nll"])
+        for r in bigram_logprob(df, "id", "text").collect()
+    }
+    shuffled = {
+        (r["id"], r["n_bigrams"], r["nll"])
+        for r in bigram_logprob(
+            df.repartition(7, F.col("id")), "id", "text"
+        ).collect()
+    }
+    assert base == shuffled
