@@ -84,15 +84,17 @@ _CERT_PRIORITY = [
     # (c) oldest r8 rows (q1_pricing_summary displaced for ct1 — it is
     # entry()'s flagship, smoke-run by the driver every round on top of
     # its r8 row; j4_bidirectional_match displaced for x18 — same
-    # spatial_join operator family as the certified j1/pl4 rows; both
-    # re-certify with the r13 rotation)
+    # spatial_join operator family as the certified j1/pl4 rows;
+    # s6_incremental_append displaced for mx2 — same lifecycle module as
+    # the kept s5 row, and the append path is also exercised by the
+    # certified i5 foreachBatch ingest; all re-certify with r13)
     "pl4_within_filter",
     "j1_inner_band_theta_join",
     "o5_balanced_union_limit",
     "s5_ctas_ingest_budget",
-    "s6_incremental_append",
     "ct1_containment_pairs",
     "x18_bigram_logprob",
+    "mx2_temperature_mixture",
     # new in r12 — no driver row yet, certify immediately (displace
     # u2_union_distinct and s11_count_probe, both r8-certified trivial
     # forms structurally covered by u1/u3 and the count aggregates

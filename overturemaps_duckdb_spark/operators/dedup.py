@@ -1155,55 +1155,20 @@ def ngram_jaccard_pairs(
     )
 
 
-def ngram_containment_pairs(
+def _containment_joined(
     df: DataFrame,
     id_col: str,
     text_col: str,
     *,
-    shingle_k: int = 5,
-    threshold: float = 0.8,
-    stop_df_cap: int | None = None,
+    shingle_k: int,
+    stop_df_cap: int | None,
 ) -> DataFrame:
-    """Asymmetric near-dup pairs by shingle CONTAINMENT
-    ``|A∩B| / min(|A|,|B|)`` — the quote/subset detector (Broder's
-    containment; what Dolma-style pipelines use where Jaccard goes blind:
-    a paragraph verbatim inside a 100× longer page has tiny Jaccard but
-    containment ≈ 1).
-
-    Returns ``(a_id, b_id, containment, contained_id)`` for pairs ≥
-    ``threshold`` — ``contained_id`` is the smaller-shingle-set side (the
-    doc that is mostly inside the other; tie → smaller id), the id a
-    pipeline would route to review/removal.
-
-    Same inverted-index shape as :func:`ngram_jaccard_pairs` (this is the
-    verification tier — at 100 TB candidates come from LSH banding
-    first); ``stop_df_cap`` drops corpus-hot shingles from CANDIDATE
-    GENERATION only, then verifies against the full sets, so reported
-    containment stays exact (bounded recall loss, zero precision loss —
-    and note the cap bites harder here than for Jaccard: a contained
-    QUOTE is often exactly the boilerplate a df-cap drops)."""
+    """Exact pairwise overlap frame ``(a_id, b_id, c, na, nb)`` over the
+    shingle inverted index — shared core of the containment family."""
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(char_ngrams(text_col, shingle_k))).alias("s"),
     )
-
-    def _emit(joined: DataFrame) -> DataFrame:
-        cont = F.round(
-            F.col("c").cast("double")
-            / F.least("na", "nb").cast("double"),
-            6,
-        )
-        contained = (
-            F.when(F.col("na") < F.col("nb"), F.col("a_id"))
-            .when(F.col("nb") < F.col("na"), F.col("b_id"))
-            .otherwise(F.least("a_id", "b_id"))
-        )
-        return (
-            joined.withColumn("containment", cont)
-            .where(F.col("containment") >= threshold)
-            .select("a_id", "b_id", "containment", contained.alias("contained_id"))
-        )
-
     if stop_df_cap is not None:
         keep = (
             sh.groupBy("s")
@@ -1222,7 +1187,7 @@ def ngram_containment_pairs(
         sets = sh.groupBy("id").agg(F.collect_set("s").alias("shingles"))
         a = sets.select(F.col("id").alias("a_id"), F.col("shingles").alias("a_sh"))
         b = sets.select(F.col("id").alias("b_id"), F.col("shingles").alias("b_sh"))
-        joined = (
+        return (
             cand.join(a, "a_id")
             .join(b, "b_id")
             .select(
@@ -1233,7 +1198,6 @@ def ngram_containment_pairs(
                 F.size("b_sh").alias("nb"),
             )
         )
-        return _emit(joined)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     inter = (
         sh.select(F.col("id").alias("a_id"), "s")
@@ -1242,10 +1206,111 @@ def ngram_containment_pairs(
         .groupBy("a_id", "b_id")
         .agg(F.count("*").alias("c"))
     )
-    joined = inter.join(
+    return inter.join(
         sizes.select(F.col("id").alias("a_id"), F.col("n").alias("na")), "a_id"
     ).join(sizes.select(F.col("id").alias("b_id"), F.col("n").alias("nb")), "b_id")
-    return _emit(joined)
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    stop_df_cap: int | None = None,
+    collapse_exact: bool = True,
+    group_cap: int | None = 1000,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle CONTAINMENT
+    ``|A∩B| / min(|A|,|B|)`` — the quote/subset detector (Broder's
+    containment; what Dolma-style pipelines use where Jaccard goes blind:
+    a paragraph verbatim inside a 100× longer page has tiny Jaccard but
+    containment ≈ 1).
+
+    Returns ``(a_id, b_id, containment, contained_id)`` for pairs ≥
+    ``threshold`` — ``contained_id`` is the smaller-shingle-set side (the
+    doc that is mostly inside the other; tie → smaller id), the id a
+    pipeline would route to review/removal.
+
+    Same inverted-index shape as :func:`ngram_jaccard_pairs` (this is the
+    verification tier — at 100 TB candidates come from LSH banding
+    first); ``stop_df_cap`` drops corpus-hot shingles from CANDIDATE
+    GENERATION only, then verifies against the full sets, so reported
+    containment stays exact (bounded recall loss, zero precision loss —
+    and note the cap bites harder here than for Jaccard: a contained
+    QUOTE is often exactly the boilerplate a df-cap drops).
+
+    ``collapse_exact`` (default on, the d2/d5 policy): the index runs
+    once per DISTINCT normalized text — identical texts have identical
+    shingle sets, so intra-group pairs are containment-1.0 outputs
+    (contained_id → tie rule) and cross-group member pairs inherit their
+    representatives' value, with contained_id resolved per member from
+    the representative SIDE (sizes are a group invariant).  Web-scale
+    corpora are 30–60 % exact duplicates, and duplication multiplies the
+    inverted-index join quadratically (df² rows per shingle), so the
+    collapse is what keeps the verification tier viable on a duplicated
+    corpus; ``group_cap`` bounds a single text duplicated millions of
+    times (observe()-counted drops, never silent).  Row-identical to the
+    per-document path absent a binding cap (CI-pinned).  Disabled
+    automatically with ``stop_df_cap`` (document frequencies are
+    per-document by definition)."""
+    cont = F.round(
+        F.col("c").cast("double") / F.least("na", "nb").cast("double"), 6
+    )
+    if collapse_exact and stop_df_cap is None:
+        norm_df = df.select(
+            F.col(id_col).alias("id"), normalize(text_col).alias("_n")
+        ).where(F.col("_n").isNotNull())
+        groups = _exact_groups(
+            norm_df, "_n", group_cap=group_cap, obs_name="containment_group_cap"
+        )
+        reps = groups.select(F.element_at("gids", 1).alias("id"), "_n")
+        side = (
+            F.when(F.col("na") < F.col("nb"), F.lit("a"))
+            .when(F.col("nb") < F.col("na"), F.lit("b"))
+            .otherwise(F.lit("t"))
+        )
+        rep_pairs = (
+            _containment_joined(reps, "id", "_n", shingle_k=shingle_k, stop_df_cap=None)
+            .withColumn("containment", cont)
+            .where(F.col("containment") >= threshold)
+            .select("a_id", "b_id", "containment", side.alias("_cs"))
+        )
+        intra = _explode_ordered_pairs(groups.where(F.size("gids") > 1), "gids", []).select(
+            "a_id",
+            "b_id",
+            F.lit(1.0).alias("containment"),
+            F.col("a_id").alias("contained_id"),
+        )
+        if threshold > 1.0:
+            intra = intra.where(F.lit(False))
+        raw = _fanout_members(
+            rep_pairs, groups, groups, ["containment", "_cs"], normalize_order=False
+        )
+        cross = raw.select(
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
+            "containment",
+            F.when(F.col("_cs") == "a", F.col("a_id"))
+            .when(F.col("_cs") == "b", F.col("b_id"))
+            .otherwise(F.least("a_id", "b_id"))
+            .alias("contained_id"),
+        )
+        return intra.unionByName(cross)
+    joined = _containment_joined(
+        df, id_col, text_col, shingle_k=shingle_k, stop_df_cap=stop_df_cap
+    )
+    contained = (
+        F.when(F.col("na") < F.col("nb"), F.col("a_id"))
+        .when(F.col("nb") < F.col("na"), F.col("b_id"))
+        .otherwise(F.least("a_id", "b_id"))
+    )
+    return (
+        joined.withColumn("containment", cont)
+        .where(F.col("containment") >= threshold)
+        .select("a_id", "b_id", "containment", contained.alias("contained_id"))
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -180,6 +180,94 @@ def temperature_weights(
     return floors
 
 
+def temperature_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    *,
+    budget: int,
+    tau: float = 0.5,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Distributed, integer-exact temperature mixture allocation:
+    ``(stratum, n, p_raw, p_temp, alloc)`` where ``p_temp ∝ n^tau`` (the
+    mT5/XLM-R multilingual sampling rule — tau<1 up-weights low-resource
+    strata) and ``alloc`` splits ``budget`` units across strata by
+    LARGEST-REMAINDER so the allocations are integers summing to exactly
+    ``budget`` (ties → stratum name ascending).
+
+    :func:`temperature_weights` is the driver-side permille dict for
+    feeding :func:`mixture_sample`; this is the engine-side form — no
+    collect, and every allocation decision is exact INTEGER arithmetic:
+    weights quantize to micro-units (``round(n^tau · 1e6)``), base shares
+    are ``(budget·w) div Σw`` and remainders ``(budget·w) mod Σw``, so
+    both engines agree bit-for-bit (no float division reaches a
+    comparison).  ``tau=0.5`` (default) computes via ``sqrt`` — IEEE
+    correctly-rounded in both engines, hence certified; other tau go
+    through ``pow``, which is 1-ulp-accurate but not guaranteed
+    bit-identical cross-engine (fine in production, noted for oracles).
+
+    ``weight_col`` measures strata by a mass column (tokens) instead of
+    row count.  NULL strata are excluded (stated contract, not engine
+    NULL-ordering accident).  Scale shape: one map-side-combined
+    groupBy(stratum) — the only thing that shuffles is (stratum,
+    partial count); the stratum frame is bounded (dozens of sources), so
+    the two 1-row broadcasts and the single-partition ranking window are
+    driver-free constant-cost steps.  Overflow bound: budget·w_micro <
+    2^63 ⇒ budget·√n < 9.2e12 — holds for any real corpus/budget pair
+    (1e12 docs, 1e6-unit budgets)."""
+    from pyspark.sql import Window
+
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    if tau < 0:
+        raise ValueError(f"tau must be >= 0, got {tau}")
+    mass = (
+        F.count(F.lit(1)) if weight_col is None else F.sum(weight_col)
+    ).cast("bigint")
+    counts = (
+        df.where(F.col(stratum_col).isNotNull())
+        .groupBy(stratum_col)
+        .agg(mass.alias("n"))
+        .where(F.col("n") > 0)
+    )
+    nd = F.col("n").cast("double")
+    powed = F.sqrt(nd) if tau == 0.5 else F.pow(nd, F.lit(float(tau)))
+    counts = counts.withColumn(
+        "_w", F.round(powed * 1e6).cast("bigint")
+    )
+    tot = counts.agg(
+        F.sum("_w").alias("_wz"), F.sum("n").alias("_nz")
+    )
+    share = F.col("_w") * F.lit(int(budget))
+    based = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("_base", F.expr("_w * CAST(%d AS BIGINT) div _wz" % int(budget)))
+        .withColumn("_rem", share - F.col("_base") * F.col("_wz"))
+    )
+    spare = based.agg(
+        (F.lit(int(budget)) - F.sum("_base")).alias("_spare")
+    )
+    w = Window.orderBy(F.desc("_rem"), F.asc(stratum_col))
+    return (
+        based.crossJoin(F.broadcast(spare))
+        .withColumn("_rk", F.row_number().over(w))
+        .select(
+            stratum_col,
+            "n",
+            F.round(F.col("n").cast("double") / F.col("_nz").cast("double"), 6).alias(
+                "p_raw"
+            ),
+            F.round(F.col("_w").cast("double") / F.col("_wz").cast("double"), 6).alias(
+                "p_temp"
+            ),
+            (
+                F.col("_base")
+                + (F.col("_rk") <= F.col("_spare")).cast("bigint")
+            ).alias("alloc"),
+        )
+    )
+
+
 def per_stratum_cap(
     df: DataFrame,
     id_col: str,

@@ -23,6 +23,7 @@ from overturemaps_duckdb_spark.operators.sampling import (
     mixture_sample,
     per_stratum_cap,
     stratified_sample,
+    temperature_allocation,
 )
 from overturemaps_duckdb_spark.queries import query, t, us_col
 from overturemaps_duckdb_spark.queries._sql import md5_long_sql, tokens_sql
@@ -269,6 +270,53 @@ def mx1_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_sample(
         d, "doc_id", "source", "n_tokens", _MIX_WEIGHTS, _MIX_BUDGET
     ).select("doc_id", "source", "n_tokens", "rate_pm")
+
+
+_MX2_BUDGET = 10_000
+
+
+@query(
+    "mx2_temperature_mixture",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents
+        WHERE source IS NOT NULL GROUP BY source
+    ),
+    wq AS (
+        SELECT source, n,
+               CAST(ROUND(sqrt(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS w
+        FROM counts WHERE n > 0
+    ),
+    tot AS (
+        SELECT CAST(SUM(w) AS BIGINT) AS wz, CAST(SUM(n) AS BIGINT) AS nz
+        FROM wq
+    ),
+    based AS (
+        SELECT source, n, w, wz, nz,
+               (w * {_MX2_BUDGET}) // wz AS base,
+               w * {_MX2_BUDGET} - ((w * {_MX2_BUDGET}) // wz) * wz AS rem
+        FROM wq CROSS JOIN tot
+    ),
+    sp AS (SELECT {_MX2_BUDGET} - CAST(SUM(base) AS BIGINT) AS spare FROM based)
+    SELECT source, n,
+           ROUND(CAST(n AS DOUBLE) / nz, 6) AS p_raw,
+           ROUND(CAST(w AS DOUBLE) / wz, 6) AS p_temp,
+           CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                            <= spare THEN 1 ELSE 0 END AS BIGINT) AS alloc
+    FROM based CROSS JOIN sp
+    """,
+)
+def mx2_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed mixture allocation (mT5/XLM-R sampling rule,
+    operators/sampling.temperature_allocation): p(source) ∝ n^0.5 flattens
+    the corpus head so low-resource sources up-weight, and a 10k-unit
+    budget splits by exact integer largest-remainder (allocations sum to
+    the budget bit-for-bit in both engines — sqrt is IEEE
+    correctly-rounded, every division a comparison depends on is integer
+    div/mod).  The engine-side twin of temperature_weights' driver
+    permille dict."""
+    d = t(spark, sf_dir, "documents")
+    return temperature_allocation(d, "source", budget=_MX2_BUDGET, tau=0.5)
 
 
 @query(

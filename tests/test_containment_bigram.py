@@ -118,6 +118,41 @@ def test_containment_cap_preserves_exact_values(spark):
     assert (100, 101) in capped and capped[(100, 101)][1] == 100
 
 
+def test_containment_collapse_identical_to_plain(spark):
+    """collapse_exact on a duplicated corpus is row-identical to the
+    per-document path — intra 1.0 pairs, inherited cross values, and the
+    contained_id side/tie resolution all line up."""
+    rng = random.Random(31)
+    words = ["red", "green", "blue", "cyan", "teal", "plum"]
+    base = [
+        " ".join(rng.choice(words) for _ in range(rng.randint(1, 10)))
+        for _ in range(12)
+    ]
+    rows = []
+    rid = 0
+    for text in base:
+        for _ in range(rng.randint(1, 4)):  # exact duplicates, mixed counts
+            rows.append((rid, text))
+            rid += 1
+    rows.append((500, None))  # NULL text drops out of both paths
+    df = spark.createDataFrame(rows, "id long, text string")
+    kw = dict(shingle_k=5, threshold=0.5)
+    plain = {
+        (r["a_id"], r["b_id"], r["containment"], r["contained_id"])
+        for r in ngram_containment_pairs(
+            df, "id", "text", collapse_exact=False, **kw
+        ).collect()
+    }
+    collapsed = {
+        (r["a_id"], r["b_id"], r["containment"], r["contained_id"])
+        for r in ngram_containment_pairs(
+            df, "id", "text", collapse_exact=True, **kw
+        ).collect()
+    }
+    assert collapsed == plain
+    assert any(c == 1.0 for _, _, c, _ in plain)  # the dup pairs are present
+
+
 # ---------------------------------------------------------------------------
 # bigram LM
 # ---------------------------------------------------------------------------

@@ -221,6 +221,72 @@ def test_temperature_weights_properties(spark):
     assert abs(got["web"] - wt["web"] * 40) < 8_000
 
 
+def test_temperature_allocation_exact_integer_properties(spark):
+    """Engine-side largest-remainder allocation: sums to budget exactly,
+    tau flattens toward the tail, weight_col mode, NULL strata excluded,
+    matches a python largest-remainder reference bit-for-bit."""
+    import math
+
+    from overturemaps_duckdb_spark.operators.sampling import (
+        temperature_allocation,
+    )
+
+    rows = (
+        [(i, "web") for i in range(811)]
+        + [(10_000 + i, "code") for i in range(153)]
+        + [(20_000 + i, "ref") for i in range(57)]
+        + [(30_000, None)]  # NULL stratum drops
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {
+        r["source"]: r
+        for r in temperature_allocation(df, "source", budget=997).collect()
+    }
+    assert set(out) == {"web", "code", "ref"}
+    assert sum(r["alloc"] for r in out.values()) == 997
+    assert out["web"]["n"] == 811
+
+    # python reference (same integer arithmetic)
+    ns = {"web": 811, "code": 153, "ref": 57}
+    wm = {s: round(math.sqrt(n) * 1e6) for s, n in ns.items()}
+    wz = sum(wm.values())
+    base = {s: (w * 997) // wz for s, w in wm.items()}
+    rem = {s: w * 997 - base[s] * wz for s, w in wm.items()}
+    spare = 997 - sum(base.values())
+    for s in sorted(rem, key=lambda s: (-rem[s], s))[:spare]:
+        base[s] += 1
+    for s in ns:
+        assert out[s]["alloc"] == base[s], s
+        assert out[s]["p_temp"] == round(wm[s] / wz, 6)
+
+    # flattening: ref's temperature share beats its raw share
+    assert out["ref"]["p_temp"] > out["ref"]["p_raw"]
+    assert out["web"]["p_temp"] < out["web"]["p_raw"]
+
+    # weight_col mode: mass-based counting
+    df2 = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 300), (3, "b", 400)],
+        "doc_id long, source string, n_tokens long",
+    )
+    m = {
+        r["source"]: r["n"]
+        for r in temperature_allocation(
+            df2, "source", budget=10, weight_col="n_tokens"
+        ).collect()
+    }
+    assert m == {"a": 400, "b": 400}
+
+    # equal strata + odd budget: deterministic tie → name ascending
+    df3 = spark.createDataFrame(
+        [(1, "x"), (2, "y")], "doc_id long, source string"
+    )
+    eq = {
+        r["source"]: r["alloc"]
+        for r in temperature_allocation(df3, "source", budget=3).collect()
+    }
+    assert eq == {"x": 2, "y": 1}
+
+
 def test_per_stratum_cap_behavior(spark):
     """Cap winners are the md5-lowest per stratum, small strata survive
     whole, cap edges are exact, and no helper columns escape."""
