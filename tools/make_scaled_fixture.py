@@ -94,7 +94,16 @@ def main() -> None:
                         f"SELECT {proj} FROM read_parquet('{src_file}')"
                     )
                 sel = " UNION ALL ".join(parts)
-        con.execute(f"COPY ({sel}) TO '{dst_file}' (FORMAT PARQUET)")
+        # ROW_GROUP_SIZE: duckdb's default wrote documents/embeddings as
+        # ONE row group — a parquet file cannot be split mid-row-group, so
+        # every Spark scan of those tables at sf1 ran as a SINGLE task
+        # (measured: the whole scan+explode map stage serialized; lineitem
+        # with 49 groups parallelized fine).  ~8k rows per group keeps
+        # even the 50k-row tables at ≥6 splits.
+        con.execute(
+            f"COPY ({sel}) TO '{dst_file}' "
+            f"(FORMAT PARQUET, ROW_GROUP_SIZE 8192)"
+        )
         n = con.execute(
             f"SELECT count(*) FROM read_parquet('{dst_file}')"
         ).fetchone()[0]
