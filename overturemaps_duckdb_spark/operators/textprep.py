@@ -852,6 +852,54 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def doc_novelty(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 8
+) -> DataFrame:
+    """Per-document novelty: the fraction of the doc's DISTINCT token
+    ``n``-grams that appear in NO other document — the inverse signal of
+    :func:`hot_ngram_span_removal` (x14 removes what is corpus-hot; this
+    scores what is corpus-unique).  Exact duplicates score 0.0 (every
+    gram recurs in the twin), templated/boilerplate docs score low, and
+    fresh prose scores near 1.0 — a cheap ranking signal for
+    dedup-adjacent quality pruning.
+
+    Returns ``(<id_col>, n_grams, novelty)`` for docs with ≥1 token
+    (shorter-than-``n`` docs contribute their whole-document gram, the
+    token_ngrams convention).
+
+    Scale shape: grams hash to 60-bit keys BEFORE the shuffle (the
+    d9/x4 policy — 8-byte keys move, text never does); one
+    gram-frequency groupBy (map-side combined), one hash-key equi-join
+    back, one per-doc aggregate.  The hash is applied identically in the
+    oracle, so a (≈n²/2⁶¹) collision changes both engines the same way —
+    the value is defined OVER the hashed gram space."""
+    from overturemaps_duckdb_spark.functions.text import md5_long
+
+    d = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_tk")).where(
+        F.size("_tk") >= 1
+    )
+    inst = d.select(
+        "id",
+        F.explode(F.array_distinct(token_ngrams(F.col("_tk"), n))).alias("_g"),
+    ).select("id", md5_long(F.col("_g")).alias("h"))
+    dfreq = inst.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+    return (
+        inst.join(dfreq, "h")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum((F.col("_df") == 1).cast("bigint")).alias("_u"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_grams",
+            F.round(
+                F.col("_u").cast("double") / F.col("n_grams").cast("double"), 6
+            ).alias("novelty"),
+        )
+    )
+
+
 def bigram_logprob(
     df: DataFrame, id_col: str, text_col: str, *, alpha: float = 1.0
 ) -> DataFrame:

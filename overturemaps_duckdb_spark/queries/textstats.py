@@ -30,6 +30,7 @@ from overturemaps_duckdb_spark.operators.textprep import (
 )
 from overturemaps_duckdb_spark.queries import query, t
 from overturemaps_duckdb_spark.queries._sql import (
+    md5_long_sql,
     norm_sql,
     token_ngrams_sql,
     tokens_sql,
@@ -723,6 +724,44 @@ def x18_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     return bigram_logprob(d, "doc_id", "text", alpha=1.0)
+
+
+@query(
+    "x19_doc_novelty",
+    oracle=f"""
+    WITH d0 AS (
+        SELECT doc_id, {tokens_sql('text')} AS tk FROM documents
+    ),
+    docs AS (
+        SELECT doc_id, list_distinct({token_ngrams_sql('tk', 8)}) AS gs
+        FROM d0 WHERE len(tk) >= 1
+    ),
+    inst AS (
+        SELECT doc_id, {md5_long_sql('g')} AS h
+        FROM (SELECT doc_id, unnest(gs) AS g FROM docs)
+    ),
+    dfreq AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM inst GROUP BY h),
+    per AS (
+        SELECT i.doc_id,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS u
+        FROM inst i JOIN dfreq f USING (h) GROUP BY i.doc_id
+    )
+    SELECT doc_id, n AS n_grams,
+           ROUND(CAST(u AS DOUBLE) / n, 6) AS novelty
+    FROM per
+    """,
+)
+def x19_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: share of the doc's distinct token 8-grams
+    that are corpus-unique (operators/textprep.doc_novelty) — the inverse
+    of x14's hot-span signal; exact duplicates score 0.0.  Grams hash to
+    60-bit keys before any shuffle (text never moves), identically in
+    both engines, so the value is defined over the hashed gram space."""
+    from overturemaps_duckdb_spark.operators.textprep import doc_novelty
+
+    d = t(spark, sf_dir, "documents")
+    return doc_novelty(d, "doc_id", "text", n=8)
 
 
 _BPE_MERGES = 4
