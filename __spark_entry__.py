@@ -87,11 +87,13 @@ _CERT_PRIORITY = [
     # spatial_join operator family as the certified j1/pl4 rows;
     # s6_incremental_append displaced for mx2 — same lifecycle module as
     # the kept s5 row, and the append path is also exercised by the
-    # certified i5 foreachBatch ingest; all re-certify with r13)
+    # certified i5 foreachBatch ingest; o5_balanced_union_limit displaced
+    # for x19 — its balanced-limit operator path is shared with pl1,
+    # both holding r8 rows; all re-certify with r13)
     "pl4_within_filter",
     "j1_inner_band_theta_join",
-    "o5_balanced_union_limit",
     "s5_ctas_ingest_budget",
+    "x19_doc_novelty",
     "ct1_containment_pairs",
     "x18_bigram_logprob",
     "mx2_temperature_mixture",

@@ -220,6 +220,57 @@ def test_bigram_logprob_short_docs_excluded(spark):
     assert rows[3]["n_bigrams"] == 1
 
 
+def test_doc_novelty_extremes_and_reference(spark):
+    """Exact duplicates score 0.0, fully unique prose scores 1.0, and the
+    general case matches a python reference over the hashed gram space."""
+    from overturemaps_duckdb_spark.operators.textprep import doc_novelty
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (3, "completely different words live here in this document body"),
+        (4, "short doc"),  # < n tokens → whole-doc gram, unique → 1.0
+        (5, ""),  # no tokens → excluded
+        (6, None),  # NULL → excluded
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in doc_novelty(df, "id", "text", n=8).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["novelty"] == 0.0 and out[2]["novelty"] == 0.0
+    assert out[3]["novelty"] == 1.0
+    assert out[4]["novelty"] == 1.0 and out[4]["n_grams"] == 1
+
+    # python reference on a random corpus
+    import re
+
+    rng = random.Random(19)
+    words = ["aa", "bb", "cc", "dd"]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(1, 12))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: (r["n_grams"], r["novelty"])
+        for r in doc_novelty(df, "id", "text", n=3).collect()
+    }
+    grams = {}
+    for i, t in rows:
+        tk = [w for w in re.sub(r"[^a-z0-9]+", " ", t.lower()).strip().split() if w]
+        gs = {
+            " ".join(tk[j : j + 3])
+            for j in range(max(len(tk) - 2, 1))
+        }
+        grams[i] = gs
+    dfreq: dict[str, int] = {}
+    for gs in grams.values():
+        for g in gs:
+            dfreq[g] = dfreq.get(g, 0) + 1
+    for i, gs in grams.items():
+        u = sum(1 for g in gs if dfreq[g] == 1)
+        assert got[i] == (len(gs), round(u / len(gs), 6)), i
+
+
 def test_bigram_logprob_partition_invariant(spark):
     rows = [
         (i, f"tok{i % 3} tok{(i + 1) % 4} tok{(i + 2) % 3} tok{i % 5}")
