@@ -48,7 +48,14 @@ def _gen_docs(rng: random.Random, n: int):
 
 @pytest.mark.parametrize("seed", [11, 17])
 @pytest.mark.parametrize(
-    "name", ["x15_tfidf_keywords", "x16_unigram_logprob", "x17_char_entropy"]
+    "name",
+    [
+        "x15_tfidf_keywords",
+        "x16_unigram_logprob",
+        "x17_char_entropy",
+        "x18_bigram_logprob",
+        "x19_doc_novelty",
+    ],
 )
 def test_textstats_fuzz_vs_oracle(spark, tmp_path, name, seed):
     rng = random.Random(seed)
