@@ -89,11 +89,13 @@ _CERT_PRIORITY = [
     # the kept s5 row, and the append path is also exercised by the
     # certified i5 foreachBatch ingest; o5_balanced_union_limit displaced
     # for x19 — its balanced-limit operator path is shared with pl1,
-    # both holding r8 rows; all re-certify with r13)
+    # both holding r8 rows; s5_ctas_ingest_budget displaced for sp2 —
+    # the CTAS machinery is certified in-prefix through the console
+    # front door (ep3_ctas_copy_roundtrip); all re-certify with r13)
     "pl4_within_filter",
     "j1_inner_band_theta_join",
-    "s5_ctas_ingest_budget",
     "x19_doc_novelty",
+    "sp2_session_safe_split",
     "ct1_containment_pairs",
     "x18_bigram_logprob",
     "mx2_temperature_mixture",

@@ -358,6 +358,65 @@ def write_training_shards(
     )
 
 
+def session_safe_split(
+    events: DataFrame,
+    user_col: str,
+    ts_us_col: str,
+    id_col: str,
+    *,
+    cutoff_us: int,
+    gap_us: int,
+) -> DataFrame:
+    """Temporal train/eval split that assigns whole SESSIONS, never rows:
+    sessionize per user (``gap_us`` inactivity, the e2 lag+cumsum shape),
+    then label every event by its session's bounds — session end ≤
+    ``cutoff_us`` → ``train``, session start > ``cutoff_us`` → ``eval``,
+    straddling sessions → ``quarantine``.
+
+    Row-level time splits leak: a session crossing the cutoff puts a
+    user's immediate future context into train (the behavioral twin of
+    sp1's near-dup leakage — same contract, the LEAKAGE UNIT is assigned
+    wholly or not at all).  Quarantine is explicit rather than silently
+    assigned to either side.
+
+    Returns ``(<id_col>, <user_col>, split)``.
+
+    Scale shape: one hash shuffle on the user key for the sessionize
+    window (state bounded by one user's history per task), one exchange
+    on (user, session) for the bounds window — both narrow keyed
+    shuffles; the cutoff is a plain literal so the labeling is a
+    scan-speed projection.  No collects, no broadcasts."""
+    from pyspark.sql import Window
+
+    if gap_us <= 0:
+        raise ValueError(f"gap_us must be > 0, got {gap_us}")
+    w_order = Window.partitionBy(user_col).orderBy(ts_us_col, id_col)
+    w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = events.withColumn(
+        "_prev", F.lag(ts_us_col).over(w_order)
+    ).withColumn(
+        "_new",
+        F.when(
+            F.col("_prev").isNull()
+            | (F.col(ts_us_col) - F.col("_prev") > gap_us),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn("_sid", F.sum("_new").over(w_cum))
+    w_sess = Window.partitionBy(user_col, "_sid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    bounded = sess.withColumn("_s0", F.min(ts_us_col).over(w_sess)).withColumn(
+        "_s1", F.max(ts_us_col).over(w_sess)
+    )
+    split = (
+        F.when(F.col("_s1") <= F.lit(int(cutoff_us)), F.lit("train"))
+        .when(F.col("_s0") > F.lit(int(cutoff_us)), F.lit("eval"))
+        .otherwise(F.lit("quarantine"))
+    )
+    return bounded.select(id_col, user_col, split.alias("split"))
+
+
 def leakage_safe_split(
     df: DataFrame,
     id_col: str,

@@ -117,6 +117,66 @@ def e2_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sp2_session_safe_split",
+    oracle=f"""
+    WITH cut AS (
+        SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS c FROM events
+    ),
+    ordered AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY epoch_us(ts), event_id) AS prev_us
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, us,
+               CASE WHEN prev_us IS NULL OR us - prev_us > {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ordered
+    ),
+    sessions AS (
+        SELECT user_id, event_id, us,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sid
+        FROM flagged
+    ),
+    bounded AS (
+        SELECT user_id, event_id,
+               min(us) OVER (PARTITION BY user_id, sid) AS s0,
+               max(us) OVER (PARTITION BY user_id, sid) AS s1
+        FROM sessions
+    )
+    SELECT event_id, user_id,
+           CASE WHEN s1 <= cut.c THEN 'train'
+                WHEN s0 > cut.c THEN 'eval'
+                ELSE 'quarantine' END AS split
+    FROM bounded CROSS JOIN cut
+    """,
+)
+def sp2_session_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/eval split at the events time-range midpoint with
+    whole-SESSION assignment (operators/sampling.session_safe_split; e2's
+    sessionize shape underneath): a session straddling the cutoff is
+    quarantined, never split — the behavioral twin of sp1's near-dup
+    leakage contract.  The midpoint cutoff is a 1-row aggregate collected
+    to a literal (bounded, the count-probe convention)."""
+    from overturemaps_duckdb_spark.operators.sampling import session_safe_split
+
+    ev = t(spark, sf_dir, "events")
+    ev = ev.withColumn("us", us_col(ev))
+    lo, hi = ev.agg(F.min("us"), F.max("us")).collect()[0]
+    return session_safe_split(
+        ev,
+        "user_id",
+        "us",
+        "event_id",
+        cutoff_us=(lo + hi) // 2,
+        gap_us=SESSION_GAP_US,
+    )
+
+
+@query(
     "i1_stream_tumbling_window",
     oracle=f"""
     SELECT epoch_us(ts) - ((epoch_us(ts) % {WINDOW_US} + {WINDOW_US}) % {WINDOW_US})

@@ -287,6 +287,51 @@ def test_temperature_allocation_exact_integer_properties(spark):
     assert eq == {"x": 2, "y": 1}
 
 
+def test_session_safe_split_leakage_contract(spark):
+    """Whole-session assignment: a session straddling the cutoff is
+    quarantined (never row-split), sessions entirely before/after label
+    train/eval, and no (user, session) carries two labels."""
+    from overturemaps_duckdb_spark.operators.sampling import session_safe_split
+
+    m = 60_000_000  # one minute in us
+    gap = 30 * m
+    cutoff = 1_000 * m
+    rows = [
+        # u1: one session fully before the cutoff -> train
+        (1, 100, 900 * m),
+        (2, 100, 905 * m),
+        # u1: second session fully after -> eval (gap > 30min from prev)
+        (3, 100, 1_100 * m),
+        # u2: session straddles the cutoff -> quarantine (both events)
+        (4, 200, 995 * m),
+        (5, 200, 1_005 * m),
+        # u3: single event exactly AT the cutoff -> train (end <= cutoff)
+        (6, 300, 1_000 * m),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, us long")
+    out = {
+        r["event_id"]: r["split"]
+        for r in session_safe_split(
+            df, "user_id", "us", "event_id", cutoff_us=cutoff, gap_us=gap
+        ).collect()
+    }
+    assert out == {
+        1: "train",
+        2: "train",
+        3: "eval",
+        4: "quarantine",
+        5: "quarantine",
+        6: "train",
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        session_safe_split(
+            df, "user_id", "us", "event_id", cutoff_us=cutoff, gap_us=0
+        )
+
+
 def test_per_stratum_cap_behavior(spark):
     """Cap winners are the md5-lowest per stratum, small strata survive
     whole, cap edges are exact, and no helper columns escape."""
