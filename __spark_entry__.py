@@ -91,9 +91,12 @@ _CERT_PRIORITY = [
     # for x19 — its balanced-limit operator path is shared with pl1,
     # both holding r8 rows; s5_ctas_ingest_budget displaced for sp2 —
     # the CTAS machinery is certified in-prefix through the console
-    # front door (ep3_ctas_copy_roundtrip); all re-certify with r13)
-    "pl4_within_filter",
+    # front door (ep3_ctas_copy_roundtrip); pl4_within_filter displaced
+    # for qs1 — its spatial_join within/exclude machinery holds the r9
+    # j2_spatial_within row and shares paths with pl5/j3; all re-certify
+    # with r13)
     "j1_inner_band_theta_join",
+    "qs1_quality_weighted_sample",
     "x19_doc_novelty",
     "sp2_session_safe_split",
     "ct1_containment_pairs",

@@ -180,6 +180,33 @@ def temperature_weights(
     return floors
 
 
+def quality_weighted_sample(
+    df: DataFrame, id_col: str, quality_col: str, *, exponent: int = 2
+) -> DataFrame:
+    """Soft quality filter (the FineWeb-style alternative to a hard
+    threshold): each row survives with probability ``quality^exponent``
+    — high-quality documents keep, low-quality documents thin
+    proportionally instead of cliff-dropping at a cutoff (``exponent``
+    sharpens the curve; 1 = linear).
+
+    Membership is the deterministic md5 bucket (retry-stable, the
+    hash_sample contract): keep iff ``bucket(id) < q^exponent · 1000``.
+    The comparison is a RAW double comparison — the power is computed by
+    repeated multiplication (integer exponent, never ``pow()``) from the
+    quality value both engines already agree on bit-for-bit, so
+    membership is bit-identical; rounding the rate to a permille integer
+    first would reintroduce the cross-engine half-boundary trap the x18
+    integer-mean fix removed.  Rows never shuffle; the filter is pure
+    codegen riding the scan."""
+    if exponent < 1:
+        raise ValueError(f"exponent must be >= 1, got {exponent}")
+    q = F.col(quality_col).cast("double")
+    p = q
+    for _ in range(exponent - 1):
+        p = p * q
+    return df.where(hash_bucket(id_col).cast("double") < p * F.lit(1000.0))
+
+
 def temperature_allocation(
     df: DataFrame,
     stratum_col: str,

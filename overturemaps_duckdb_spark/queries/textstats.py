@@ -103,6 +103,30 @@ def x2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "qs1_quality_weighted_sample",
+    oracle=_QUALITY_CTES
+    + f"""
+    SELECT doc_id, quality FROM q
+    WHERE {md5_long_sql("CAST(doc_id AS VARCHAR)")} % 1000
+          < quality * quality * 1000.0
+    """,
+)
+def qs1_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft quality sampling (operators/sampling.quality_weighted_sample):
+    survival probability = quality² — the FineWeb-style smooth filter
+    between x2's raw score and x11's hard percentile cut.  Deterministic
+    md5-bucket membership compared RAW against q²·1000 (no rate rounding
+    — bit-identical membership in both engines)."""
+    from overturemaps_duckdb_spark.operators.sampling import (
+        quality_weighted_sample,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    scored = d.select("doc_id", quality_score("text").alias("quality"))
+    return quality_weighted_sample(scored, "doc_id", "quality", exponent=2)
+
+
+@query(
     "x3_lang_id",
     oracle=f"""
     WITH hits AS (

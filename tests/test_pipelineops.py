@@ -287,6 +287,32 @@ def test_temperature_allocation_exact_integer_properties(spark):
     assert eq == {"x": 2, "y": 1}
 
 
+def test_quality_weighted_sample_properties(spark):
+    """q=1 always survives, q=0 never, sharper exponents keep subsets,
+    and membership is deterministic across calls."""
+    from overturemaps_duckdb_spark.operators.sampling import (
+        quality_weighted_sample,
+    )
+
+    rows = [(i, (i % 11) / 10.0) for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, quality double")
+    k1 = {r["doc_id"] for r in quality_weighted_sample(df, "doc_id", "quality", exponent=1).collect()}
+    k2 = {r["doc_id"] for r in quality_weighted_sample(df, "doc_id", "quality", exponent=2).collect()}
+    k2b = {r["doc_id"] for r in quality_weighted_sample(df, "doc_id", "quality", exponent=2).collect()}
+    ones = {i for i, q in rows if q == 1.0}
+    zeros = {i for i, q in rows if q == 0.0}
+    assert ones <= k1 and ones <= k2
+    assert not (zeros & k1) and not (zeros & k2)
+    assert k2 <= k1  # sharper exponent thins, never adds
+    assert k2 == k2b  # deterministic
+    assert len(k2) < len(k1) < 600  # the middle actually thins
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        quality_weighted_sample(df, "doc_id", "quality", exponent=0)
+
+
 def test_session_safe_split_leakage_contract(spark):
     """Whole-session assignment: a session straddling the cutoff is
     quarantined (never row-split), sessions entirely before/after label
