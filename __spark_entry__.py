@@ -93,10 +93,12 @@ _CERT_PRIORITY = [
     # the CTAS machinery is certified in-prefix through the console
     # front door (ep3_ctas_copy_roundtrip); pl4_within_filter displaced
     # for qs1 — its spatial_join within/exclude machinery holds the r9
-    # j2_spatial_within row and shares paths with pl5/j3; all re-certify
+    # j2_spatial_within row and shares paths with pl5/j3;
+    # j1_inner_band_theta_join displaced for emb1 — its interval-band
+    # machinery holds the r10 f1_interval_overlap row; all re-certify
     # with r13)
-    "j1_inner_band_theta_join",
     "qs1_quality_weighted_sample",
+    "emb1_label_centroids",
     "x19_doc_novelty",
     "sp2_session_safe_split",
     "ct1_containment_pairs",

@@ -1057,6 +1057,74 @@ def quantize_embeddings(
     )
 
 
+def groupwise_centroids(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str,
+    *,
+    dim: int,
+) -> DataFrame:
+    """Exact per-group mean embedding — the domain/label centroid table a
+    pipeline monitors for drift, routes mixtures by, or seeds clustering
+    from.  Returns ``(<group_col>, n_vectors, centroid array<double>)``
+    with components at 6 dp.
+
+    Only rows with a complete ``dim``-length, NULL-free vector count
+    (stated contract — a partial vector must not silently skew one
+    component).
+
+    Bit-identical across engines BY CONSTRUCTION, no float summation
+    anywhere: components quantize to integer micro-units via
+    ``floor(x·1e6 + 0.5)`` (pure IEEE multiply-add-floor — identical on
+    identical doubles, unlike ROUND, whose decimal-expansion tie-break
+    measurably diverges between engines), the per-component sum is a
+    bigint, and the mean rounds half-AWAY-FROM-ZERO via sign-split
+    truncating integer division (Spark ``div`` truncates toward zero,
+    DuckDB ``//`` floors — they agree only on non-negative operands, so
+    the division runs on ``|s|`` with the sign re-applied).
+
+    Scale shape: posexplode → groupBy(group, idx) with map-side combine
+    (the shuffle carries ≤ groups·dim partial rows per task, never
+    vectors), then a groups-sized reassembly (sort_array fixes
+    collect_list's order by the leading idx field).  No UDFs, no
+    driver work."""
+    g = F.col(group_col)
+    v = F.col(vec_col)
+    clean = df.where(
+        v.isNotNull()
+        & (F.size(v) == dim)
+        & (F.size(F.filter(v, lambda x: x.isNull())) == 0)
+    ).select(g.alias("_g"), v.cast("array<double>").alias("_v"))
+    inst = clean.select(
+        "_g", F.posexplode("_v").alias("_i", "_x")
+    ).select(
+        "_g",
+        (F.col("_i") + F.lit(1)).alias("_i"),
+        F.floor(F.col("_x") * 1e6 + F.lit(0.5)).cast("bigint").alias("_m"),
+    )
+    sums = inst.groupBy("_g", "_i").agg(
+        F.sum("_m").alias("_s"), F.count(F.lit(1)).alias("_n")
+    )
+    mean_micro = F.expr(
+        "CASE WHEN _s < 0 THEN -((2 * (-_s) + _n) div (2 * _n)) "
+        "ELSE (2 * _s + _n) div (2 * _n) END"
+    )
+    comp = sums.select(
+        "_g", "_i", "_n", (mean_micro.cast("double") / 1e6).alias("_c")
+    )
+    return (
+        comp.groupBy("_g")
+        .agg(
+            F.max("_n").cast("bigint").alias("n_vectors"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_i", "_c"))),
+                lambda s: s["_c"],
+            ).alias("centroid"),
+        )
+        .select(F.col("_g").alias(group_col), "n_vectors", "centroid")
+    )
+
+
 def lsh_bucket_neighbors(
     corpus: DataFrame,
     *,

@@ -563,3 +563,49 @@ def hn1_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= 10
     )
+
+
+@query(
+    "emb1_label_centroids",
+    oracle="""
+    WITH clean AS (
+        SELECT label, embedding FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) = 64
+          AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    ),
+    inst AS (
+        SELECT label, CAST(i.i AS BIGINT) AS idx,
+               CAST(floor(CAST(embedding[CAST(i.i AS INTEGER)] AS DOUBLE)
+                          * 1e6 + 0.5) AS BIGINT) AS m
+        FROM clean, range(1, 65) i(i)
+    ),
+    sums AS (
+        SELECT label, idx,
+               CAST(SUM(m) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM inst GROUP BY label, idx
+    ),
+    comp AS (
+        SELECT label, idx, n,
+               CAST(CASE WHEN s < 0 THEN -((2 * (-s) + n) // (2 * n))
+                    ELSE (2 * s + n) // (2 * n) END AS DOUBLE) / 1e6 AS c
+        FROM sums
+    )
+    SELECT label, max(n) AS n_vectors,
+           list(c ORDER BY idx) AS centroid
+    FROM comp GROUP BY label
+    """,
+)
+def emb1_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (operators/similarity.groupwise_centroids)
+    — the domain/label centroid table for drift monitoring and mixture
+    routing.  Bit-identical by construction: floor(x·1e6+0.5) integer
+    micro-units (no ROUND — its decimal tie-break diverges cross-engine),
+    bigint sums, sign-split truncating integer mean (Spark div truncates,
+    DuckDB // floors; they agree only on non-negatives)."""
+    from overturemaps_duckdb_spark.operators.similarity import (
+        groupwise_centroids,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    return groupwise_centroids(e, "label", "embedding", dim=64)

@@ -152,3 +152,60 @@ def test_quantize_report_null_vector_matches_oracle(spark):
     assert out[2]["q_sum"] == 64 - 127
     # cross-check the NULL fold against DuckDB's stated semantics
     assert duckdb.sql("SELECT coalesce(list_sum(NULL), 0)").fetchone()[0] == 0
+
+
+def test_groupwise_centroids_reference_and_contract(spark):
+    """Exact per-group mean vs a python reference (same integer
+    arithmetic, negatives included); malformed vectors excluded wholly;
+    partition-invariant."""
+    import math
+    import random
+
+    import pyspark.sql.functions as F
+
+    from overturemaps_duckdb_spark.operators.similarity import (
+        groupwise_centroids,
+    )
+
+    rng = random.Random(13)
+    dim = 5
+    rows = []
+    for i in range(80):
+        rows.append(
+            (i, i % 3, [rng.uniform(-2, 2) for _ in range(dim)])
+        )
+    rows.append((100, 0, None))                 # NULL vector -> dropped
+    rows.append((101, 1, [1.0] * (dim - 1)))    # wrong dim -> dropped
+    rows.append((102, 2, [1.0, None, 1.0, 1.0, 1.0]))  # NULL element -> dropped
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    out = {
+        r["label"]: r
+        for r in groupwise_centroids(df, "label", "embedding", dim=dim).collect()
+    }
+
+    sums = {g: [0] * dim for g in (0, 1, 2)}
+    ns = {g: 0 for g in (0, 1, 2)}
+    for i, g, v in rows:
+        if v is None or len(v) != dim or any(x is None for x in v):
+            continue
+        ns[g] += 1
+        for j, x in enumerate(v):
+            sums[g][j] += math.floor(x * 1e6 + 0.5)
+    for g in (0, 1, 2):
+        assert out[g]["n_vectors"] == ns[g]
+        want = []
+        for s in sums[g]:
+            n = ns[g]
+            m = -((2 * (-s) + n) // (2 * n)) if s < 0 else (2 * s + n) // (2 * n)
+            want.append(m / 1e6)
+        assert out[g]["centroid"] == want, g
+
+    shuffled = {
+        r["label"]: r["centroid"]
+        for r in groupwise_centroids(
+            df.repartition(7, F.col("vec_id")), "label", "embedding", dim=dim
+        ).collect()
+    }
+    assert shuffled == {g: out[g]["centroid"] for g in out}
