@@ -138,7 +138,18 @@ def main() -> None:
     # 100 TB claim is that this write is paid once and every later join is
     # shuffle-free).
     extras: dict[str, float] = {}
-    for name in ("s14_bucketed_join",):
+    for name in (
+        "s14_bucketed_join",
+        # r11-restart additions: the new certified LLM-pipeline operators,
+        # timed per-round so regressions show up in BENCH_r{N}.json
+        "ct1_containment_pairs",
+        "x18_bigram_logprob",
+        "x19_doc_novelty",
+        "mx2_temperature_mixture",
+        "sp2_session_safe_split",
+        "qs1_quality_weighted_sample",
+        "emb1_label_centroids",
+    ):
         t0 = time.monotonic()
         try:
             _q.QUERIES[name](spark, sf_dir).write.format("noop").mode(
