@@ -66,15 +66,50 @@ def _ship_package(spark: SparkSession) -> None:
     repo_root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
+    pkg = os.path.join(repo_root, "overturemaps_duckdb_spark")
+    sources = [
+        os.path.join(dirpath, fn)
+        for dirpath, _dirs, files in os.walk(pkg)
+        for fn in files
+        if fn.endswith(".py")
+    ]
     zpath = os.path.join(tempfile.gettempdir(), f"omds_pkg_{os.getpid()}.zip")
+    # Sweep dead processes' zips (one accrued per process FOREVER — the
+    # staging_root resource-lifecycle policy, same age gate so a live
+    # concurrent process is never raced; addPyFile copies the zip into
+    # Spark's own file-server dir, so sweeping a shipped source is safe).
+    import glob
+    import time
+
+    from overturemaps_duckdb_spark.operators._util import (
+        STAGING_STALE_SECONDS,
+    )
+
+    now = time.time()
+    for sib in glob.glob(
+        os.path.join(tempfile.gettempdir(), "omds_pkg_*.zip")
+    ):
+        if sib == zpath:
+            continue
+        try:
+            if now - os.stat(sib).st_mtime > STAGING_STALE_SECONDS:
+                os.remove(sib)
+        except OSError:
+            pass  # raced with another sweeper / already gone
+    # A recycled pid (or an edited repo within one long-lived process tree)
+    # must not ship a STALE zip: rebuild whenever any source is newer than
+    # the existing zip — the exists-check alone shipped pre-edit code.
+    try:
+        if os.path.exists(zpath) and os.stat(zpath).st_mtime < max(
+            os.stat(s).st_mtime for s in sources
+        ):
+            os.remove(zpath)
+    except OSError:
+        pass
     if not os.path.exists(zpath):
         with zipfile.ZipFile(zpath, "w") as z:
-            pkg = os.path.join(repo_root, "overturemaps_duckdb_spark")
-            for dirpath, _dirs, files in os.walk(pkg):
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(dirpath, fn)
-                        z.write(full, os.path.relpath(full, repo_root))
+            for full in sources:
+                z.write(full, os.path.relpath(full, repo_root))
     spark.sparkContext.addPyFile(zpath)
     _SHIPPED.add(app_id)
 
