@@ -287,6 +287,45 @@ def test_temperature_allocation_exact_integer_properties(spark):
     assert eq == {"x": 2, "y": 1}
 
 
+def test_temperature_allocation_randomized_invariants(spark):
+    """Randomized: for arbitrary stratum counts and budgets, allocations
+    are non-negative integers summing EXACTLY to the budget, and p_temp
+    orders identically to n (monotone in mass)."""
+    import random
+
+    from overturemaps_duckdb_spark.operators.sampling import (
+        temperature_allocation,
+    )
+
+    rng = random.Random(77)
+    for trial in range(4):
+        n_strata = rng.randint(1, 9)
+        budget = rng.choice([0, 1, 7, 500, 99_991])
+        rows = []
+        rid = 0
+        counts = {}
+        for s in range(n_strata):
+            c = rng.randint(1, 400)
+            counts[f"s{s}"] = c
+            for _ in range(c):
+                rows.append((rid, f"s{s}"))
+                rid += 1
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = {
+            r["source"]: r
+            for r in temperature_allocation(
+                df, "source", budget=budget
+            ).collect()
+        }
+        assert set(out) == set(counts), trial
+        assert sum(r["alloc"] for r in out.values()) == budget, trial
+        assert all(r["alloc"] >= 0 for r in out.values()), trial
+        for a in counts:
+            for b in counts:
+                if counts[a] < counts[b]:
+                    assert out[a]["p_temp"] <= out[b]["p_temp"], (trial, a, b)
+
+
 def test_quality_weighted_sample_properties(spark):
     """q=1 always survives, q=0 never, sharper exponents keep subsets,
     and membership is deterministic across calls."""
