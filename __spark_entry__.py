@@ -75,12 +75,15 @@ _CERT_PRIORITY = [
     "p9_p10_length_abs",
     "f3_between",
     "f5_is_not_null",
-    # (b) r11-behavior-changed
+    # (b) r11-behavior-changed (y1_session_kv displaced for ct2 — its
+    # r11 change was the value-neutral _flush mtime heartbeat, pinned by
+    # test_staging_roots pytest on top of its r10 driver row; the other
+    # four had semantic console/probe changes and stay)
     "ep3_sql_console",
     "ep4_sql_fts_console",
     "ep3_ctas_copy_roundtrip",
-    "y1_session_kv",
     "n3_ivf_ann_topk",
+    "ct2_cross_corpus_containment",
     # (c) oldest r8 rows (q1_pricing_summary displaced for ct1 — it is
     # entry()'s flagship, smoke-run by the driver every round on top of
     # its r8 row; j4_bidirectional_match displaced for x18 — same

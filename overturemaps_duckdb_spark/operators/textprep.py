@@ -82,6 +82,74 @@ def ngram_decontaminate(
     )
 
 
+def cross_corpus_containment(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Per-pair contamination attribution: ``(a_id train, b_id bench,
+    containment, n_shared)`` where ``containment`` is the fraction of the
+    BENCHMARK doc's distinct token ``n``-grams verbatim inside the train
+    doc — the asymmetric completion of :func:`ngram_decontaminate` (which
+    flags train docs but not WHICH benchmark item leaked or HOW MUCH of
+    it).  A benchmark question quoted whole inside a long page scores
+    1.0 there even though the pair's Jaccard is tiny — which is also why
+    this does NOT ride the d8 MinHash banding (jaccard-recall banding
+    structurally misses containment pairs).
+
+    Plan shape: the benchmark's (b_id, gram-hash) index broadcasts (eval
+    sets stay small at any corpus scale) WITH its per-doc set sizes; the
+    corpus explodes per-doc distinct grams map-side, hashes them to
+    60-bit keys (text never shuffles — the d9/x4 policy, hash applied
+    identically in the oracle so the value is defined over the hashed
+    gram space), and inner-joins without shuffling.  Only hit rows reach
+    the pair aggregation.  The empty gram is excluded on both sides (the
+    ngram_decontaminate contract)."""
+    from overturemaps_duckdb_spark.functions.text import md5_long
+
+    tg = (
+        train.select(F.col(id_col).alias("a_id"), tokens(text_col).alias("_tk"))
+        .select(
+            "a_id",
+            F.explode(F.array_distinct(token_ngrams(F.col("_tk"), n))).alias(
+                "gram"
+            ),
+        )
+        .where(F.col("gram") != "")
+        .select("a_id", md5_long(F.col("gram")).alias("h"))
+    )
+    bg = (
+        bench.select(F.col(id_col).alias("b_id"), tokens(text_col).alias("_tk"))
+        .select(
+            "b_id",
+            F.explode(F.array_distinct(token_ngrams(F.col("_tk"), n))).alias(
+                "gram"
+            ),
+        )
+        .where(F.col("gram") != "")
+        .select("b_id", md5_long(F.col("gram")).alias("h"))
+    )
+    nb = bg.groupBy("b_id").agg(F.count(F.lit(1)).alias("_nb"))
+    hits = (
+        tg.join(F.broadcast(bg), "h")
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    cont = F.round(F.col("_c").cast("double") / F.col("_nb").cast("double"), 6)
+    return (
+        hits.join(F.broadcast(nb), "b_id")
+        .withColumn("containment", cont)
+        .where(F.col("containment") >= threshold)
+        .select(
+            "a_id", "b_id", "containment", F.col("_c").cast("bigint").alias("n_shared")
+        )
+    )
+
+
 def repetition_signals(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

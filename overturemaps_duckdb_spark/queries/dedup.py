@@ -592,6 +592,57 @@ def dc1_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_decontaminate(train, bench, "doc_id", "text", n=_DECONTAM_N)
 
 
+_CT2_ORACLE = f"""
+WITH tk AS (SELECT doc_id, {tokens_sql('text')} AS tk FROM documents),
+bg AS (
+    SELECT b_id, {md5_long_sql('gram')} AS h FROM (
+        SELECT doc_id AS b_id,
+               unnest(list_distinct({token_ngrams_sql('tk', _DECONTAM_N)})) AS gram
+        FROM tk WHERE doc_id % 7 = 0
+    ) WHERE gram <> ''
+),
+nb AS (SELECT b_id, CAST(count(*) AS BIGINT) AS nb FROM bg GROUP BY b_id),
+tg AS (
+    SELECT a_id, {md5_long_sql('gram')} AS h FROM (
+        SELECT doc_id AS a_id,
+               unnest(list_distinct({token_ngrams_sql('tk', _DECONTAM_N)})) AS gram
+        FROM tk WHERE doc_id % 7 <> 0
+    ) WHERE gram <> ''
+),
+hits AS (
+    SELECT a_id, b_id, CAST(count(*) AS BIGINT) AS c
+    FROM tg JOIN bg USING (h) GROUP BY a_id, b_id
+)
+SELECT a_id, b_id,
+       ROUND(CAST(c AS DOUBLE) / nb, 6) AS containment,
+       c AS n_shared
+FROM hits JOIN nb USING (b_id)
+WHERE ROUND(CAST(c AS DOUBLE) / nb, 6) >= 0.5
+"""
+
+
+@query("ct2_cross_corpus_containment", oracle=_CT2_ORACLE)
+def ct2_cross_corpus_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair contamination attribution
+    (operators/textprep.cross_corpus_containment): fraction of each
+    benchmark doc's (doc_id % 7 = 0, the dc1 split) distinct 8-token
+    grams verbatim inside each training doc — WHICH eval item leaked and
+    HOW MUCH of it, where dc1 only flags the train side.  Benchmark index
+    broadcasts with per-doc set sizes; corpus grams hash to 60-bit keys
+    map-side (text never shuffles); deliberately NOT the d8 MinHash path
+    (jaccard banding structurally misses containment pairs)."""
+    from overturemaps_duckdb_spark.operators.textprep import (
+        cross_corpus_containment,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 7 == 0)
+    train = d.where(F.col("doc_id") % 7 != 0)
+    return cross_corpus_containment(
+        train, bench, "doc_id", "text", n=_DECONTAM_N, threshold=0.5
+    )
+
+
 # ---------------------------------------------------------------------------
 # line-level corpus dedup (C4 / RefinedWeb boilerplate pass)
 # ---------------------------------------------------------------------------

@@ -153,6 +153,37 @@ def test_containment_collapse_identical_to_plain(spark):
     assert any(c == 1.0 for _, _, c, _ in plain)  # the dup pairs are present
 
 
+def test_cross_corpus_containment_quote_attribution(spark):
+    """A benchmark item quoted whole inside a long train doc scores 1.0
+    against THAT train doc; partial quotes score their exact gram share;
+    empty-normalized bench docs are excluded."""
+    from overturemaps_duckdb_spark.operators.textprep import (
+        cross_corpus_containment,
+    )
+
+    bench_text = "what is the capital of france and when was it founded"
+    # bench doc 1: 11 tokens -> 4 distinct 8-grams
+    filler = " ".join(f"w{i}" for i in range(60))
+    rows_train = [
+        (100, filler + " " + bench_text + " " + filler),  # full quote
+        (101, "what is the capital of france and when here it stops"),  # 1 of 4 grams
+        (102, filler),  # no overlap
+    ]
+    rows_bench = [(1, bench_text), (2, "!!! ...")]  # 2 normalizes empty
+    train = spark.createDataFrame(rows_train, "id long, text string")
+    bench = spark.createDataFrame(rows_bench, "id long, text string")
+    out = {
+        (r["a_id"], r["b_id"]): (r["containment"], r["n_shared"])
+        for r in cross_corpus_containment(
+            train, bench, "id", "text", n=8, threshold=0.1
+        ).collect()
+    }
+    assert out[(100, 1)] == (1.0, 4)
+    assert out[(101, 1)] == (0.25, 1)
+    assert (102, 1) not in out
+    assert not any(b == 2 for _, b in out)
+
+
 # ---------------------------------------------------------------------------
 # bigram LM
 # ---------------------------------------------------------------------------
