@@ -74,7 +74,10 @@ _CERT_PRIORITY = [
     "p7_round",
     "p9_p10_length_abs",
     "f3_between",
-    "f5_is_not_null",
+    # f5_is_not_null displaced for x20 — the trivial IS-NOT-NULL form is
+    # family-covered by pl6's certified join form and re-oracled locally
+    # every round by test_oracle_parity; its r7 row refreshes with r13
+    "x20_perplexity_buckets",
     # (b) r11-behavior-changed (y1_session_kv displaced for ct2 — its
     # r11 change was the value-neutral _flush mtime heartbeat, pinned by
     # test_staging_roots pytest on top of its r10 driver row; the other

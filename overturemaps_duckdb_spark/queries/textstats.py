@@ -614,9 +614,9 @@ def x15_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_keywords(d, "doc_id", "text", k=3)
 
 
-@query(
-    "x16_unigram_logprob",
-    oracle=f"""
+#: shared CTE chain computing (doc_id, n_tokens, nll) — the x16 oracle
+#: body, reused by x20's tercile bucketing
+_X16_NLL_CTES = f"""
     WITH inst AS (
         SELECT doc_id, unnest({tokens_sql('text')}) AS token FROM documents
     ),
@@ -630,12 +630,19 @@ def x15_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(ROUND(-CAST(tf.tf AS DOUBLE) * ln(vocab.c / tt.tt) * 1e6)
                     AS BIGINT) AS tm
         FROM tf JOIN vocab USING (token) CROSS JOIN tt
+    ),
+    nll AS (
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+               ROUND(CAST(CAST(sum(tm) AS HUGEINT) AS BIGINT)
+                     / 1e6 / CAST(sum(tf) AS DOUBLE), 6) AS nll
+        FROM terms GROUP BY doc_id
     )
-    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-           ROUND(CAST(CAST(sum(tm) AS HUGEINT) AS BIGINT)
-                 / 1e6 / CAST(sum(tf) AS DOUBLE), 6) AS nll
-    FROM terms GROUP BY doc_id
-    """,
+"""
+
+
+@query(
+    "x16_unigram_logprob",
+    oracle=_X16_NLL_CTES + "SELECT doc_id, n_tokens, nll FROM nll",
 )
 def x16_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document cross-entropy under the corpus unigram LM
@@ -694,6 +701,66 @@ def x17_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy_frame(
         d.select("doc_id", "text"), "text", impl="vectorized"
     ).select("doc_id", "n_chars", "entropy")
+
+
+@query(
+    "x20_perplexity_buckets",
+    oracle=_X16_NLL_CTES
+    + """,
+    cuts AS (
+        SELECT ROUND(quantile_cont(nll, 1.0/3), 6) AS c1,
+               ROUND(quantile_cont(nll, 2.0/3), 6) AS c2
+        FROM nll
+    )
+    SELECT doc_id, n_tokens, nll,
+           CASE WHEN nll <= c1 THEN 'head'
+                WHEN nll <= c2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM nll CROSS JOIN cuts
+    """,
+)
+def x20_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's perplexity bucketing: docs split into head/middle/tail
+    terciles of the corpus-LM cross-entropy (x16's nll; LOW nll = most
+    in-distribution = head) — the curriculum/quality partition CCNet
+    filters and sources training mixes from.  Cut points come from the
+    exact distributed-selection quantile operator (e4's machinery, one
+    global group) and broadcast as two scalars; the labeling is a
+    scan-speed projection.  Safe at 6 dp BY ARITHMETIC: nll values are
+    1e-6-quantized, so tercile interpolation offsets are m/3 micro-units
+    — never half-grid, so the rounded cuts can't flip cross-engine."""
+    import os as _os
+
+    from overturemaps_duckdb_spark.operators.quantiles import (
+        grouped_quantile_cont,
+    )
+    from overturemaps_duckdb_spark.operators.textprep import unigram_logprob
+
+    d = t(spark, sf_dir, "documents")
+    nll = unigram_logprob(d, "doc_id", "text")
+    cuts = grouped_quantile_cont(
+        nll,
+        [],
+        "nll",
+        [1.0 / 3, 2.0 / 3],
+        out_names=["c1", "c2"],
+        sizing_cache=_X20_SIZING,
+        sizing_key=(
+            spark.sparkContext.applicationId,
+            _os.path.realpath(sf_dir),
+        ),
+    ).select(F.round("c1", 6).alias("c1"), F.round("c2", 6).alias("c2"))
+    bucket = (
+        F.when(F.col("nll") <= F.col("c1"), F.lit("head"))
+        .when(F.col("nll") <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return nll.crossJoin(F.broadcast(cuts)).select(
+        "doc_id", "n_tokens", "nll", bucket.alias("bucket")
+    )
+
+
+_X20_SIZING: dict = {}
 
 
 @query(

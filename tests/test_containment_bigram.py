@@ -319,3 +319,26 @@ def test_bigram_logprob_partition_invariant(spark):
         ).collect()
     }
     assert base == shuffled
+
+
+def test_perplexity_buckets_tercile_contract(spark):
+    """Terciles are ordered (head ⇒ lowest nll), cover every scored doc,
+    and are balanced within interpolation slack."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from overturemaps_duckdb_spark import queries as q
+
+    q.load_all()
+    rows = q.QUERIES["x20_perplexity_buckets"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by = {"head": [], "middle": [], "tail": []}
+    for r in rows:
+        by[r["bucket"]].append(r["nll"])
+    assert all(by.values())
+    assert max(by["head"]) <= min(by["middle"]) or not by["middle"]
+    assert max(by["middle"]) <= min(by["tail"]) or not by["tail"]
+    n = len(rows)
+    for b in by.values():
+        assert abs(len(b) - n / 3) <= max(3, 0.1 * n)
