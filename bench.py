@@ -149,6 +149,8 @@ def main() -> None:
         "sp2_session_safe_split",
         "qs1_quality_weighted_sample",
         "emb1_label_centroids",
+        "ct2_cross_corpus_containment",
+        "x20_perplexity_buckets",
     ):
         t0 = time.monotonic()
         try:
