@@ -197,10 +197,17 @@ def quality_weighted_sample(
     membership is bit-identical; rounding the rate to a permille integer
     first would reintroduce the cross-engine half-boundary trap the x18
     integer-mean fix removed.  Rows never shuffle; the filter is pure
-    codegen riding the scan."""
+    codegen riding the scan.
+
+    Domain contract (ADVICE r11): ``quality_col`` is a [0, 1] score.
+    NULL quality DROPS the row (NULL comparison is never-true — an
+    unscored document has no keep probability), quality ≥ 1 always
+    keeps, and NEGATIVE quality is clamped to 0 before exponentiation —
+    without the clamp an even exponent turns q=-0.9 into p=0.81 and
+    quietly INVERTS the filter for garbage-scored rows."""
     if exponent < 1:
         raise ValueError(f"exponent must be >= 1, got {exponent}")
-    q = F.col(quality_col).cast("double")
+    q = F.greatest(F.col(quality_col).cast("double"), F.lit(0.0))
     p = q
     for _ in range(exponent - 1):
         p = p * q

@@ -48,6 +48,22 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+def driver_unsafe_columns(df: DataFrame) -> list[tuple[str, str]]:
+    """Top-level columns the ROUND DRIVER's canonicalizer cannot hash.
+
+    The driver loads each result into pandas and ``sort_values`` over all
+    columns; an array/map cell raises ``TypeError: unhashable type``
+    (CORRECTNESS_r11 emb1/bpe2 failure).  Registered queries must
+    serialize such columns (``concat_ws`` engine-side /
+    ``array_to_string``/``string_agg`` oracle-side).  Returns the
+    offending ``(column, type)`` pairs — empty means driver-safe."""
+    return [
+        (f.name, f.dataType.simpleString())
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType))
+    ]
+
+
 _SHIPPED: set[str] = set()
 
 
@@ -97,10 +113,12 @@ def _ship_package(spark: SparkSession) -> None:
         except OSError:
             pass  # raced with another sweeper / already gone
     # A recycled pid (or an edited repo within one long-lived process tree)
-    # must not ship a STALE zip: rebuild whenever any source is newer than
-    # the existing zip — the exists-check alone shipped pre-edit code.
+    # must not ship a STALE zip: rebuild whenever any source is at least as
+    # new as the existing zip — `<=`, not `<` (ADVICE r11): on coarse-mtime
+    # filesystems an edit within the zip's own mtime tick would otherwise
+    # ship pre-edit code, and a spurious rebuild is cheap.
     try:
-        if os.path.exists(zpath) and os.stat(zpath).st_mtime < max(
+        if os.path.exists(zpath) and os.stat(zpath).st_mtime <= max(
             os.stat(s).st_mtime for s in sources
         ):
             os.remove(zpath)
@@ -110,6 +128,15 @@ def _ship_package(spark: SparkSession) -> None:
         with zipfile.ZipFile(zpath, "w") as z:
             for full in sources:
                 z.write(full, os.path.relpath(full, repo_root))
+    else:
+        # Reuse heartbeat (ADVICE r11 TOCTOU): a long-lived process reusing
+        # its zip across sessions must keep its mtime fresh, or a sibling's
+        # age-gated sweep can delete it between this reuse check and
+        # addPyFile.  Mirrors staging_root's wipe-recreate heartbeat.
+        try:
+            os.utime(zpath, None)
+        except OSError:
+            pass
     spark.sparkContext.addPyFile(zpath)
     _SHIPPED.add(app_id)
 

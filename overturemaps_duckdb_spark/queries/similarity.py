@@ -588,11 +588,12 @@ def hn1_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp AS (
         SELECT label, idx, n,
                CAST(CASE WHEN s < 0 THEN -((2 * (-s) + n) // (2 * n))
-                    ELSE (2 * s + n) // (2 * n) END AS DOUBLE) / 1e6 AS c
+                    ELSE (2 * s + n) // (2 * n) END AS BIGINT) AS c_micro
         FROM sums
     )
     SELECT label, max(n) AS n_vectors,
-           list(c ORDER BY idx) AS centroid
+           string_agg(CAST(c_micro AS VARCHAR), ' ' ORDER BY idx)
+               AS centroid_micro
     FROM comp GROUP BY label
     """,
 )
@@ -602,10 +603,35 @@ def emb1_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     routing.  Bit-identical by construction: floor(x·1e6+0.5) integer
     micro-units (no ROUND — its decimal tie-break diverges cross-engine),
     bigint sums, sign-split truncating integer mean (Spark div truncates,
-    DuckDB // floors; they agree only on non-negatives)."""
+    DuckDB // floors; they agree only on non-negatives).
+
+    The registered form serializes the centroid as a space-joined string
+    of its integer micro-unit components (``centroid_micro``): the driver
+    canonicalizes results with pandas ``sort_values``, which raises
+    ``unhashable type: 'list'`` on any top-level array column
+    (CORRECTNESS_r11 emb1 failure) — and an integer string is the only
+    cross-engine-stable text form anyway (double→VARCHAR formatting
+    differs between engines).  The recovery ``floor(c·1e6 + 0.5)`` is
+    exact: each component is c_micro/1e6 by construction, so the product
+    lands within ~1e-10 of the integer — far inside the ±0.5 window.
+    Library callers keep the typed ``array<double>`` via
+    :func:`operators.similarity.groupwise_centroids` directly."""
     from overturemaps_duckdb_spark.operators.similarity import (
         groupwise_centroids,
     )
 
     e = t(spark, sf_dir, "embeddings")
-    return groupwise_centroids(e, "label", "embedding", dim=64)
+    c = groupwise_centroids(e, "label", "embedding", dim=64)
+    return c.select(
+        "label",
+        "n_vectors",
+        F.concat_ws(
+            " ",
+            F.transform(
+                "centroid",
+                lambda x: F.floor(x * 1e6 + F.lit(0.5))
+                .cast("bigint")
+                .cast("string"),
+            ),
+        ).alias("centroid_micro"),
+    )

@@ -949,9 +949,13 @@ def _bpe_apply_oracle(n_merges: int) -> str:
     # reuse the generator's vocab{n_merges} (the state after n_merges
     # rewrites), discarding its extra pairs/best CTEs via the final SELECT
     head = base.rsplit(",\npairs" + str(n_merges + 1), 1)[0]
+    # space-joined, not list-typed: the driver's pandas canonicalizer
+    # raises on top-level array columns (CORRECTNESS_r11 bpe2 failure);
+    # symbols are whitespace-tokenized words so ' ' never collides
     return (
         head
-        + f"\nSELECT w AS word, syms AS segmented, n FROM vocab{n_merges}"
+        + f"\nSELECT w AS word, array_to_string(syms, ' ') AS segmented, n"
+        + f" FROM vocab{n_merges}"
     )
 
 
@@ -964,7 +968,12 @@ def bpe2_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges as K in-row greedy folds over the word-count vocabulary
     (operators/textprep.bpe_apply); the oracle extends bpe1's chained
     CTEs one rewrite further and reads the final vocabulary state —
-    learn and apply certified against the same machinery."""
+    learn and apply certified against the same machinery.
+
+    ``segmented`` is serialized as a space-joined string on both sides:
+    the driver's pandas canonicalizer raises ``unhashable type: 'list'``
+    on top-level array columns (the r11 failure class), and since words
+    are whitespace-tokenized no symbol can contain the delimiter."""
     from overturemaps_duckdb_spark.operators.textprep import (
         bpe_apply,
         bpe_learn_merges,
@@ -977,4 +986,6 @@ def bpe2_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rank")
         .collect()
     ]
-    return bpe_apply(d, "text", merges)
+    return bpe_apply(d, "text", merges).select(
+        "word", F.concat_ws(" ", "segmented").alias("segmented"), "n"
+    )

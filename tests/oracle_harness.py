@@ -117,6 +117,24 @@ def main(argv: list[str] | None = None) -> int:
     return 1 if failed else 0
 
 
+def _driver_canon_probe(cols: list[str], rows: list[tuple]) -> str | None:
+    """Reproduce the ROUND DRIVER's canonicalization step: it loads the
+    result into pandas and ``sort_values`` over every column (name-sorted),
+    which raises ``TypeError: unhashable type: 'list'`` on any top-level
+    array/map cell (CORRECTNESS_r11 emb1/bpe2 failure — the local
+    tuple-normalizing canon reported MATCH for results the driver crashed
+    on).  Returns the error string if the driver would crash, else None."""
+    import pandas as pd
+
+    try:
+        pd.DataFrame(rows, columns=cols)[sorted(cols)].sort_values(
+            by=sorted(cols)
+        )
+    except TypeError as exc:
+        return f"{type(exc).__name__}: {exc}"
+    return None
+
+
 def compare(name: str, spark_df, con, oracle: str, max_mismatch_examples: int = 3) -> CompareResult:
     s_cols = list(spark_df.columns)
     s_rows = [tuple(r) for r in spark_df.collect()]
@@ -125,6 +143,15 @@ def compare(name: str, spark_df, con, oracle: str, max_mismatch_examples: int = 
     d_rows = [tuple(r) for r in cur.fetchall()]
 
     res = CompareResult(name, True, len(s_rows), len(d_rows))
+    for side, cols, rows in (("spark", s_cols, s_rows), ("duck", d_cols, d_rows)):
+        err = _driver_canon_probe(cols, rows)
+        if err:
+            res.ok = False
+            res.reasons.append(
+                f"driver canon would crash on {side} result: {err} — "
+                "serialize the array/map column (concat_ws / array_to_string)"
+            )
+            return res
     if sorted(s_cols) != sorted(d_cols):
         res.ok = False
         res.reasons.append(f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}")

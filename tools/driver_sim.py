@@ -106,6 +106,23 @@ for name in sample:
     drows = cur.fetchall()
     if sorted(scols) != sorted(dcols):
         fails.append((name, "cols", scols, dcols)); continue
+    # driver-canon probe (r11 emb1/bpe2 lesson): the REAL driver loads the
+    # result into pandas and sort_values over all columns — unhashable
+    # list/map cells crash it even when values match.  The old tuple-
+    # normalizing canon below hid exactly that, so probe pandas FIRST.
+    import pandas as pd
+    canon_err = None
+    for _cols, _rows in ((scols, srows), (dcols, [tuple(r) for r in drows])):
+        try:
+            pd.DataFrame(_rows, columns=_cols)[sorted(_cols)].sort_values(
+                by=sorted(_cols)
+            )
+        except TypeError as exc:
+            canon_err = f"{exc}"
+            break
+    if canon_err:
+        print(f"  {name}: DRIVER-CANON CRASH ({canon_err})")
+        fails.append((name, "driver-canon", canon_err)); continue
     order_s = sorted(range(len(scols)), key=lambda i: scols[i])
     order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
     sn = sorted([tuple(str(norm(r[i])) for i in order_s) for r in srows])
