@@ -65,6 +65,11 @@ class FtsIndex:
     docstats: DataFrame  # (id, dl)
     stats: DataFrame  # single row: (n, avgdl)
     termstats: DataFrame | None = None  # (term, df)
+    #: tokenizer stemming mode ('porter' | None) — recorded so query-side
+    #: tokenization always matches the build (DuckDB's create_fts_index
+    #: defaults include a Porter stemmer, fts.js:51-68; scoring an
+    #: index with a differently-stemmed query silently misses terms)
+    stemmer: str | None = None
     #: the build's persisted tokenization intermediate (see
     #: build_fts_index) — carried so unpersist() can release it; without
     #: this handle an Engine reload or runner degrade released the four
@@ -102,7 +107,12 @@ class FtsIndex:
 
 
 def build_fts_index(
-    df: DataFrame, id_col: str, text_col: str, *, cache_tokens: bool = True
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    cache_tokens: bool = True,
+    stemmer: str | None = None,
 ) -> FtsIndex:
     """Tokenize → explode → (term, id, tf) postings + per-doc lengths.
 
@@ -116,7 +126,16 @@ def build_fts_index(
     callers that execute only ONE of the index's plan trees (t1 returns
     just the postings), where the cache buys nothing but would pin
     executor storage once per invocation (r10 review; session-lived
-    indexes release it via FtsIndex.unpersist instead)."""
+    indexes release it via FtsIndex.unpersist instead).
+
+    ``stemmer='porter'`` stems every token before the postings aggregate
+    — matching DuckDB ``create_fts_index`` defaults the reference relies
+    on (fts.js:51-68; SURVEY §7 risk 2: "cafes" vs "cafe" ranked
+    differently without it).  Doc length ``dl`` stays the PRE-stem token
+    count (stemming maps tokens 1:1), tf/df aggregate over stems (two
+    inflections of one stem merge, exactly as DuckDB's index does).  The
+    stem rides the explode scan as an Arrow-batched kernel with a
+    per-batch vocabulary memo — nothing new shuffles."""
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
     par = df.sparkSession.sparkContext.defaultParallelism
     if src.rdd.getNumPartitions() < par:
@@ -135,8 +154,21 @@ def build_fts_index(
     # doc length rides along in the postings (classic posting-list
     # denormalization): +8 bytes/row at build time deletes the per-query
     # docstats join — scoring touches ONE table plus two broadcast stats.
+    if stemmer is not None and stemmer != "porter":
+        raise ValueError(f"unsupported stemmer {stemmer!r} (only 'porter')")
+    term = F.explode("toks").alias("term")
+    exploded = toks.select("id", F.size("toks").alias("dl"), term)
+    if stemmer == "porter":
+        from pyspark.sql.functions import pandas_udf
+
+        from overturemaps_duckdb_spark.functions.stem import (
+            porter_stem_series,
+        )
+
+        stem_udf = pandas_udf(porter_stem_series, "string")
+        exploded = exploded.withColumn("term", stem_udf("term"))
     postings = (
-        toks.select("id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+        exploded
         .groupBy("term", "id")
         .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
     )
@@ -154,6 +186,7 @@ def build_fts_index(
     # build+score 2.4 → 1.9 s at sf0.1).
     return FtsIndex(
         postings, docstats, stats, termstats=None,
+        stemmer=stemmer,
         tok_cache=toks if cache_tokens else None,
     )
 
@@ -178,7 +211,12 @@ def write_fts_index(index: FtsIndex, path: str, *, mode: str = "overwrite") -> N
         .parquet(f"{path}/postings")
     )
     index.docstats.write.mode(mode).parquet(f"{path}/docstats")
-    index.stats.write.mode(mode).parquet(f"{path}/stats")
+    # the stemming mode rides the one-row stats table (a `stemmer` column)
+    # so a reopened store scores queries with the build's tokenizer — a
+    # porter index queried unstemmed silently misses every inflected term
+    index.stats.withColumn(
+        "stemmer", F.lit(index.stemmer).cast("string")
+    ).write.mode(mode).parquet(f"{path}/stats")
     ts = index.termstats
     if ts is None:
         ts = index.postings.groupBy("term").agg(F.count("*").alias("df"))
@@ -189,22 +227,38 @@ def read_fts_index(spark, path: str) -> FtsIndex:
     """Open a persisted index.  Lazy: scoring a query reads only the
     pruned term slices of the postings plus the two broadcast stat
     tables — an ingest-time build amortizes across every later query
-    (first-query latency drops from build+score to score alone)."""
+    (first-query latency drops from build+score to score alone).  The
+    only eager work is the one-row stats peek restoring the build's
+    stemming mode (absent on pre-stemmer stores → unstemmed)."""
+    stats = spark.read.parquet(f"{path}/stats")
+    stemmer = None
+    if "stemmer" in stats.columns:
+        stemmer = stats.select("stemmer").first()["stemmer"]
+        stats = stats.drop("stemmer")
     return FtsIndex(
         postings=spark.read.parquet(f"{path}/postings"),
         docstats=spark.read.parquet(f"{path}/docstats"),
-        stats=spark.read.parquet(f"{path}/stats"),
+        stats=stats,
         termstats=spark.read.parquet(f"{path}/termstats"),
+        stemmer=stemmer,
     )
 
 
-def tokenize_query(q: str) -> list[str]:
-    """Same normalization as the index (deduplicated query terms)."""
+def tokenize_query(q: str, stemmer: str | None = None) -> list[str]:
+    """Same normalization (and stemming mode) as the index — query terms
+    deduplicated AFTER stemming, so "scan scanning" is one term against a
+    porter index, exactly as DuckDB's match_bm25 stems the query with the
+    index's stemmer."""
     import re
 
+    stem = (lambda w: w)
+    if stemmer == "porter":
+        from overturemaps_duckdb_spark.functions.stem import porter_stem
+
+        stem = porter_stem
     seen: dict[str, None] = {}
     for tok in re.sub(r"[^a-z0-9]+", " ", q.lower()).split():
-        seen.setdefault(tok, None)
+        seen.setdefault(stem(tok), None)
     return list(seen)
 
 
@@ -217,7 +271,7 @@ def bm25_score(
     query term scores; `_score IS NOT NULL` is the match predicate
     (fts.js:88, pipeline.js:78).
     """
-    terms = tokenize_query(query)
+    terms = tokenize_query(query, stemmer=index.stemmer)
     if not terms:
         # empty frame's id type must FOLLOW the index schema — a hardcoded
         # `id long` would schema-mismatch downstream for string-keyed tables

@@ -17,7 +17,11 @@ from overturemaps_duckdb_spark.operators.fts import (
     search_all_tables,
 )
 from overturemaps_duckdb_spark.queries import query, t
-from overturemaps_duckdb_spark.queries._sql import bm25_sql, tokens_sql
+from overturemaps_duckdb_spark.queries._sql import (
+    bm25_sql,
+    bm25_stemmed_sql,
+    tokens_sql,
+)
 
 #: fixed benchmark query — words present in the fixture vocabulary
 QUERY_TEXT = "table scan merge"
@@ -30,17 +34,31 @@ _INDEX_CACHE: dict[tuple[str, str, str], FtsIndex] = {}
 
 
 def fts_index_for(
-    spark: SparkSession, sf_dir: str, table: str, id_col: str, text_col: str
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    id_col: str,
+    text_col: str,
+    stemmer: str | None = None,
 ) -> FtsIndex:
     import os
 
     # realpath key (like the e4 sizing memo): the same fixture addressed
     # via './sf0.01' vs its absolute path vs a symlink used to build and
-    # persist a SECOND full inverted index in executor storage
-    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir), table)
+    # persist a SECOND full inverted index in executor storage.  The
+    # stemmer is part of the key — a porter index and an unstemmed index
+    # over the same table are different indexes (different term columns).
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.realpath(sf_dir),
+        table,
+        stemmer,
+    )
     idx = _INDEX_CACHE.get(key)
     if idx is None:
-        idx = build_fts_index(t(spark, sf_dir, table), id_col, text_col).persist()
+        idx = build_fts_index(
+            t(spark, sf_dir, table), id_col, text_col, stemmer=stemmer
+        ).persist()
         _INDEX_CACHE[key] = idx
     return idx
 
@@ -83,6 +101,52 @@ def t2_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     idx = fts_index_for(spark, sf_dir, "documents", "doc_id", "text")
     return bm25_topk(idx, d, "doc_id", QUERY_TEXT, limit=10).select("doc_id", "_score")
+
+
+#: t6 fixed query — every term INFLECTED relative to the fixture
+#: vocabulary ("table scan merge query" are the corpus tokens), so the
+#: unstemmed t2 index scores NOTHING for it and the porter index ranks
+#: normally — the exact divergence SURVEY §7 risk 2 documented.
+STEM_QUERY_TEXT = "tables scanning merged queries"
+
+
+def _stemmed_query_terms() -> list[str]:
+    from overturemaps_duckdb_spark.operators.fts import tokenize_query
+
+    return tokenize_query(STEM_QUERY_TEXT, stemmer="porter")
+
+
+@query(
+    "t6_bm25_stemmed",
+    oracle=bm25_stemmed_sql(
+        table="documents",
+        id_col="doc_id",
+        text_col="text",
+        stemmed_terms=_stemmed_query_terms(),
+    )
+    + """
+    SELECT d.doc_id, ROUND(s._score, 6) AS _score
+    FROM documents d JOIN scores s ON d.doc_id = s.id
+    ORDER BY ROUND(s._score, 6) DESC, d.doc_id
+    LIMIT 10
+    """,
+)
+def t6_bm25_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 — BM25 over a Porter-stemmed index (DuckDB create_fts_index
+    DEFAULTS include a Porter stemmer, fts.js:51-68 — the t2 unstemmed
+    form was the documented divergence).  Corpus tokens stem in an
+    Arrow-batched kernel before the postings aggregate; the query stems
+    driver-side with the same functions.stem kernel.  The oracle restates
+    Porter 1980 as a generated DuckDB CTE chain from the same rule tables
+    (DuckDB's own stem() needs the offline-unavailable fts extension), so
+    scores are value-certified end-to-end, not just rank-checked."""
+    d = t(spark, sf_dir, "documents")
+    idx = fts_index_for(
+        spark, sf_dir, "documents", "doc_id", "text", stemmer="porter"
+    )
+    return bm25_topk(idx, d, "doc_id", STEM_QUERY_TEXT, limit=10).select(
+        "doc_id", "_score"
+    )
 
 
 @query(
