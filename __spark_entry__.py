@@ -31,114 +31,82 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q.QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-#: Certification rotation, round 12.  The r11 driver run never produced
-#: CORRECTNESS_r11.json, so the r11 prefix below is still the right one
-#: (the 25 r7 rows remain the oldest cohort); the one r12 edit swaps the
-#: brand-new x14_hot_span_removal in for u2_union_distinct.
-#: Original r11 rationale (VERDICT r10 next-round #1):
-#: (a) the 25 held-back r7 rows — the ONLY cohort older than r8 after the
-#: green r10 run: TPC-H q2-q22 (queries/tpch.py, unchanged + review-
-#: cleared, re-oracled locally every round by tests/test_oracle_parity)
-#: and the 4 displaced scalar/filter rows (p7/p9_p10/f3/f5).  After a
-#: green r11, no driver row predates r8.
-#: (b) the 5 queries whose r11 behavior changed after their r10 rows:
-#: ep3/ep4/ep3-ctas (console subscript rewriter generalized to
-#: expression indexes; COPY format handling; session-token staging
-#: root), y1 (SessionState._flush heartbeat), n3 (similarity module's
-#: centroid_assign NULL-element guard).
-#: (c) 20 oldest r8 rows, in their r8-file order.  Held for r12: the
-#: remaining 19 r8 rows + the r9 cohort.
+#: Certification rotation, round 12 (VERDICT r11 #1/#4).  Budget: the
+#: driver certifies the FIRST 50 entries.  Composition:
+#: (a) the two r11 FAILs, now fixed (array outputs serialized) — emb1 +
+#: bpe2 lead so their red rows turn green first;
+#: (b) r12-new t6_bm25_stemmed (Porter FTS parity) — no driver row yet;
+#: (c) r12-behavior-changed, re-certified on top of green rows:
+#: d6/d7/sp1 (dedup_clusters closure rewritten to the edge-touched
+#: subgraph with a seeded first round — values unchanged by construction,
+#: re-proved by the driver), pl1/pl2/pl6 (geojson column re-entered the
+#: oracle comparison — pl3/pl4/pl5 are already in (e)), qs1 (negative-
+#: quality clamp — value-neutral on the fixture, cheap insurance);
+#: (d) f5_is_not_null — the last r7 row;
+#: (e) the full remaining r8 cohort (38 rows; q1_pricing_summary stays
+#: displaced — it is entry()'s flagship, smoke-run by the driver every
+#: round on top of its r8 row);
+#: (f) j2_spatial_within — the first of the r9 cohort (spatial_join
+#: family, flagged behavior-adjacent in VERDICT r11 #4).
+#: After a green r12: no row predates r9 except q1 (entry-smoked).
+#: Held for r13: the rest of the r9 cohort (39 rows).
 _CERT_PRIORITY = [
-    # (a) r7 holdbacks — oldest cohort
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_nation_revenue",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_shipmode_priority",
-    "q13_customer_distribution",
-    "q14_promo_revenue_ratio",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    "q20_excess_inventory",
-    "q21_waiting_suppliers",
-    "q22_dormant_customers",
-    "p7_round",
-    "p9_p10_length_abs",
-    "f3_between",
-    # f5_is_not_null displaced for x20 — the trivial IS-NOT-NULL form is
-    # family-covered by pl6's certified join form and re-oracled locally
-    # every round by test_oracle_parity; its r7 row refreshes with r13
-    "x20_perplexity_buckets",
-    # (b) r11-behavior-changed (y1_session_kv displaced for ct2 — its
-    # r11 change was the value-neutral _flush mtime heartbeat, pinned by
-    # test_staging_roots pytest on top of its r10 driver row; the other
-    # four had semantic console/probe changes and stay)
-    "ep3_sql_console",
-    "ep4_sql_fts_console",
-    "ep3_ctas_copy_roundtrip",
-    "n3_ivf_ann_topk",
-    "ct2_cross_corpus_containment",
-    # (c) oldest r8 rows (q1_pricing_summary displaced for ct1 — it is
-    # entry()'s flagship, smoke-run by the driver every round on top of
-    # its r8 row; j4_bidirectional_match displaced for x18 — same
-    # spatial_join operator family as the certified j1/pl4 rows;
-    # s6_incremental_append displaced for mx2 — same lifecycle module as
-    # the kept s5 row, and the append path is also exercised by the
-    # certified i5 foreachBatch ingest; o5_balanced_union_limit displaced
-    # for x19 — its balanced-limit operator path is shared with pl1,
-    # both holding r8 rows; s5_ctas_ingest_budget displaced for sp2 —
-    # the CTAS machinery is certified in-prefix through the console
-    # front door (ep3_ctas_copy_roundtrip); pl4_within_filter displaced
-    # for qs1 — its spatial_join within/exclude machinery holds the r9
-    # j2_spatial_within row and shares paths with pl5/j3;
-    # j1_inner_band_theta_join displaced for emb1 — its interval-band
-    # machinery holds the r10 f1_interval_overlap row; all re-certify
-    # with r13)
-    "qs1_quality_weighted_sample",
+    # (a) r11 FAILs, fixed
     "emb1_label_centroids",
-    "x19_doc_novelty",
-    "sp2_session_safe_split",
-    "ct1_containment_pairs",
-    "x18_bigram_logprob",
-    "mx2_temperature_mixture",
-    # new in r12 — no driver row yet, certify immediately (displace
-    # u2_union_distinct and s11_count_probe, both r8-certified trivial
-    # forms structurally covered by u1/u3 and the count aggregates
-    # everywhere, plus s1_scan_filter_project — double-certified r1+r3
-    # and re-rowed r8 — plus o6_nulls_last_sort (trivial sort form) and
-    # j5_join_distinct_matched_b (operator path shared with the certified
-    # j1–j4 family) and pl5_exclude_filter (path shared with pl4/j3) and
-    # j2_semi_join_within and j3_anti_join_exclude (spatial_join
-    # how=left_semi/left_anti — family-covered by j1/j4/pl4) and
-    # pl3_bbox_filter (native range predicates exercised by every pipeline
-    # query and the F-family) and u1_union_all_aligned (trivial
-    # union+padding form, r8-certified) and mx1_token_budget_mix (r8 row +
-    # dedicated rate/cap pytests) and dc1_decontaminate (r9 row + the
-    # certified dc2 span twin on the same machinery) and aj1_asof_join
-    # (r8 row + the r12 randomized differentials vs duckdb ASOF JOIN);
-    # they re-certify with the r13 rotation)
-    "x14_hot_span_removal",
-    "dc2_decontaminate_spans",
-    "sd1_semantic_dedup",
-    "x15_tfidf_keywords",
-    "x16_unigram_logprob",
-    "sp1_leakage_safe_split",
-    "pq1_product_quantized_topk",
-    "x17_char_entropy",
-    "io1_jsonl_roundtrip",
-    "a10_approx_quantile_band",
-    "bpe1_merge_induction",
-    "hn1_hard_negatives",
     "bpe2_tokenize",
+    # (b) new
+    "t6_bm25_stemmed",
+    # (c) r12-behavior-changed
+    "d6_dedup_clusters",
+    "d7_cluster_canonical",
+    "sp1_leakage_safe_split",
+    "pl1_union_balanced_limit",
+    "pl2_search_ilike",
+    "pl6_search_fts",
+    "qs1_quality_weighted_sample",
+    # (d) last r7 row
+    "f5_is_not_null",
+    # (e) full remaining r8 cohort, r8-file order
+    "aj1_asof_join",
+    "d5_embedding_neardup",
+    "dc1_decontaminate",
+    "j1_inner_band_theta_join",
+    "j2_semi_join_within",
+    "j3_anti_join_exclude",
+    "j4_bidirectional_match",
+    "j5_join_distinct_matched_b",
+    "m5_ppm_resize",
+    "mx1_token_budget_mix",
+    "o5_balanced_union_limit",
+    "o6_nulls_last_sort",
+    "pk1_sequence_packing",
+    "pl3_bbox_filter",
+    "pl4_within_filter",
+    "pl5_exclude_filter",
+    "s11_count_probe",
+    "s1_scan_filter_project",
+    "s5_ctas_ingest_budget",
+    "s6_incremental_append",
+    "sa1_hash_sample",
+    "sa2_stratified_sample",
+    "sh1_deterministic_shuffle",
+    "u1_union_all_aligned",
+    "u2_union_distinct",
+    "u3_intersect_except",
+    "w1_topk_per_group",
+    "w2_running_sum",
+    "w3_rank_dense_rank",
+    "x10_corpus_composition",
+    "x11_quality_percentile_filter",
+    "x1_token_count",
+    "x2_quality_score",
+    "x5_redaction",
+    "x6_bpe_token_count",
+    "x7_repetition_signals",
+    "x8_sliding_chunks",
+    "x9_gopher_rules",
+    # (f) r9 cohort lead-off
+    "j2_spatial_within",
 ]
 
 

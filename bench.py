@@ -151,6 +151,9 @@ def main() -> None:
         "emb1_label_centroids",
         "ct2_cross_corpus_containment",
         "x20_perplexity_buckets",
+        # r12: Porter-stemmed BM25 (t6) — tracks the stem kernel's cost
+        # on top of the t2 inline-build shape
+        "t6_bm25_stemmed",
     ):
         t0 = time.monotonic()
         try:

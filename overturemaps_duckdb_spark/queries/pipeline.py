@@ -19,9 +19,14 @@ execution instead of SQL-string assertions:
 - pl6: FTS search — score column + ORDER BY _score DESC
        (pipeline.test.js:140-153)
 
-`geojson` is dropped from comparisons (JSON float formatting is
-engine-specific; the geojson path is value-checked by g3 on integer
-coordinates)."""
+`geojson` IS part of every pl* comparison (r12, VERDICT r11 #7): the
+theme coordinates are exact binary fractions (k/16, k/32 — ≤5 decimal
+digits), where Python's shortest-round-trip float repr and DuckDB's
+double→VARCHAR agree character-for-character, so the oracles emit the
+same RFC 7946 point text by string construction.  (Arbitrary doubles do
+NOT format identically across the engines — a 3k-double fuzz shows ~9%
+divergence in the 16th-17th significant digit — so g3/pl* certify the
+geojson PATH on format-stable coordinates by design.)"""
 
 from __future__ import annotations
 
@@ -158,8 +163,31 @@ SELECT 's' || CAST(s_suppkey AS VARCHAR) AS id,
 FROM supplier
 """
 
+
+def _coord_sql(c: str) -> str:
+    """One coordinate as the engine's wkb._fmt emits it: integer-valued
+    doubles print WITHOUT '.0' (the g3-certified convention), fractional
+    ones as the shortest round-trip form (exact here — binary fractions)."""
+    return (
+        f"CASE WHEN {c} = floor({c}) THEN CAST(CAST({c} AS BIGINT) AS VARCHAR) "
+        f"ELSE CAST({c} AS VARCHAR) END"
+    )
+
+
+def _geojson_point_sql(lon: str = "centroid_lon", lat: str = "centroid_lat") -> str:
+    """RFC 7946 point text by string construction — char-identical to the
+    engine's wkb.as_geojson (json.dumps) because the theme coordinates
+    are exact binary fractions (see module docstring)."""
+    return (
+        '\'{"type":"Point","coordinates":[\' || '
+        f"{_coord_sql(lon)} || ',' || {_coord_sql(lat)} || ']}}'"
+    )
+
+
 _OUT_COLS = (
-    "id, display_name, search_name, geom_type, centroid_lon, centroid_lat, "
+    "id, display_name, search_name, "
+    f"{_geojson_point_sql()} AS geojson, "
+    "geom_type, centroid_lon, centroid_lat, "
     "_f0, _f1, _source"
 )
 
@@ -191,7 +219,7 @@ def pl1_union_balanced_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two sources, limit 40 → ceil(40/2)=20 pushed into EACH branch
     (pipeline.js:51-53,99)."""
     df = compile_pipeline(catalog_cs(spark, sf_dir), [SRC_C, SRC_S], limit=40)
-    return df.drop("geojson")
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -220,7 +248,7 @@ def pl2_search_ilike(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = compile_pipeline(
         catalog_cs(spark, sf_dir), [SRC_C, SRC_S], search="machinery", limit=60
     )
-    return df.drop("geojson")
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -252,7 +280,7 @@ def pl3_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         bbox=(-90.0, -45.0, 90.0, 45.0),
         limit=2000,
     )
-    return df.drop("geojson")
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -300,7 +328,7 @@ def pl4_within_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     df = compile_pipeline(catalog_cs(spark, sf_dir), nodes, limit=5000)
-    return df.drop("geojson")
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -337,7 +365,7 @@ def pl5_exclude_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     df = compile_pipeline(catalog_cs(spark, sf_dir), nodes, limit=5000)
-    return df.drop("geojson")
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -380,7 +408,8 @@ def _theme_doc_index(spark: SparkSession, sf_dir: str, docs: DataFrame):
                doc_id AS _k
         FROM documents
     )
-    SELECT td.id, display_name, search_name, geom_type,
+    SELECT td.id, display_name, search_name,
+           {_geojson_point_sql()} AS geojson, geom_type,
            centroid_lon, centroid_lat, _f0, _f1, _source,
            ROUND(s._score, 6) AS _score
     FROM td JOIN scores s ON td._k = s.id
@@ -401,4 +430,4 @@ def pl6_search_fts(spark: SparkSession, sf_dir: str) -> DataFrame:
         Node(id="n1", type="source", table="theme_documents", key="docs/document")
     ]
     df = compile_pipeline(cat, nodes, search=QUERY_TEXT, limit=10)
-    return df.drop("geojson")
+    return df
