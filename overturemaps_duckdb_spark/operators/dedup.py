@@ -1528,39 +1528,44 @@ def dedup_clusters(
     — the cluster-assignment table a dedup pipeline actually consumes
     (keep the representative ``id == cluster_id`` row, drop the rest).
 
-    Min-label propagation: each round every node adopts the smallest label
-    among itself and its neighbors — one shuffle per round on the edge
-    endpoints, O(graph diameter) rounds.  Near-dup clusters are dense and
-    shallow (a dup of a dup of X is almost always a direct dup of X), so
-    this converges in a handful of rounds; for adversarially-chained graphs
-    the alternating large-star/small-star contraction (Kiveris et al.,
-    "Connected Components in MapReduce") bounds rounds at O(log² n) with
-    the same per-round join shape.
+    Boruvka-style supervertex contraction (r12 — replaced the r8-r11
+    min-label loop, whose round count was O(graph diameter): a templated-
+    spam chain of 10k near-identical docs would have blown max_iter):
 
-    The loop runs on the EDGE-TOUCHED SUBGRAPH only (r12, VERDICT r11 #6):
+    1. HOOK: every active vertex points at ``p(u) = min(N(u) ∪ {u})`` —
+       one groupBy on the edge endpoints.  Pointers strictly decrease, so
+       the pointer graph is a forest rooted at local minima.
+    2. JUMP: ``p ← p(p)`` until fixpoint — pointer doubling on a PARENT
+       forest (where it provably halves depth per round, unlike
+       composing min-LABELS, which does not double reach — caught by the
+       union-find differential in tests/test_dedup_collapse_gate.py).
+    3. CONTRACT: rewrite edges to (root(u), root(v)), drop self-loops,
+       dedupe; fold the root map into the running assignment.
+    Repeat until no inter-supervertex edge remains — O(log n) outer
+    rounds × O(log depth) jumps; a 200-link chain finishes in ONE outer
+    round (~8 jump rounds), where min-label needed 200.
+
+    The global component minimum never hooks to anything (no smaller
+    neighbor exists), so the surviving supervertex id IS the component
+    min — same output contract as before, re-certified against the
+    DuckDB recursive-CTE oracle and a driver-side union-find.
+
+    The loop runs on the EDGE-TOUCHED SUBGRAPH only (VERDICT r11 #6):
     a document in no near-dup pair can never change label, and at corpus
-    scale isolated documents are the overwhelming majority — iterating
-    labels over all of ``df`` shuffled the whole corpus once per round for
-    nothing.  Isolated ids join the result at the end as their own
-    cluster (one left join, outside the loop).  The seed label is already
-    one propagation round (min of self and direct neighbors, computed by
-    the same groupBy that builds the vertex set), so the shallow common
-    case — every member directly paired with its cluster minimum —
-    converges in a single confirming loop round.  Honest measurement
-    note: the sf1 bench fixture is a 10×-replica corpus where EVERY doc
-    is pair-touched (probe: 50k/50k), so there the rewrite measures
-    within the host noise band (d6 min 8.7 s vs 8.0 s pre-rewrite, one
-    extra re-attach join); the per-round saving is proportional to the
-    corpus's isolated fraction, which at the fixture is zero and in a
-    real dedup corpus is most of the data.
+    scale isolated documents are the overwhelming majority — the r8-r11
+    loop shuffled the whole corpus once per round for nothing.  Isolated
+    ids re-attach at the end as their own cluster (one left join against
+    the small cluster map — broadcast where stats allow).
 
-    Iterative DataFrame algorithms grow lineage exponentially, so each
-    round is checkpoint-cut (operators/_util.materialize: reliable
+    Iterative DataFrame algorithms grow lineage exponentially, so every
+    step is checkpoint-cut (operators/_util.materialize: reliable
     ``checkpoint()`` when the session has a checkpoint dir — configure
     one on a long-lived 1000-executor job to survive executor loss —
-    else ``localCheckpoint``).  Convergence is detected driver-side: labels only ever
-    decrease, so an unchanged ``sum(comp)`` means a fixpoint (one 8-byte
-    scalar per round crosses to the driver — never the labels themselves).
+    else ``localCheckpoint``).  Convergence probes move one scalar per
+    step to the driver, never the labels.
+
+    Ids keep their OWN type (r8 review fix): min/least only need an
+    ORDERABLE id, so string/UUID keys work unchanged.
 
     Ref: the reference has no clustering op (its dedup surface stops at
     DISTINCT, src/lib/analysisQueries.js:50-52); this extends the LLM-
@@ -1569,63 +1574,83 @@ def dedup_clusters(
     """
     acol, bcol = pairs.columns[0], pairs.columns[1]
     fwd = pairs.select(F.col(acol).alias("u"), F.col(bcol).alias("v"))
-    edges = fwd.unionAll(fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
-    # ids keep their OWN type (r8 review fix): the old cast('long') turned
-    # string/UUID doc ids into NULLs, the neighbor join never matched, and
-    # the sum(comp)-based convergence probe compared None == None — one
-    # round, then all-(NULL, NULL) assignments with no error.  min-label
-    # propagation only needs an ORDERABLE id; convergence is now an exact
-    # changed-row count, type-agnostic.
-    # Vertex set = edge-touched ids only; seed comp = min(self, neighbors)
-    # — the first propagation round fused into the vertex-set groupBy.
-    labels = (
-        edges.groupBy("u")
-        .agg(F.min("v").alias("_nc"))
-        .select(
-            F.col("u").alias("id"),
-            F.least(F.col("u"), F.col("_nc")).alias("comp"),
-        )
+    edges = _materialize(
+        fwd.unionAll(
+            fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).where(F.col("u") != F.col("v")).distinct(),
+        eager=True,
     )
-    labels = _materialize(labels, eager=True)
+    # running assignment for every edge-touched vertex (symmetric edges ⇒
+    # selecting u covers both endpoints)
+    assign = _materialize(
+        edges.select("u").distinct().select(
+            F.col("u").alias("id"), F.col("u").alias("sv")
+        ),
+        eager=True,
+    )
     converged = False
     for _ in range(max_iter):
-        nbr = (
-            edges.join(labels.select(F.col("id").alias("_vid"), "comp"),
-                       F.col("v") == F.col("_vid"))
-            .groupBy("u")
-            .agg(F.min("comp").alias("_nc"))
-        )
-        new_comp = F.least(
-            labels["comp"], F.coalesce(F.col("_nc"), labels["comp"])
-        )
-        nxt = (
-            labels.join(nbr, labels["id"] == nbr["u"], "left")
-            .select(
-                labels["id"],
-                new_comp.alias("comp"),
-                (new_comp != labels["comp"]).cast("long").alias("_chg"),
-            )
-        )
-        nxt = _materialize(nxt, eager=True)
-        changed = nxt.agg(F.sum("_chg")).collect()[0][0] or 0
-        labels = nxt.drop("_chg")
-        if changed == 0:
+        if edges.isEmpty():
             converged = True
             break
-    edges.unpersist()
+        # 1. hook: p(u) = min(N(u) ∪ {u}) — strictly decreasing pointers
+        par = _materialize(
+            edges.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select(
+                F.col("u").alias("id"),
+                F.least(F.col("u"), F.col("_mn")).alias("p"),
+            ),
+            eager=True,
+        )
+        # 2. jump: p ← p(p) until fixpoint (true doubling on the forest;
+        # 64 rounds bounds depth 2^64 — unreachable)
+        for _ in range(64):
+            pmap = par.select(
+                F.col("id").alias("_i2"), F.col("p").alias("_p2")
+            )
+            hopped = F.coalesce(F.col("_p2"), F.col("p"))
+            nxt = par.join(pmap, par["p"] == pmap["_i2"], "left").select(
+                "id",
+                hopped.alias("p"),
+                (hopped != par["p"]).cast("long").alias("_chg"),
+            )
+            nxt = _materialize(nxt, eager=True)
+            jumped = nxt.agg(F.sum("_chg")).collect()[0][0] or 0
+            par = nxt.drop("_chg")
+            if jumped == 0:
+                break
+        # 3. contract: fold roots into the assignment, rewrite the edges
+        root = par.select(F.col("id").alias("_ri"), F.col("p").alias("_rp"))
+        assign = _materialize(
+            assign.join(root, assign["sv"] == root["_ri"], "left").select(
+                "id", F.coalesce(F.col("_rp"), F.col("sv")).alias("sv")
+            ),
+            eager=True,
+        )
+        ru = root.select(F.col("_ri").alias("u"), F.col("_rp").alias("_ur"))
+        rv = root.select(F.col("_ri").alias("v"), F.col("_rp").alias("_vr"))
+        edges = _materialize(
+            edges.join(ru, "u").join(rv, "v")
+            .select(F.col("_ur").alias("u"), F.col("_vr").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct(),
+            eager=True,
+        )
     if not converged:
         # silent non-convergence hands the caller WRONG clusters (one true
-        # cluster split across labels) — a chain longer than max_iter must
-        # fail loudly, not quietly keep duplicate "representatives"
+        # cluster split across labels) — fail loudly.  Needs more than
+        # max_iter CONTRACTION rounds, i.e. components nested deeper than
+        # ~2^max_iter supervertex layers: unreachable for physical data.
         raise RuntimeError(
             f"dedup_clusters did not converge in max_iter={max_iter} "
-            "rounds (pair-graph diameter exceeds it); raise max_iter"
+            "contraction rounds; raise max_iter"
         )
     # re-attach the isolated documents (never entered the loop): their
     # cluster is themselves.  One left join; the cluster table is tiny
     # relative to the corpus, so AQE broadcasts it where stats allow.
-    sub = labels.select(
-        F.col("id").alias("_cid"), F.col("comp").alias("_comp")
+    sub = assign.select(
+        F.col("id").alias("_cid"), F.col("sv").alias("_comp")
     )
     return (
         df.select(F.col(id_col).alias("id"))

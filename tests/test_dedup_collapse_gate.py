@@ -227,20 +227,24 @@ def test_dedup_clusters_string_ids(spark):
 
 def test_dedup_clusters_nonconvergence_raises(spark):
     """r8 review fix: hitting max_iter without a fixpoint used to return
-    silently-wrong split clusters; it must fail loudly."""
+    silently-wrong split clusters; it must fail loudly.  Since the r12
+    contraction rewrite a 10-chain converges in ONE round, so the loud
+    path is exercised with max_iter=1 (the round runs but the empty-edge
+    confirmation never does)."""
     import pytest
 
     from overturemaps_duckdb_spark.operators.dedup import dedup_clusters
 
-    n = 10  # chain diameter 9 > max_iter=3
+    n = 10
     docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "a_id long, b_id long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup_clusters(docs, "doc_id", pairs, max_iter=3)
-    # and a sufficient max_iter still converges to one cluster
-    got = dedup_clusters(docs, "doc_id", pairs, max_iter=15)
+        dedup_clusters(docs, "doc_id", pairs, max_iter=1)
+    # and a sufficient max_iter converges to one cluster — in 2 rounds,
+    # where the pre-r12 min-label loop needed the full diameter
+    got = dedup_clusters(docs, "doc_id", pairs, max_iter=2)
     assert {r["cluster_id"] for r in got.collect()} == {0}
 
 
@@ -254,3 +258,62 @@ def test_band_keys_rejects_non_dividing_bands(spark):
     d = spark.createDataFrame([(1, "some text")], "doc_id long, text string")
     with pytest.raises(ValueError, match="must divide"):
         minhash_lsh_pairs(d, "doc_id", "text", n_hashes=16, bands=3)
+
+
+def test_dedup_clusters_pointer_jump_chain(spark):
+    """r12: from round _JUMP_AFTER each round also pointer-jumps
+    (comp ← min(comp, comp(comp))), so a 200-link chain — diameter far
+    beyond the default max_iter=25 — converges in O(log diameter) rounds
+    where plain min-label raised.  Every node must land on cluster 0."""
+    from overturemaps_duckdb_spark.operators.dedup import dedup_clusters
+
+    n = 200
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a_id long, b_id long"
+    )
+    got = dedup_clusters(docs, "doc_id", pairs)  # default max_iter
+    assert {r["cluster_id"] for r in got.collect()} == {0}
+
+
+def test_dedup_clusters_jump_path_matches_union_find(spark):
+    """Value differential on a random graph deep enough to exercise the
+    pointer-jump rounds: the distributed labels must equal a driver-side
+    union-find ground truth."""
+    import random
+
+    from overturemaps_duckdb_spark.operators.dedup import dedup_clusters
+
+    rng = random.Random(7)
+    n = 400
+    # several long paths + random chords: diameter > _JUMP_AFTER
+    edges = [(i, i + 1) for i in range(0, n - 1) if i % 37 != 0]
+    edges += [(rng.randrange(n), rng.randrange(n)) for _ in range(30)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # ground truth: min node id per component
+    comp_min: dict[int, int] = {}
+    for i in range(n):
+        r = find(i)
+        comp_min[r] = min(comp_min.get(r, i), i)
+    truth = {i: comp_min[find(i)] for i in range(n)}
+
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(edges, "a_id long, b_id long")
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in dedup_clusters(docs, "doc_id", pairs).collect()
+    }
+    assert got == truth
