@@ -37,9 +37,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #: bpe2 lead so their red rows turn green first;
 #: (b) r12-new t6_bm25_stemmed (Porter FTS parity) — no driver row yet;
 #: (c) r12-behavior-changed, re-certified on top of green rows:
-#: d6/d7/sp1 (dedup_clusters closure rewritten to the edge-touched
-#: subgraph with a seeded first round — values unchanged by construction,
-#: re-proved by the driver), pl1/pl2/pl6 (geojson column re-entered the
+#: d6/d7/sp1 (dedup_clusters rewritten to edge-touched-subgraph Boruvka
+#: hook/jump/contract — values unchanged by construction, re-proved by
+#: the driver + a union-find differential), pl1/pl2/pl6 (geojson column
+#: re-entered the
 #: oracle comparison — pl3/pl4/pl5 are already in (e)), qs1 (negative-
 #: quality clamp — value-neutral on the fixture, cheap insurance);
 #: (d) f5_is_not_null — the last r7 row;
