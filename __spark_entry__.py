@@ -42,7 +42,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: the driver + a union-find differential), pl1/pl2/pl6 (geojson column
 #: re-entered the
 #: oracle comparison — pl3/pl4/pl5 are already in (e)), qs1 (negative-
-#: quality clamp — value-neutral on the fixture, cheap insurance);
+#: quality clamp mirrored into the oracle — value-neutral on the
+#: fixture), ep4 (console PRAGMA now stems by default like DuckDB's
+#: create_fts_index; oracle switched to the Porter-in-SQL twin);
 #: (d) f5_is_not_null — the last r7 row;
 #: (e) the full remaining r8 cohort (38 rows; q1_pricing_summary stays
 #: displaced — it is entry()'s flagship, smoke-run by the driver every
@@ -65,6 +67,7 @@ _CERT_PRIORITY = [
     "pl2_search_ilike",
     "pl6_search_fts",
     "qs1_quality_weighted_sample",
+    "ep4_sql_fts_console",
     # (d) last r7 row
     "f5_is_not_null",
     # (e) full remaining r8 cohort, r8-file order
@@ -106,8 +109,8 @@ _CERT_PRIORITY = [
     "x7_repetition_signals",
     "x8_sliding_chunks",
     "x9_gopher_rules",
-    # (f) r9 cohort lead-off
-    "j2_spatial_within",
+    # (f) — j2_spatial_within (the planned r9 lead-off) displaced by ep4's
+    # behavior change above; the r9 cohort rotates in with r13
 ]
 
 

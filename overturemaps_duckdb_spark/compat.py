@@ -461,6 +461,16 @@ def _intercept(
         )
 
         table, id_col, text_col = m.groups()
+        # DuckDB's create_fts_index DEFAULTS include a Porter stemmer
+        # (fts.js:51-68 relies on exactly those defaults), so the console
+        # emulation stems by default too — the r12 review found the t6
+        # operator-level parity fix had left this reference-mimicking
+        # surface unstemmed.  `stemmer = 'none'` (DuckDB's own opt-out
+        # spelling) disables it; other stemmers raise in build_fts_index.
+        sm = re.search(r"(?is)stemmer\s*=\s*'(\w+)'", s)
+        stemmer: str | None = sm.group(1).lower() if sm else "porter"
+        if stemmer == "none":
+            stemmer = None
         # re-running the PRAGMA rebuilds over the table's CURRENT contents
         # (so no memo), but the PREVIOUS build's persisted frames must be
         # released first — each ep4-style console invocation otherwise
@@ -474,7 +484,9 @@ def _intercept(
         old = registry.get(table)
         if old is not None:
             old.unpersist()
-        idx = build_fts_index(spark.table(table), id_col, text_col).persist()
+        idx = build_fts_index(
+            spark.table(table), id_col, text_col, stemmer=stemmer
+        ).persist()
         registry[table] = idx
         idx.postings.createOrReplaceTempView(f"fts_main_{table}_postings")
         idx.docstats.createOrReplaceTempView(f"fts_main_{table}_docstats")
@@ -642,7 +654,14 @@ def _rewrite_match_bm25(spark: SparkSession, sql: str) -> str:
                 "operators.fts.bm25_topk / the pipeline compiler's FTS mode "
                 "(the reference degrades to ILIKE on this same error)"
             )
-        terms = tokenize_query(raw_q.replace("''", "'"))
+        # query terms must stem with the INDEX's tokenizer (DuckDB's
+        # match_bm25 does the same through its index metadata) — an
+        # unstemmed query against the default porter index silently
+        # misses every inflected term
+        registry = getattr(spark, "_omds_fts_pragma", {}) or {}
+        idx = registry.get(table)
+        stemmer = getattr(idx, "stemmer", None)
+        terms = tokenize_query(raw_q.replace("''", "'"), stemmer=stemmer)
         if not terms:
             return "CAST(NULL AS DOUBLE)"
         tl = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)

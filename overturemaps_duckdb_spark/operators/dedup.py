@@ -1574,6 +1574,18 @@ def dedup_clusters(
     """
     acol, bcol = pairs.columns[0], pairs.columns[1]
     fwd = pairs.select(F.col(acol).alias("u"), F.col(bcol).alias("v"))
+    # Contract guard (review): cluster_id must always be a DOCUMENT id —
+    # a stale/superset pair table referencing ids absent from ``df`` must
+    # not leak those ids in as cluster labels (the consumer's "keep the
+    # id == cluster_id row" rule would then drop the whole cluster).  The
+    # r8-r11 loop got this for free by seeding labels from df; here the
+    # edge set is semi-joined against the corpus ids once, up front —
+    # strictly cheaper than the old per-round restriction.
+    ids = df.select(F.col(id_col).alias("_did"))
+    fwd = (
+        fwd.join(ids, fwd["u"] == ids["_did"], "left_semi")
+        .join(ids, fwd["v"] == ids["_did"], "left_semi")
+    )
     edges = _materialize(
         fwd.unionAll(
             fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -1588,10 +1600,13 @@ def dedup_clusters(
         ),
         eager=True,
     )
-    converged = False
+    # converged ⇔ no inter-supervertex edge remains.  Checked BEFORE the
+    # loop (empty pair input) and after EVERY contraction — checking only
+    # at the top of the next iteration raised a spurious non-convergence
+    # error when contraction finished in exactly max_iter rounds (review).
+    converged = edges.isEmpty()
     for _ in range(max_iter):
-        if edges.isEmpty():
-            converged = True
+        if converged:
             break
         # 1. hook: p(u) = min(N(u) ∪ {u}) — strictly decreasing pointers
         par = _materialize(
@@ -1637,10 +1652,11 @@ def dedup_clusters(
             .distinct(),
             eager=True,
         )
+        converged = edges.isEmpty()
     if not converged:
         # silent non-convergence hands the caller WRONG clusters (one true
-        # cluster split across labels) — fail loudly.  Needs more than
-        # max_iter CONTRACTION rounds, i.e. components nested deeper than
+        # cluster split across labels) — fail loudly.  Needs MORE than
+        # max_iter contraction rounds, i.e. components nested deeper than
         # ~2^max_iter supervertex layers: unreachable for physical data.
         raise RuntimeError(
             f"dedup_clusters did not converge in max_iter={max_iter} "

@@ -48,19 +48,32 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+def _has_unhashable(dt: T.DataType) -> bool:
+    """True if a cell of this type contains a list/dict anywhere — pandas
+    ``sort_values`` hashes whole cells, so an array nested INSIDE a struct
+    crashes it exactly like a top-level array (Row.__hash__ delegates to
+    tuple.__hash__, which raises on contained lists)."""
+    if isinstance(dt, (T.ArrayType, T.MapType)):
+        return True
+    if isinstance(dt, T.StructType):
+        return any(_has_unhashable(f.dataType) for f in dt.fields)
+    return False
+
+
 def driver_unsafe_columns(df: DataFrame) -> list[tuple[str, str]]:
     """Top-level columns the ROUND DRIVER's canonicalizer cannot hash.
 
     The driver loads each result into pandas and ``sort_values`` over all
-    columns; an array/map cell raises ``TypeError: unhashable type``
-    (CORRECTNESS_r11 emb1/bpe2 failure).  Registered queries must
-    serialize such columns (``concat_ws`` engine-side /
-    ``array_to_string``/``string_agg`` oracle-side).  Returns the
-    offending ``(column, type)`` pairs — empty means driver-safe."""
+    columns; an array/map cell — including one nested inside a struct —
+    raises ``TypeError: unhashable type`` (CORRECTNESS_r11 emb1/bpe2
+    failure).  Registered queries must serialize such columns
+    (``concat_ws`` engine-side / ``array_to_string``/``string_agg``
+    oracle-side).  Returns the offending ``(column, type)`` pairs —
+    empty means driver-safe."""
     return [
         (f.name, f.dataType.simpleString())
         for f in df.schema.fields
-        if isinstance(f.dataType, (T.ArrayType, T.MapType))
+        if _has_unhashable(f.dataType)
     ]
 
 

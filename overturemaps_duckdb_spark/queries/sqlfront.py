@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from overturemaps_duckdb_spark.compat import duck_sql
 from overturemaps_duckdb_spark.queries import query, t
-from overturemaps_duckdb_spark.queries._sql import bm25_sql
+from overturemaps_duckdb_spark.queries._sql import bm25_sql, bm25_stemmed_sql
 
 _EP3_SQL = """
 SELECT doc_id,
@@ -64,9 +64,9 @@ LIMIT 10
 
 @query(
     "ep4_sql_fts_console",
-    oracle=bm25_sql(
+    oracle=bm25_stemmed_sql(
         table="documents", id_col="doc_id", text_col="text",
-        terms=["table", "scan", "merge"],
+        stemmed_terms=["tabl", "scan", "merg"],
     )
     + """
     SELECT d.doc_id, ROUND(s._score, 6) AS _score
@@ -80,8 +80,12 @@ def ep4_sql_fts_console(spark: SparkSession, sf_dir: str) -> DataFrame:
     `PRAGMA create_fts_index` then `fts_main_t.match_bm25(id, 'q')` in both
     SELECT and WHERE (pipeline.js:77-92) — rewritten by the shim into a
     correlated scalar aggregate over the PRAGMA-registered contribution
-    view.  The oracle is the pure-SQL Okapi twin (DuckDB's fts extension is
-    unavailable offline), so scores are value-checked."""
+    view.  Since r12 the PRAGMA emulation stems by DEFAULT (DuckDB's
+    create_fts_index default the reference relies on; the r12 review found
+    the t6 operator-level fix had left this console path unstemmed), so
+    the oracle is the Porter-in-SQL Okapi twin with the pre-stemmed query
+    terms (table→tabl, scan→scan, merge→merg) — scores value-checked
+    through the stemmed path end to end."""
     t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     duck_sql(spark, "PRAGMA create_fts_index('documents', 'doc_id', 'text')")
     return duck_sql(spark, _FTS_CONSOLE_SQL)

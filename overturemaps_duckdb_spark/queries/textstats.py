@@ -108,7 +108,7 @@ def x2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     + f"""
     SELECT doc_id, quality FROM q
     WHERE {md5_long_sql("CAST(doc_id AS VARCHAR)")} % 1000
-          < quality * quality * 1000.0
+          < greatest(quality, 0) * greatest(quality, 0) * 1000.0
     """,
 )
 def qs1_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -645,3 +645,43 @@ def test_read_parquet_literal_safety_and_multiple_calls(spark):
         f" '{SF_SMOKE}/region.parquet'])) AS c",
     ).collect()[0]
     assert row["c"] == 3 * single
+
+
+def test_pragma_fts_stems_by_default_and_none_opts_out(spark):
+    """r12: the console PRAGMA emulation matches DuckDB create_fts_index
+    DEFAULTS — Porter stemming on — so the reference's own SQL ranks
+    inflected queries ('tables scanning') like the real extension would;
+    `stemmer = 'none'` (DuckDB's opt-out spelling) restores the raw-token
+    index.  match_bm25 stems its query with the index's tokenizer."""
+    rows = [(1, "tables are scanned daily"), (2, "nothing relevant")]
+    spark.createDataFrame(rows, "doc_id long, text string").createOrReplaceTempView(
+        "docs_stem"
+    )
+    duck_sql(spark, "PRAGMA create_fts_index('docs_stem', 'doc_id', 'text')")
+    post = spark.table("fts_main_docs_stem_postings")
+    terms = {r["term"] for r in post.collect()}
+    assert "tabl" in terms and "tables" not in terms
+    hit = duck_sql(
+        spark,
+        "SELECT doc_id FROM docs_stem "
+        "WHERE fts_main_docs_stem.match_bm25(doc_id, 'table scanning') "
+        "IS NOT NULL",
+    ).collect()
+    assert [r["doc_id"] for r in hit] == [1]
+
+    duck_sql(
+        spark,
+        "PRAGMA create_fts_index('docs_stem', 'doc_id', 'text', "
+        "stemmer = 'none')",
+    )
+    post2 = spark.table("fts_main_docs_stem_postings")
+    terms2 = {r["term"] for r in post2.collect()}
+    assert "tables" in terms2 and "tabl" not in terms2
+    # the raw-token index no longer matches the inflected query
+    miss = duck_sql(
+        spark,
+        "SELECT doc_id FROM docs_stem "
+        "WHERE fts_main_docs_stem.match_bm25(doc_id, 'table scanning') "
+        "IS NOT NULL",
+    ).collect()
+    assert miss == []

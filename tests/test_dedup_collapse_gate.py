@@ -227,25 +227,31 @@ def test_dedup_clusters_string_ids(spark):
 
 def test_dedup_clusters_nonconvergence_raises(spark):
     """r8 review fix: hitting max_iter without a fixpoint used to return
-    silently-wrong split clusters; it must fail loudly.  Since the r12
-    contraction rewrite a 10-chain converges in ONE round, so the loud
-    path is exercised with max_iter=1 (the round runs but the empty-edge
-    confirmation never does)."""
+    silently-wrong split clusters; it must fail loudly.  A monotone chain
+    converges in ONE contraction round (and max_iter=1 must ACCEPT it —
+    the empty-edge check runs after every contraction, not only at the
+    next iteration's top; review off-by-one), so the loud path needs a
+    genuinely 2-round topology: the path 1-4-3-2, whose hooking forms two
+    local-minimum trees ({1,4}→1, {2,3}→2) with one inter-tree edge left."""
     import pytest
 
     from overturemaps_duckdb_spark.operators.dedup import dedup_clusters
 
-    n = 10
-    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    chain_docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "a_id long, b_id long"
+    )
+    got = dedup_clusters(chain_docs, "doc_id", chain, max_iter=1)
+    assert {r["cluster_id"] for r in got.collect()} == {0}
+
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], "doc_id long")
     pairs = spark.createDataFrame(
-        [(i, i + 1) for i in range(n - 1)], "a_id long, b_id long"
+        [(1, 4), (4, 3), (3, 2)], "a_id long, b_id long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup_clusters(docs, "doc_id", pairs, max_iter=1)
-    # and a sufficient max_iter converges to one cluster — in 2 rounds,
-    # where the pre-r12 min-label loop needed the full diameter
     got = dedup_clusters(docs, "doc_id", pairs, max_iter=2)
-    assert {r["cluster_id"] for r in got.collect()} == {0}
+    assert {r["cluster_id"] for r in got.collect()} == {1}
 
 
 def test_band_keys_rejects_non_dividing_bands(spark):
@@ -261,10 +267,12 @@ def test_band_keys_rejects_non_dividing_bands(spark):
 
 
 def test_dedup_clusters_pointer_jump_chain(spark):
-    """r12: from round _JUMP_AFTER each round also pointer-jumps
-    (comp ← min(comp, comp(comp))), so a 200-link chain — diameter far
-    beyond the default max_iter=25 — converges in O(log diameter) rounds
-    where plain min-label raised.  Every node must land on cluster 0."""
+    """r12: Boruvka hook/jump/contract — a 200-link chain (diameter far
+    beyond the default max_iter=25 under the old min-label loop, which
+    needed one round per hop) converges in ONE contraction round: hooking
+    builds the chain as a single parent path rooted at 0 and pointer
+    doubling on that FOREST resolves it in ~8 jump rounds.  Every node
+    must land on cluster 0."""
     from overturemaps_duckdb_spark.operators.dedup import dedup_clusters
 
     n = 200
@@ -277,16 +285,19 @@ def test_dedup_clusters_pointer_jump_chain(spark):
 
 
 def test_dedup_clusters_jump_path_matches_union_find(spark):
-    """Value differential on a random graph deep enough to exercise the
-    pointer-jump rounds: the distributed labels must equal a driver-side
-    union-find ground truth."""
+    """Value differential on a random multi-component graph deep enough
+    to need several jump rounds and (with broken chains + chords) more
+    than one contraction round: the distributed labels must equal a
+    driver-side union-find ground truth.  This test killed the first r12
+    attempt (composing min-LABELS as comp(comp) — which does not double
+    reach and failed to converge in 25 rounds)."""
     import random
 
     from overturemaps_duckdb_spark.operators.dedup import dedup_clusters
 
     rng = random.Random(7)
     n = 400
-    # several long paths + random chords: diameter > _JUMP_AFTER
+    # several long paths + random chords: multiple components, deep trees
     edges = [(i, i + 1) for i in range(0, n - 1) if i % 37 != 0]
     edges += [(rng.randrange(n), rng.randrange(n)) for _ in range(30)]
     edges = [(a, b) for a, b in edges if a != b]
@@ -317,3 +328,24 @@ def test_dedup_clusters_jump_path_matches_union_find(spark):
         for r in dedup_clusters(docs, "doc_id", pairs).collect()
     }
     assert got == truth
+
+
+def test_dedup_clusters_unknown_pair_ids_do_not_leak(spark):
+    """Contract guard (r12 review): a pair table referencing ids absent
+    from df (stale pairs, superset corpus) must neither leak those ids in
+    as cluster labels nor connect df documents through them."""
+    from overturemaps_duckdb_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame([(5,), (6,), (7,)], "doc_id long")
+    pairs = spark.createDataFrame(
+        # (5,2): 2 unknown — must not become 5's label; (6,1),(1,7):
+        # 1 unknown — must not bridge 6 and 7 either (the edge itself is
+        # outside the corpus)
+        [(5, 2), (6, 1), (1, 7), (6, 7)],
+        "a_id long, b_id long",
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in dedup_clusters(docs, "doc_id", pairs).collect()
+    }
+    assert got == {5: 5, 6: 6, 7: 6}

@@ -47,9 +47,12 @@ def test_guard_flags_array_and_map_outputs(spark):
         F.col("id"),
         F.array(F.lit(1), F.col("id")).alias("arr"),
         F.create_map(F.lit("k"), F.col("id")).alias("m"),
+        F.struct(F.array(F.col("id")).alias("inner")).alias("nested"),
     )
     bad = dict(q.driver_unsafe_columns(df))
-    assert set(bad) == {"arr", "m"}
+    # 'nested' is a STRUCT whose cell still holds a list — pandas hashes
+    # the whole Row cell, so it crashes the driver exactly like 'arr'
+    assert set(bad) == {"arr", "m", "nested"}
 
     rows = [tuple(r) for r in df.collect()]
     err = _driver_canon_probe(df.columns, rows)
