@@ -35,7 +35,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: driver certifies the FIRST 50 entries.  Composition:
 #: (a) the two r11 FAILs, now fixed (array outputs serialized) — emb1 +
 #: bpe2 lead so their red rows turn green first;
-#: (b) r12-new t6_bm25_stemmed (Porter FTS parity) — no driver row yet;
+#: (b) r12-new: t6_bm25_stemmed (Porter FTS parity) and e5_funnel_steps
+#: (ordered-funnel conversion) — no driver rows yet;
 #: (c) r12-behavior-changed, re-certified on top of green rows:
 #: d6/d7/sp1 (dedup_clusters rewritten to edge-touched-subgraph Boruvka
 #: hook/jump/contract — values unchanged by construction, re-proved by
@@ -59,6 +60,7 @@ _CERT_PRIORITY = [
     "bpe2_tokenize",
     # (b) new
     "t6_bm25_stemmed",
+    "e5_funnel_steps",
     # (c) r12-behavior-changed
     "d6_dedup_clusters",
     "d7_cluster_canonical",
@@ -95,7 +97,9 @@ _CERT_PRIORITY = [
     "sa2_stratified_sample",
     "sh1_deterministic_shuffle",
     "u1_union_all_aligned",
-    "u2_union_distinct",
+    # u2_union_distinct displaced for the new e5_funnel_steps — its
+    # union-distinct form is family-covered by the kept u1/u3 rows and
+    # re-oracled locally every round; refreshes with r13
     "u3_intersect_except",
     "w1_topk_per_group",
     "w2_running_sum",

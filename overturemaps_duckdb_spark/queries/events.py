@@ -452,3 +452,91 @@ def i5_stream_foreachbatch_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count("*").alias("n"),
         F.sum(cents("value")).alias("value_cents"),
     )
+
+
+#: the e5 funnel definition: strictly-ordered first-touch steps
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+_E5_ORACLE = """
+WITH s1 AS (
+    SELECT user_id, MIN(epoch_us(ts)) AS t FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+    FROM events e JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t
+    GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+    FROM events e JOIN s2 ON e.user_id = s2.user_id
+    WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t
+    GROUP BY e.user_id
+)
+SELECT CAST(1 AS INTEGER) AS step, 'view' AS event_type,
+       CAST(count(*) AS BIGINT) AS users FROM s1
+UNION ALL
+SELECT CAST(2 AS INTEGER), 'click', CAST(count(*) AS BIGINT) FROM s2
+UNION ALL
+SELECT CAST(3 AS INTEGER), 'purchase', CAST(count(*) AS BIGINT) FROM s3
+"""
+
+
+def funnel_user_times(
+    events: DataFrame, user_col: str, us: F.Column, type_col: str,
+    steps: tuple[str, ...],
+) -> list[DataFrame]:
+    """Per-step per-user FIRST-COMPLETION times of a strictly-ordered
+    funnel: frame k holds ``(user, _t)`` for every user whose earliest
+    step-k event strictly follows their step-(k-1) completion time —
+    the standard product-analytics funnel (first-touch attribution,
+    strict event ordering; simultaneous events do NOT advance a step).
+
+    Scale shape: one user-keyed groupBy per step over the scan FILTERED
+    to that step's type (predicate pushed to parquet), then a user-key
+    equi-join against the previous (distinct-users-sized) step frame —
+    every shuffle is on the same user key, so AQE/exchange-reuse keeps
+    the chain co-partitioned; no windows over the full event stream, no
+    driver state.  Conversion counts are k one-row aggregates."""
+    typed = events.select(
+        F.col(user_col).alias("_u"), us.alias("_us"),
+        F.col(type_col).alias("_ty"),
+    )
+    frames: list[DataFrame] = []
+    prev: DataFrame | None = None
+    for step in steps:
+        cur = typed.where(F.col("_ty") == step)
+        if prev is not None:
+            cur = cur.join(
+                prev.select(F.col("_u").alias("_pu"), F.col("_t").alias("_pt")),
+                (F.col("_u") == F.col("_pu")) & (F.col("_us") > F.col("_pt")),
+            )
+        frames.append(cur.groupBy("_u").agg(F.min("_us").alias("_t")))
+        prev = frames[-1]
+    return frames
+
+
+@query("e5_funnel_steps", oracle=_E5_ORACLE)
+def e5_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 — ordered-funnel conversion over the event stream: how many
+    users completed view → click → purchase IN THAT ORDER (each step's
+    first occurrence strictly after the previous step's completion).
+    The product-analytics staple the reference-class engines ship as a
+    first-class op; composes here from k user-keyed aggregates + joins
+    (funnel_user_times), never a full-stream window sort.  Epoch-µs
+    integer comparisons via us_col — TZ-free and bit-stable against the
+    oracle's epoch_us(ts)."""
+    ev = t(spark, sf_dir, "events")
+    frames = funnel_user_times(
+        ev, "user_id", us_col(ev), "event_type", FUNNEL_STEPS
+    )
+    out = None
+    for i, (step, frame) in enumerate(zip(FUNNEL_STEPS, frames), start=1):
+        row = frame.agg(
+            F.lit(i).cast("int").alias("step"),
+            F.lit(step).alias("event_type"),
+            F.count(F.lit(1)).cast("bigint").alias("users"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
