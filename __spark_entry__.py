@@ -35,8 +35,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: driver certifies the FIRST 50 entries.  Composition:
 #: (a) the two r11 FAILs, now fixed (array outputs serialized) — emb1 +
 #: bpe2 lead so their red rows turn green first;
-#: (b) r12-new: t6_bm25_stemmed (Porter FTS parity) and e5_funnel_steps
-#: (ordered-funnel conversion) — no driver rows yet;
+#: (b) r12-new: t6_bm25_stemmed (Porter FTS parity), e5_funnel_steps
+#: (ordered-funnel conversion), e6_retention_cohorts (retention matrix)
+#: — no driver rows yet;
 #: (c) r12-behavior-changed, re-certified on top of green rows:
 #: d6/d7/sp1 (dedup_clusters rewritten to edge-touched-subgraph Boruvka
 #: hook/jump/contract — values unchanged by construction, re-proved by
@@ -61,6 +62,7 @@ _CERT_PRIORITY = [
     # (b) new
     "t6_bm25_stemmed",
     "e5_funnel_steps",
+    "e6_retention_cohorts",
     # (c) r12-behavior-changed
     "d6_dedup_clusters",
     "d7_cluster_canonical",
@@ -89,7 +91,9 @@ _CERT_PRIORITY = [
     "pl3_bbox_filter",
     "pl4_within_filter",
     "pl5_exclude_filter",
-    "s11_count_probe",
+    # s11_count_probe displaced for the new e6_retention_cohorts — the
+    # bare-count form is exercised by every aggregate row in the prefix
+    # and re-oracled locally each round; refreshes with r13
     "s1_scan_filter_project",
     "s5_ctas_ingest_budget",
     "s6_incremental_append",

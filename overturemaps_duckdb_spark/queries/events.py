@@ -540,3 +540,54 @@ def e5_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+#: one day in µs — the retention bucket
+DAY_US = 86_400_000_000
+
+_E6_ORACLE = f"""
+WITH act AS (
+    SELECT DISTINCT user_id,
+           CAST(epoch_us(ts) // {DAY_US} AS BIGINT) AS day
+    FROM events
+),
+cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY user_id)
+SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+       CAST(count(*) AS BIGINT) AS users
+FROM act a JOIN cohort c ON a.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
+@query("e6_retention_cohorts", oracle=_E6_ORACLE)
+def e6_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 — retention-cohort table, the funnel's companion analytics
+    staple: users bucketed by FIRST-ACTIVE day (cohort), counted at every
+    later active-day offset — the (cohort_day, day_offset, users) matrix
+    retention curves read off directly.
+
+    Scale shape: one (user, day) distinct (the inherent retention
+    shuffle — active-days pairs, never raw events: the type/value
+    columns are pruned at the scan), a user-keyed min for the cohort,
+    one user-key equi-join back, and a (cohort, offset)-keyed count with
+    map-side combine.  `count(*)` not countDistinct: the act frame is
+    already distinct per (user, day), so each row is one retained user —
+    no second dedup pass.  Epoch-µs floor-div day buckets (non-negative
+    fixture timestamps; TZ-free, matches the oracle's `//` exactly)."""
+    ev = t(spark, sf_dir, "events")
+    act = (
+        ev.select(F.col("user_id"), us_col(ev).alias("_us"))
+        # integer DIV, not float `/`+cast: a double quotient is exact only
+        # below 2^53 µs — fine today, wrong in principle at extreme epochs
+        .select("user_id", F.expr(f"_us DIV {DAY_US}").alias("day"))
+        .distinct()
+    )
+    cohort = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        act.join(cohort, "user_id")
+        .groupBy(
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("users"))
+    )
