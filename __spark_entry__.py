@@ -36,8 +36,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (a) the two r11 FAILs, now fixed (array outputs serialized) — emb1 +
 #: bpe2 lead so their red rows turn green first;
 #: (b) r12-new: t6_bm25_stemmed (Porter FTS parity), e5_funnel_steps
-#: (ordered-funnel conversion), e6_retention_cohorts (retention matrix)
-#: — no driver rows yet;
+#: (ordered-funnel conversion), e6_retention_cohorts (retention matrix),
+#: e7_rolling_active_users (DAU/WAU) — no driver rows yet;
 #: (c) r12-behavior-changed, re-certified on top of green rows:
 #: d6/d7/sp1 (dedup_clusters rewritten to edge-touched-subgraph Boruvka
 #: hook/jump/contract — values unchanged by construction, re-proved by
@@ -48,13 +48,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #: fixture), ep4 (console PRAGMA now stems by default like DuckDB's
 #: create_fts_index; oracle switched to the Porter-in-SQL twin);
 #: (d) f5_is_not_null — the last r7 row;
-#: (e) the full remaining r8 cohort (38 rows; q1_pricing_summary stays
+#: (e) the remaining r8 cohort (35 rows; q1_pricing_summary stays
 #: displaced — it is entry()'s flagship, smoke-run by the driver every
-#: round on top of its r8 row);
-#: (f) j2_spatial_within — the first of the r9 cohort (spatial_join
-#: family, flagged behavior-adjacent in VERDICT r11 #4).
-#: After a green r12: no row predates r9 except q1 (entry-smoked).
-#: Held for r13: the rest of the r9 cohort (39 rows).
+#: round on top of its r8 row; u2/s11/o6 displaced for the three new
+#: event-analytics queries, each with an in-prefix family anchor —
+#: rationales inline below).
+#: After a green r12: no row predates r9 except q1 (entry-smoked) and
+#: the three displaced trivial forms (u2/s11/o6, r8).
+#: Held for r13: the r9 cohort (40 rows incl. j2_spatial_within) + those
+#: three r8 rows.
 _CERT_PRIORITY = [
     # (a) r11 FAILs, fixed
     "emb1_label_centroids",
@@ -63,6 +65,7 @@ _CERT_PRIORITY = [
     "t6_bm25_stemmed",
     "e5_funnel_steps",
     "e6_retention_cohorts",
+    "e7_rolling_active_users",
     # (c) r12-behavior-changed
     "d6_dedup_clusters",
     "d7_cluster_canonical",
@@ -86,7 +89,9 @@ _CERT_PRIORITY = [
     "m5_ppm_resize",
     "mx1_token_budget_mix",
     "o5_balanced_union_limit",
-    "o6_nulls_last_sort",
+    # o6_nulls_last_sort displaced for the new e7_rolling_active_users —
+    # the nulls-last sort form is exercised by pl2's certified
+    # NULLS-LAST ranking in-prefix; refreshes with r13
     "pk1_sequence_packing",
     "pl3_bbox_filter",
     "pl4_within_filter",

@@ -591,3 +591,66 @@ def e6_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("users"))
     )
+
+
+_E7_ORACLE = f"""
+WITH act AS (
+    SELECT DISTINCT user_id,
+           CAST(epoch_us(ts) // {DAY_US} AS BIGINT) AS day
+    FROM events
+),
+spine AS (SELECT DISTINCT day FROM act),
+exp AS (
+    SELECT user_id, day + CAST(i AS BIGINT) AS wday
+    FROM act, range(0, 7) r(i)
+),
+wau AS (
+    SELECT e.wday AS day, CAST(count(DISTINCT e.user_id) AS BIGINT) AS wau
+    FROM exp e JOIN spine s ON e.wday = s.day
+    GROUP BY 1
+),
+dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM act GROUP BY day)
+SELECT d.day, d.dau, w.wau FROM dau d JOIN wau w ON d.day = w.day
+"""
+
+
+@query("e7_rolling_active_users", oracle=_E7_ORACLE)
+def e7_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 — daily + trailing-7-day active users per day (DAU/WAU), the
+    third events-analytics staple (with e5 funnels, e6 retention).
+
+    Scale shape: rolling DISTINCT does not decompose, and the naive
+    between-range join is a broadcast nested loop costing |activity|×
+    |days| comparisons — instead each (user, day) activity row EXPANDS to
+    the ≤7 window days it contributes to (``explode(sequence(...))`` —
+    linear, rides the scan) and a semi join against the observed-day
+    spine drops the phantom trailing days; then one exact
+    countDistinct(user) per window day.  DAU is a plain count over the
+    already-distinct (user, day) pairs — no second dedup.  All shuffles
+    carry (user, day)-sized keys, never raw events."""
+    ev = t(spark, sf_dir, "events")
+    act = (
+        ev.select(F.col("user_id"), us_col(ev).alias("_us"))
+        .select("user_id", F.expr(f"_us DIV {DAY_US}").alias("day"))
+        .distinct()
+    )
+    spine = act.select("day").distinct()
+    exp = act.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + F.lit(6))
+        ).alias("wday"),
+    )
+    wau = (
+        exp.join(
+            spine.select(F.col("day").alias("_sd")),
+            F.col("wday") == F.col("_sd"),
+            "left_semi",
+        )
+        .groupBy(F.col("wday").alias("day"))
+        .agg(F.count_distinct("user_id").cast("bigint").alias("wau"))
+    )
+    dau = act.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    return dau.join(wau, "day").select("day", "dau", "wau")
