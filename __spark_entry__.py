@@ -46,17 +46,20 @@ def entry(spark: SparkSession) -> DataFrame:
 #: oracle comparison — pl3/pl4/pl5 are already in (e)), qs1 (negative-
 #: quality clamp mirrored into the oracle — value-neutral on the
 #: fixture), ep4 (console PRAGMA now stems by default like DuckDB's
-#: create_fts_index; oracle switched to the Porter-in-SQL twin);
+#: create_fts_index; oracle switched to the Porter-in-SQL twin),
+#: t1/t2/t5 (the engine-wide stemmed-by-default flip — build_fts_index /
+#: fts_index_for now default to 'porter' like the reference's DuckDB
+#: index; their oracles state the Porter-in-SQL pipeline);
 #: (d) f5_is_not_null — the last r7 row;
-#: (e) the remaining r8 cohort (35 rows; q1_pricing_summary stays
+#: (e) the remaining r8 cohort (32 rows; q1_pricing_summary stays
 #: displaced — it is entry()'s flagship, smoke-run by the driver every
 #: round on top of its r8 row; u2/s11/o6 displaced for the three new
-#: event-analytics queries, each with an in-prefix family anchor —
-#: rationales inline below).
+#: event-analytics queries and sh1/w2/w3 for the behavior-changed
+#: t1/t2/t5, each with an in-prefix family anchor — rationales inline).
 #: After a green r12: no row predates r9 except q1 (entry-smoked) and
-#: the three displaced trivial forms (u2/s11/o6, r8).
+#: the six displaced trivial forms (u2/s11/o6/sh1/w2/w3, r8).
 #: Held for r13: the r9 cohort (40 rows incl. j2_spatial_within) + those
-#: three r8 rows.
+#: six r8 rows.
 _CERT_PRIORITY = [
     # (a) r11 FAILs, fixed
     "emb1_label_centroids",
@@ -73,11 +76,14 @@ _CERT_PRIORITY = [
     "pl1_union_balanced_limit",
     "pl2_search_ilike",
     "pl6_search_fts",
+    "t1_fts_index_build",
+    "t2_bm25_topk",
+    "t5_search_fanout",
     "qs1_quality_weighted_sample",
     "ep4_sql_fts_console",
     # (d) last r7 row
     "f5_is_not_null",
-    # (e) full remaining r8 cohort, r8-file order
+    # (e) remaining r8 cohort, r8-file order
     "aj1_asof_join",
     "d5_embedding_neardup",
     "dc1_decontaminate",
@@ -104,15 +110,18 @@ _CERT_PRIORITY = [
     "s6_incremental_append",
     "sa1_hash_sample",
     "sa2_stratified_sample",
-    "sh1_deterministic_shuffle",
+    # sh1_deterministic_shuffle displaced for t1_fts_index_build (stemmed
+    # default) — its md5-ordering machinery is the same hash_sample family
+    # as the kept sa1/sa2 rows; refreshes with r13
     "u1_union_all_aligned",
     # u2_union_distinct displaced for the new e5_funnel_steps — its
     # union-distinct form is family-covered by the kept u1/u3 rows and
     # re-oracled locally every round; refreshes with r13
     "u3_intersect_except",
     "w1_topk_per_group",
-    "w2_running_sum",
-    "w3_rank_dense_rank",
+    # w2_running_sum / w3_rank_dense_rank displaced for t2_bm25_topk and
+    # t5_search_fanout (stemmed defaults) — window-function family covered
+    # by the kept w1 row; refresh with r13
     "x10_corpus_composition",
     "x11_quality_percentile_filter",
     "x1_token_count",

@@ -112,7 +112,7 @@ def build_fts_index(
     text_col: str,
     *,
     cache_tokens: bool = True,
-    stemmer: str | None = None,
+    stemmer: str | None = "porter",
 ) -> FtsIndex:
     """Tokenize → explode → (term, id, tf) postings + per-doc lengths.
 
@@ -128,14 +128,16 @@ def build_fts_index(
     executor storage once per invocation (r10 review; session-lived
     indexes release it via FtsIndex.unpersist instead).
 
-    ``stemmer='porter'`` stems every token before the postings aggregate
-    — matching DuckDB ``create_fts_index`` defaults the reference relies
-    on (fts.js:51-68; SURVEY §7 risk 2: "cafes" vs "cafe" ranked
-    differently without it).  Doc length ``dl`` stays the PRE-stem token
-    count (stemming maps tokens 1:1), tf/df aggregate over stems (two
-    inflections of one stem merge, exactly as DuckDB's index does).  The
-    stem rides the explode scan as an Arrow-batched kernel with a
-    per-batch vocabulary memo — nothing new shuffles."""
+    ``stemmer='porter'`` is the DEFAULT (r12, completing SURVEY §7
+    risk 2): DuckDB's ``create_fts_index`` defaults include a Porter
+    stemmer and the reference relies on exactly those defaults
+    (fts.js:51-68) — an unstemmed index ranked "cafes" vs "cafe"
+    differently than the engine being re-expressed.  Pass
+    ``stemmer=None`` for a raw-token index.  Doc length ``dl`` stays the
+    PRE-stem token count (stemming maps tokens 1:1), tf/df aggregate
+    over stems (two inflections of one stem merge, exactly as DuckDB's
+    index does).  The stem rides the explode scan as an Arrow-batched
+    kernel with a per-batch vocabulary memo — nothing new shuffles."""
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
     par = df.sparkSession.sparkContext.defaultParallelism
     if src.rdd.getNumPartitions() < par:

@@ -20,12 +20,17 @@ from overturemaps_duckdb_spark.queries import query, t
 from overturemaps_duckdb_spark.queries._sql import (
     bm25_sql,
     bm25_stemmed_sql,
+    porter_ctes,
     tokens_sql,
 )
 
 #: fixed benchmark query — words present in the fixture vocabulary
 QUERY_TEXT = "table scan merge"
 QUERY_TERMS = ["table", "scan", "merge"]
+#: the same query through the index tokenizer (Porter is the DEFAULT
+#: since r12, matching DuckDB create_fts_index defaults) — pinned equal
+#: to tokenize_query(QUERY_TEXT, 'porter') by tests/test_stem.py
+STEMMED_QUERY_TERMS = ["tabl", "scan", "merg"]
 
 #: session-lifetime index cache — `PRAGMA create_fts_index` materializes
 #: helper tables once and every later query reads them (fts.js:51-68);
@@ -39,7 +44,7 @@ def fts_index_for(
     table: str,
     id_col: str,
     text_col: str,
-    stemmer: str | None = None,
+    stemmer: str | None = "porter",
 ) -> FtsIndex:
     import os
 
@@ -63,18 +68,24 @@ def fts_index_for(
     return idx
 
 
+_T1_FRAG, _T1_FINAL = porter_ctes("u", "t", ["id"], pfx="ps")
+
+
 @query(
     "t1_fts_index_build",
     oracle=f"""
-    WITH toks AS (SELECT doc_id AS id, {tokens_sql('text')} AS tk FROM documents)
-    SELECT t AS term, id, CAST(count(*) AS BIGINT) AS tf
-    FROM (SELECT id, unnest(tk) AS t FROM toks)
-    GROUP BY t, id
+    WITH toks AS (SELECT doc_id AS id, {tokens_sql('text')} AS tk FROM documents),
+    u AS (SELECT id, unnest(tk) AS t FROM toks){_T1_FRAG}
+    SELECT stem AS term, id, CAST(count(*) AS BIGINT) AS tf
+    FROM {_T1_FINAL} GROUP BY stem, id
     """,
 )
 def t1_fts_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1 — the materialized inverted index (term, id, tf); the Spark twin of
-    `PRAGMA create_fts_index` (fts.js:51-68)."""
+    `PRAGMA create_fts_index` (fts.js:51-68).  Terms are Porter stems —
+    the build DEFAULT since r12, matching DuckDB's create_fts_index
+    defaults the reference relies on; the oracle replays the same Porter
+    1980 rules as a generated SQL chain before the tf aggregate."""
     d = t(spark, sf_dir, "documents")
     # cache_tokens=False: only the postings tree executes here, so the
     # build's tokenization persist would pin storage once per invocation
@@ -86,7 +97,10 @@ def t1_fts_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "t2_bm25_topk",
-    oracle=bm25_sql(table="documents", id_col="doc_id", text_col="text", terms=QUERY_TERMS)
+    oracle=bm25_stemmed_sql(
+        table="documents", id_col="doc_id", text_col="text",
+        stemmed_terms=STEMMED_QUERY_TERMS,
+    )
     + """
     SELECT d.doc_id, ROUND(s._score, 6) AS _score
     FROM documents d JOIN scores s ON d.doc_id = s.id
@@ -97,16 +111,19 @@ def t1_fts_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t2_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2 — BM25 match+score, `ORDER BY _score DESC LIMIT k` (fts.js:85-91).
     Reads the session's materialized index (fts_index_for), as the reference
-    reads its PRAGMA-built helper tables."""
+    reads its PRAGMA-built helper tables.  Stemmed by DEFAULT since r12
+    (the reference's DuckDB index is) — on this fixture the 31-word
+    vocabulary stems injectively, so scores equal the historic unstemmed
+    rows; the oracle states the stemmed pipeline explicitly."""
     d = t(spark, sf_dir, "documents")
     idx = fts_index_for(spark, sf_dir, "documents", "doc_id", "text")
     return bm25_topk(idx, d, "doc_id", QUERY_TEXT, limit=10).select("doc_id", "_score")
 
 
 #: t6 fixed query — every term INFLECTED relative to the fixture
-#: vocabulary ("table scan merge query" are the corpus tokens), so the
-#: unstemmed t2 index scores NOTHING for it and the porter index ranks
-#: normally — the exact divergence SURVEY §7 risk 2 documented.
+#: vocabulary ("table scan merge query" are the corpus tokens), so a
+#: raw-token index scores NOTHING for it and the (default) porter index
+#: ranks normally — the exact divergence SURVEY §7 risk 2 documented.
 STEM_QUERY_TEXT = "tables scanning merged queries"
 
 
@@ -132,14 +149,17 @@ def _stemmed_query_terms() -> list[str]:
     """,
 )
 def t6_bm25_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T6 — BM25 over a Porter-stemmed index (DuckDB create_fts_index
-    DEFAULTS include a Porter stemmer, fts.js:51-68 — the t2 unstemmed
-    form was the documented divergence).  Corpus tokens stem in an
-    Arrow-batched kernel before the postings aggregate; the query stems
-    driver-side with the same functions.stem kernel.  The oracle restates
-    Porter 1980 as a generated DuckDB CTE chain from the same rule tables
-    (DuckDB's own stem() needs the offline-unavailable fts extension), so
-    scores are value-certified end-to-end, not just rank-checked."""
+    """T6 — the INFLECTED-QUERY demonstration of the stemmed index (now
+    the t2-shared default, matching DuckDB create_fts_index defaults,
+    fts.js:51-68): every query term here is an inflection absent from the
+    corpus vocabulary, so a raw-token index scores NOTHING while the
+    porter index ranks normally — exactly the SURVEY §7 risk-2 divergence
+    this closed.  Corpus tokens stem in an Arrow-batched kernel before
+    the postings aggregate; the query stems driver-side with the same
+    functions.stem kernel; the index cache entry is SHARED with t2.  The
+    oracle restates Porter 1980 as a generated DuckDB CTE chain from the
+    same rule tables (DuckDB's own stem() needs the offline-unavailable
+    fts extension), so scores are value-certified end-to-end."""
     d = t(spark, sf_dir, "documents")
     idx = fts_index_for(
         spark, sf_dir, "documents", "doc_id", "text", stemmer="porter"
@@ -172,7 +192,7 @@ def t3_ilike_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t5_search_fanout",
     oracle=f"""
     WITH doc_scores AS (
-        {bm25_sql(table="documents", id_col="doc_id", text_col="text", terms=QUERY_TERMS)}
+        {bm25_stemmed_sql(table="documents", id_col="doc_id", text_col="text", stemmed_terms=STEMMED_QUERY_TERMS)}
         SELECT * FROM scores
     ),
     doc_hits AS (
@@ -182,7 +202,7 @@ def t3_ilike_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ROUND(s._score, 6) DESC, d.doc_id LIMIT 10
     ),
     part_scores AS (
-        {bm25_sql(table="part", id_col="p_partkey", text_col="p_name", terms=QUERY_TERMS)}
+        {bm25_stemmed_sql(table="part", id_col="p_partkey", text_col="p_name", stemmed_terms=STEMMED_QUERY_TERMS)}
         SELECT * FROM scores
     ),
     part_hits AS (

@@ -37,8 +37,11 @@ from overturemaps_duckdb_spark.functions.geo import st_point
 from overturemaps_duckdb_spark.operators.fts import build_fts_index
 from overturemaps_duckdb_spark.plans.pipeline import Catalog, Node, compile_pipeline
 from overturemaps_duckdb_spark.queries import query, t
-from overturemaps_duckdb_spark.queries._sql import bm25_sql
-from overturemaps_duckdb_spark.queries.fts import QUERY_TERMS, QUERY_TEXT
+from overturemaps_duckdb_spark.queries._sql import bm25_stemmed_sql
+from overturemaps_duckdb_spark.queries.fts import (
+    QUERY_TEXT,
+    STEMMED_QUERY_TERMS,
+)
 from overturemaps_duckdb_spark.queries.spatial import _C_LAT, _C_LON, _S_LAT, _S_LON
 
 # ---------------------------------------------------------------------------
@@ -395,7 +398,10 @@ def _theme_doc_index(spark: SparkSession, sf_dir: str, docs: DataFrame):
 
 @query(
     "pl6_search_fts",
-    oracle=bm25_sql(table="documents", id_col="doc_id", text_col="text", terms=QUERY_TERMS)
+    oracle=bm25_stemmed_sql(
+        table="documents", id_col="doc_id", text_col="text",
+        stemmed_terms=STEMMED_QUERY_TERMS,
+    )
     + f"""
     , td AS (
         SELECT 'd' || CAST(doc_id AS VARCHAR) AS id,

@@ -130,6 +130,18 @@ def test_kernel_vs_sql_differential_fuzz():
     assert not bad, bad[:10]
 
 
+def test_stemmed_query_terms_pin():
+    """The literal STEMMED_QUERY_TERMS the t2/t5/pl6 oracles embed must
+    equal the runtime tokenizer's output for QUERY_TEXT."""
+    from overturemaps_duckdb_spark.operators.fts import tokenize_query
+    from overturemaps_duckdb_spark.queries.fts import (
+        QUERY_TEXT,
+        STEMMED_QUERY_TERMS,
+    )
+
+    assert tokenize_query(QUERY_TEXT, stemmer="porter") == STEMMED_QUERY_TERMS
+
+
 def test_porter_series_memo():
     import pandas as pd
 
@@ -169,11 +181,13 @@ def test_stemmed_index_roundtrip(spark, tmp_path):
     hits2 = bm25_topk(reopened, df, "id", "table scanning", limit=5)
     assert [r["id"] for r in hits2.collect()] == [1]
 
-    # unstemmed store round-trips as None
-    plain = build_fts_index(df, "id", "text")
+    # raw-token opt-out round-trips as None (porter is the DEFAULT
+    # since the r12 flip — matching DuckDB create_fts_index defaults)
+    plain = build_fts_index(df, "id", "text", stemmer=None)
     root2 = str(tmp_path / "fts_plain")
     write_fts_index(plain, root2)
     assert read_fts_index(spark, root2).stemmer is None
+    assert build_fts_index(df, "id", "text").stemmer == "porter"
 
     # postings term column is stemmed (tf merges inflections)
     terms = {
