@@ -33,6 +33,31 @@ def materialize(df: DataFrame, *, eager: bool = True) -> DataFrame:
     return df.localCheckpoint(eager=eager)
 
 
+def release_materialized(df: DataFrame | None) -> None:
+    """Free the executor-storage blocks pinned by a :func:`materialize`d
+    frame once it is SUPERSEDED (ADVICE r12 / NOTES r12 watch item).
+
+    A ``localCheckpoint`` persists its rows in the BlockManager and those
+    blocks are only reclaimed by driver GC of the RDD — an iterative
+    closure that checkpoints every round therefore accumulates one dead
+    frame of storage per round for the whole job.  This hands the loop an
+    explicit release: unpersist the LogicalRDD behind the checkpointed
+    frame (non-blocking).  MUST only be called on frames with no further
+    consumers — a released localCheckpoint cannot recompute (its lineage
+    is truncated by design).  No-op for reliable ``checkpoint()`` frames
+    (files, owned by the checkpoint-dir lifecycle) and for plans that are
+    not checkpointed RDD scans.
+    """
+    if df is None:
+        return
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — release is best-effort hygiene
+        pass
+
+
 #: Age gate for sweeping another application's omds_* staging dirs: old
 #: enough that any live session re-invoking its staging queries has long
 #: since refreshed its root's mtime (wipe+recreate per call), short enough

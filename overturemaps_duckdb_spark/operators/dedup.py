@@ -30,7 +30,10 @@ import math
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from overturemaps_duckdb_spark.operators._util import materialize as _materialize
+from overturemaps_duckdb_spark.operators._util import (
+    materialize as _materialize,
+    release_materialized as _release,
+)
 from overturemaps_duckdb_spark.functions.text import (
     MINHASH_P,
     char_ngrams,
@@ -339,9 +342,20 @@ def minhash_index(
     )
 
     # one tiny shuffle of the doc rows so the exploded hash computation and
-    # its persist run on all cores (single-file sources arrive 1-partition)
+    # its persist run on all cores (single-file sources arrive 1-partition).
+    # GUARDED like build_fts_index/hot_spans (r13): the collapse_exact
+    # callers feed the post-groupBy representative frame, which is already
+    # at full shuffle width — repartitioning it again was a second full
+    # shuffle of the normalized text (plus the keyless repartition's
+    # sort-before-repartition pass) for zero parallelism gain, one whole
+    # Exchange+stage per d2/d8/sp1 call (r13 plan read: Exchange(22) in
+    # plans/r13/d2_minhash_lsh_pairs_before.txt).  At 100 TB the scan
+    # arrives wider than the core count and the guard is a no-op either
+    # way.
     spread = df.sparkSession.sparkContext.defaultParallelism
-    norm_df = df.repartition(spread).select(
+    if df.rdd.getNumPartitions() < spread:
+        df = df.repartition(spread)
+    norm_df = df.select(
         F.col(id_col).alias("id"), normalize(text_col).alias("_n")
     )
     count = F.greatest(F.length("_n") - F.lit(shingle_k - 1), F.lit(1))
@@ -1619,7 +1633,16 @@ def dedup_clusters(
             eager=True,
         )
         # 2. jump: p ← p(p) until fixpoint (true doubling on the forest;
-        # 64 rounds bounds depth 2^64 — unreachable)
+        # 64 rounds bounds depth 2^64 — unreachable).  Every superseded
+        # checkpoint is RELEASED as soon as its successor is materialized
+        # (ADVICE r12): localCheckpoint blocks are otherwise pinned in
+        # executor storage until driver GC, one dead frame per round for
+        # the whole closure.
+        # `par_ckpt` tracks the CHECKPOINTED frame behind `par`: release
+        # must target the materialized frame itself — `nxt.drop("_chg")`
+        # analyzes as a Project over the LogicalRDD, which the release
+        # helper correctly refuses to touch (pinned by the leak test).
+        par_ckpt = par
         for _ in range(64):
             pmap = par.select(
                 F.col("id").alias("_i2"), F.col("p").alias("_p2")
@@ -1632,19 +1655,24 @@ def dedup_clusters(
             )
             nxt = _materialize(nxt, eager=True)
             jumped = nxt.agg(F.sum("_chg")).collect()[0][0] or 0
+            _release(par_ckpt)  # superseded by nxt (materialized above)
+            par_ckpt = nxt
             par = nxt.drop("_chg")
             if jumped == 0:
                 break
         # 3. contract: fold roots into the assignment, rewrite the edges
         root = par.select(F.col("id").alias("_ri"), F.col("p").alias("_rp"))
+        prev_assign = assign
         assign = _materialize(
             assign.join(root, assign["sv"] == root["_ri"], "left").select(
                 "id", F.coalesce(F.col("_rp"), F.col("sv")).alias("sv")
             ),
             eager=True,
         )
+        _release(prev_assign)
         ru = root.select(F.col("_ri").alias("u"), F.col("_rp").alias("_ur"))
         rv = root.select(F.col("_ri").alias("v"), F.col("_rp").alias("_vr"))
+        prev_edges = edges
         edges = _materialize(
             edges.join(ru, "u").join(rv, "v")
             .select(F.col("_ur").alias("u"), F.col("_vr").alias("v"))
@@ -1652,6 +1680,9 @@ def dedup_clusters(
             .distinct(),
             eager=True,
         )
+        _release(prev_edges)
+        # assign + edges are materialized — this round's par is dead
+        _release(par_ckpt)
         converged = edges.isEmpty()
     if not converged:
         # silent non-convergence hands the caller WRONG clusters (one true

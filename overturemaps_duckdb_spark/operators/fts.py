@@ -168,7 +168,28 @@ def build_fts_index(
         )
 
         stem_udf = pandas_udf(porter_stem_series, "string")
-        exploded = exploded.withColumn("term", stem_udf("term"))
+        # Stem the DISTINCT VOCABULARY, not every token occurrence (r13,
+        # guide §4/§8: decide on small rows).  The old shape ran the
+        # ArrowEvalPython kernel between the explode and the postings
+        # aggregate, so EVERY occurrence crossed the JVM→Python boundary
+        # — at 100 TB that is the full token stream serialized to Arrow
+        # and back.  Stemming is a pure per-token function, so the stems
+        # of the distinct terms (vocabulary ≪ occurrences; the corpus
+        # fixture has 31, natural-language corpora have 1e5-1e7) fully
+        # determine every occurrence's stem: compute the (term → stem)
+        # map once with a vocabulary-sized Python pass and attach it with
+        # a broadcast hash join that stays inside whole-stage codegen.
+        # tf/df/dl are bit-identical — grouping by stem(term) per doc
+        # commutes with the map join.  The vocabulary distinct is a
+        # map-side partial aggregate (tiny shuffle of distinct terms);
+        # the broadcast is vocabulary-sized — for corpora whose raw
+        # vocabulary outgrows broadcast limits (~1e8 terms), drop the
+        # hint and let the planner shuffle-join the map instead.
+        vocab = exploded.select("term").distinct()
+        stem_map = vocab.select("term", stem_udf("term").alias("_stem"))
+        exploded = exploded.join(F.broadcast(stem_map), "term").select(
+            "id", "dl", F.col("_stem").alias("term")
+        )
     postings = (
         exploded
         .groupBy("term", "id")

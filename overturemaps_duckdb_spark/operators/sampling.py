@@ -200,9 +200,13 @@ def quality_weighted_sample(
     codegen riding the scan.
 
     Domain contract (ADVICE r11): ``quality_col`` is a [0, 1] score.
-    NULL quality DROPS the row (NULL comparison is never-true — an
-    unscored document has no keep probability), quality ≥ 1 always
-    keeps, and NEGATIVE quality is clamped to 0 before exponentiation —
+    NULL quality DROPS the row — mechanically via the clamp, not via a
+    NULL comparison (ADVICE r12): Spark's ``greatest()`` SKIPS nulls, so
+    ``greatest(NULL, 0.0)`` is 0.0, p becomes 0, and the strict ``<``
+    excludes the row (bucket 0 is not < 0).  Anyone relaxing ``<`` to
+    ``<=`` or reworking the clamp must re-derive the NULL path.  Quality
+    ≥ 1 always keeps, and NEGATIVE quality is clamped to 0 before
+    exponentiation —
     without the clamp an even exponent turns q=-0.9 into p=0.81 and
     quietly INVERTS the filter for garbage-scored rows."""
     if exponent < 1:

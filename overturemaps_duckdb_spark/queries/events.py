@@ -545,6 +545,27 @@ def e5_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: one day in µs — the retention bucket
 DAY_US = 86_400_000_000
 
+
+def _act_days(ev: DataFrame) -> DataFrame:
+    """Shared e6/e7 activity frame: DISTINCT (user_id, day) with epoch-µs
+    day buckets.  Day = FLOOR division (ADVICE r12): DuckDB's ``//``
+    floors while Spark's ``DIV`` truncates toward zero, so a bare DIV
+    diverges for pre-1970 (negative-epoch) timestamps.  The pure-integer
+    floor form ``(us - ((us % d + d) % d)) DIV d`` matches ``//`` for
+    every input (and i1's window-start arithmetic) without the 2^53
+    exactness ceiling a float ``floor(us / d)`` would reintroduce."""
+    return (
+        ev.select(F.col("user_id"), us_col(ev).alias("_us"))
+        .select(
+            "user_id",
+            F.expr(
+                f"(_us - ((_us % {DAY_US} + {DAY_US}) % {DAY_US})) "
+                f"DIV {DAY_US}"
+            ).alias("day"),
+        )
+        .distinct()
+    )
+
 _E6_ORACLE = f"""
 WITH act AS (
     SELECT DISTINCT user_id,
@@ -572,16 +593,11 @@ def e6_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     one user-key equi-join back, and a (cohort, offset)-keyed count with
     map-side combine.  `count(*)` not countDistinct: the act frame is
     already distinct per (user, day), so each row is one retained user —
-    no second dedup pass.  Epoch-µs floor-div day buckets (non-negative
-    fixture timestamps; TZ-free, matches the oracle's `//` exactly)."""
+    no second dedup pass.  Epoch-µs day buckets via the shared
+    :func:`_act_days` integer FLOOR division (TZ-free; matches the
+    oracle's `//` for every sign of timestamp)."""
     ev = t(spark, sf_dir, "events")
-    act = (
-        ev.select(F.col("user_id"), us_col(ev).alias("_us"))
-        # integer DIV, not float `/`+cast: a double quotient is exact only
-        # below 2^53 µs — fine today, wrong in principle at extreme epochs
-        .select("user_id", F.expr(f"_us DIV {DAY_US}").alias("day"))
-        .distinct()
-    )
+    act = _act_days(ev)
     cohort = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     return (
         act.join(cohort, "user_id")
@@ -627,13 +643,11 @@ def e7_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine drops the phantom trailing days; then one exact
     countDistinct(user) per window day.  DAU is a plain count over the
     already-distinct (user, day) pairs — no second dedup.  All shuffles
-    carry (user, day)-sized keys, never raw events."""
+    carry (user, day)-sized keys, never raw events.  Day buckets via the
+    shared :func:`_act_days` floor division (oracle `//` parity on
+    negative epochs too)."""
     ev = t(spark, sf_dir, "events")
-    act = (
-        ev.select(F.col("user_id"), us_col(ev).alias("_us"))
-        .select("user_id", F.expr(f"_us DIV {DAY_US}").alias("day"))
-        .distinct()
-    )
+    act = _act_days(ev)
     spine = act.select("day").distinct()
     exp = act.select(
         "user_id",

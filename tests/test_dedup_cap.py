@@ -118,6 +118,37 @@ def test_dedup_clusters_chain_and_singletons(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
 
 
+def test_dedup_clusters_releases_superseded_checkpoints(spark):
+    """ADVICE r12 / NOTES r12 watch item: the Boruvka loop materializes
+    edges/par/assign every round via localCheckpoint — superseded rounds
+    must be RELEASED (operators/_util.release_materialized), not pinned in
+    executor storage until driver GC.  A 64-link chain runs multiple
+    contraction + jump rounds (~20+ checkpoints); with the release in
+    place only a bounded handful of frames may remain persisted after the
+    closure, and the values must be unchanged."""
+    import pyspark.sql.functions as F
+
+    from overturemaps_duckdb_spark.operators.dedup import dedup_clusters
+
+    n = 64
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a_id long, b_id long"
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    out = dedup_clusters(docs, "doc_id", pairs)
+    got = {r["id"]: r["cluster_id"] for r in out.collect()}
+    assert got == {i: 0 for i in range(n)}  # one chain → cluster min id 0
+    after = jsc.getPersistentRDDs().size()
+    # only the FINAL assign/edges checkpoints (consumed by the returned
+    # plan) may remain — every superseded round's frame must be gone.
+    assert after - before <= 4, (
+        f"dedup_clusters leaked {after - before} persisted frames "
+        "(superseded localCheckpoints not released)"
+    )
+
+
 def test_cross_corpus_minhash_finds_planted_pair(spark):
     from overturemaps_duckdb_spark.operators.dedup import cross_corpus_minhash_pairs
 
