@@ -181,11 +181,19 @@ def build_fts_index(
         # a broadcast hash join that stays inside whole-stage codegen.
         # tf/df/dl are bit-identical — grouping by stem(term) per doc
         # commutes with the map join.  The vocabulary distinct is a
-        # map-side partial aggregate (tiny shuffle of distinct terms);
-        # the broadcast is vocabulary-sized — for corpora whose raw
-        # vocabulary outgrows broadcast limits (~1e8 terms), drop the
-        # hint and let the planner shuffle-join the map instead.
-        vocab = exploded.select("term").distinct()
+        # map-side partial aggregate (array_distinct pre-shrinks the
+        # explode per doc; tiny shuffle of distinct terms); the broadcast
+        # is vocabulary-sized — for corpora whose raw vocabulary outgrows
+        # broadcast limits (~1e8 terms), drop the hint and let the
+        # planner shuffle-join the map instead.  (A fully-native Porter
+        # column chain was built and MEASURED as the alternative: its
+        # generated CASE/regexp tree cost ~17 s of one-time Janino codegen
+        # per session and ~1.5 s warm per action — the vocabulary-sized
+        # ArrowEvalPython is two orders of magnitude cheaper; see
+        # OPTIMIZATION_r13.md "tried and rejected".)
+        vocab = toks.select(
+            F.explode(F.array_distinct("toks")).alias("term")
+        ).distinct()
         stem_map = vocab.select("term", stem_udf("term").alias("_stem"))
         exploded = exploded.join(F.broadcast(stem_map), "term").select(
             "id", "dl", F.col("_stem").alias("term")

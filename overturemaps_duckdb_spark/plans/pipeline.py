@@ -238,6 +238,17 @@ def compile_pipeline(
     matched_sets: list[DataFrame] = []
     for sf in spatial_filters:
         if sf.op in ("intersect", "within"):
+            # .persist(): the optimizer pushes the matched-id semi join
+            # below base0's Union, planting ONE COPY OF THE WHOLE PAIR
+            # SUBTREE (band join + exact predicate + distinct) under EVERY
+            # union branch, and exchange reuse does not fire across the
+            # copies (r13 executed-plan read: ReusedExchange=0, the
+            # Exchange+HashAggregate pair appears once per branch).  The
+            # cache makes the branches share one materialization — the
+            # pair join runs once per query execution instead of once per
+            # source.  Session-lived like the theme caches (Spark dedupes
+            # the entry by plan, so repeated calls reuse it); the cached
+            # artifact is the distinct matched-id set, bounded by |base|.
             matched_sets.append(
                 bidirectional_match_ids(
                     base0,
@@ -250,7 +261,7 @@ def compile_pipeline(
                     # catalog themes are POINT tables (query.js:35-44 ingest
                     # projection) → distance predicate stays in codegen
                     assume_points=True,
-                )
+                ).persist()
             )
 
     base = base0

@@ -154,6 +154,17 @@ def _ship_package(spark: SparkSession) -> None:
     _SHIPPED.add(app_id)
 
 
+#: (appId, realpath(sf_dir), table) → parquet schema.  Schema inference is
+#: a Spark JOB (footer read) per ``spark.read.parquet`` call, and every
+#: query re-opens its tables — ~0.1 s of pure repeated work per call at
+#: ANY scale (on object stores it is a remote footer fetch).  Memoizing
+#: the SCHEMA only (never data, never the DataFrame — each call still
+#: returns a fresh plan with fresh expression ids, so self-joins of two
+#: ``t()`` results stay unambiguous) mirrors the reference engine's
+#: long-lived table handles (duckdb.js:7-28) without caching any result.
+_SCHEMA_CACHE: dict[tuple[str, str, str], object] = {}
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table (TESTDATA.md).
 
@@ -175,7 +186,17 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ship_package(spark)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir), name)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    # explicit schema ⇒ no inference job; the stored schema was inferred
+    # under the same session confs (nanosAsLong set above before the first
+    # events read), so dtype handling is identical to the first open
+    return spark.read.schema(schema).parquet(path)
 
 
 def us_col(df: DataFrame, col: str = "ts") -> Column:

@@ -54,7 +54,11 @@ def events_stream(
     UTC pin leaked to the caller's session forever): with_event_time is
     TZ-independent now, same as queries.us_col since r4."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # schema via queries.t — its per-(app, fixture, table) schema memo
+    # skips the per-call footer-inference job (r13)
+    from overturemaps_duckdb_spark.queries import t as _t
+
+    schema = _t(spark, sf_dir, "events").schema
     # the file source wants a directory; glob-filter down to the events file
     reader = (
         spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
@@ -299,7 +303,9 @@ def foreach_batch_ingest(
     from overturemaps_duckdb_spark.state import append_load_history
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from overturemaps_duckdb_spark.queries import t as _t
+
+    batch = _t(spark, sf_dir, "events")
     stage = os.path.join(root, "stage")
     for i in range(n_splits):
         # pmod, not %: Spark's % keeps the dividend's sign, so a negative

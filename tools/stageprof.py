@@ -79,7 +79,7 @@ def main() -> None:
             f"tasks={s['numCompleteTasks']:>3} run={s['executorRunTime']/1e3:7.3f}s "
             f"cpu={s.get('executorCpuTime',0)/1e9:7.3f}s "
             f"shW={s.get('shuffleWriteBytes',0)>>10}K shR={s.get('shuffleReadBytes',0)>>10}K "
-            f"{s['name'][:70]}"
+            f"{(s.get('description') or s['name'])[:110]}"
         )
     spark.stop()
 
