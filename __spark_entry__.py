@@ -31,109 +31,81 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q.QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-#: Certification rotation, round 12 (VERDICT r11 #1/#4).  Budget: the
-#: driver certifies the FIRST 50 entries.  Composition:
-#: (a) the two r11 FAILs, now fixed (array outputs serialized) — emb1 +
-#: bpe2 lead so their red rows turn green first;
-#: (b) r12-new: t6_bm25_stemmed (Porter FTS parity), e5_funnel_steps
-#: (ordered-funnel conversion), e6_retention_cohorts (retention matrix),
-#: e7_rolling_active_users (DAU/WAU) — no driver rows yet;
-#: (c) r12-behavior-changed, re-certified on top of green rows:
-#: d6/d7/sp1 (dedup_clusters rewritten to edge-touched-subgraph Boruvka
-#: hook/jump/contract — values unchanged by construction, re-proved by
-#: the driver + a union-find differential), pl1/pl2/pl6 (geojson column
-#: re-entered the
-#: oracle comparison — pl3/pl4/pl5 are already in (e)), qs1 (negative-
-#: quality clamp mirrored into the oracle — value-neutral on the
-#: fixture), ep4 (console PRAGMA now stems by default like DuckDB's
-#: create_fts_index; oracle switched to the Porter-in-SQL twin),
-#: t1/t2/t5 (the engine-wide stemmed-by-default flip — build_fts_index /
-#: fts_index_for now default to 'porter' like the reference's DuckDB
-#: index; their oracles state the Porter-in-SQL pipeline);
-#: (d) f5_is_not_null — the last r7 row;
-#: (e) the remaining r8 cohort (32 rows; q1_pricing_summary stays
-#: displaced — it is entry()'s flagship, smoke-run by the driver every
-#: round on top of its r8 row; u2/s11/o6 displaced for the three new
-#: event-analytics queries and sh1/w2/w3 for the behavior-changed
-#: t1/t2/t5, each with an in-prefix family anchor — rationales inline).
-#: After a green r12: no row predates r9 except q1 (entry-smoked) and
-#: the six displaced trivial forms (u2/s11/o6/sh1/w2/w3, r8).
-#: Held for r13: the r9 cohort (40 rows incl. j2_spatial_within) + those
-#: six r8 rows.
+#: Certification rotation, round 13 (VERDICT r12 #2 + the optimization
+#: round's own re-certification duty).  Budget: the driver certifies the
+#: FIRST 50 entries.  Composition:
+#: (a) every query whose PHYSICAL PATH changed in the r13 optimization
+#: round leads, so the value-neutrality of each change lands as a green
+#: driver row: FTS vocabulary-stem restructure (t1/t2/t5/t6/pl6/ep4),
+#: minhash repartition guard (d2/d8 + sp1), closure checkpoint release
+#: (d6/d7), pl4 matched-set persist, e6/e7 floor-division day buckets;
+#: (b) the six r8 trivial forms displaced in r12 (o6/s11/sh1/u2/w2/w3 —
+#: q1 stays displaced: it is entry()'s flagship, smoke-run every round);
+#: (c) 30 rows of the r9 cohort (the remaining budget).  Four r9 rows
+#: are deferred to r14 with in-prefix family anchors: d1_exact_dedup
+#: (exact-dup machinery inside the certified d2/d9 rows),
+#: g1_g2_point_type_centroid (same WKB kernel as the in-prefix g3/g5/g6
+#: and the r10-certified polygon twin), m3_asset_byte_features
+#: (bench-smoked every round; m2/m4 in prefix), t3_ilike_fallback
+#: (ILIKE form certified via pl2 r12; runner-degrade pytest).  After a
+#: green r13 no driver row predates r10 except q1 (entry-smoked) and
+#: those four anchored r9 rows.
 _CERT_PRIORITY = [
-    # (a) r11 FAILs, fixed
-    "emb1_label_centroids",
-    "bpe2_tokenize",
-    # (b) new
-    "t6_bm25_stemmed",
-    "e5_funnel_steps",
-    "e6_retention_cohorts",
-    "e7_rolling_active_users",
-    # (c) r12-behavior-changed
-    "d6_dedup_clusters",
-    "d7_cluster_canonical",
-    "sp1_leakage_safe_split",
-    "pl1_union_balanced_limit",
-    "pl2_search_ilike",
-    "pl6_search_fts",
+    # (a) r13 physical-path changes — prove value-neutrality first
     "t1_fts_index_build",
     "t2_bm25_topk",
     "t5_search_fanout",
-    "qs1_quality_weighted_sample",
+    "t6_bm25_stemmed",
+    "pl6_search_fts",
     "ep4_sql_fts_console",
-    # (d) last r7 row
-    "f5_is_not_null",
-    # (e) remaining r8 cohort, r8-file order
-    "aj1_asof_join",
-    "d5_embedding_neardup",
-    "dc1_decontaminate",
-    "j1_inner_band_theta_join",
-    "j2_semi_join_within",
-    "j3_anti_join_exclude",
-    "j4_bidirectional_match",
-    "j5_join_distinct_matched_b",
-    "m5_ppm_resize",
-    "mx1_token_budget_mix",
-    "o5_balanced_union_limit",
-    # o6_nulls_last_sort displaced for the new e7_rolling_active_users —
-    # the nulls-last sort form is exercised by pl2's certified
-    # NULLS-LAST ranking in-prefix; refreshes with r13
-    "pk1_sequence_packing",
-    "pl3_bbox_filter",
+    "d2_minhash_lsh_pairs",
+    "d8_cross_corpus_neardup",
+    "sp1_leakage_safe_split",
+    "d6_dedup_clusters",
+    "d7_cluster_canonical",
     "pl4_within_filter",
-    "pl5_exclude_filter",
-    # s11_count_probe displaced for the new e6_retention_cohorts — the
-    # bare-count form is exercised by every aggregate row in the prefix
-    # and re-oracled locally each round; refreshes with r13
-    "s1_scan_filter_project",
-    "s5_ctas_ingest_budget",
-    "s6_incremental_append",
-    "sa1_hash_sample",
-    "sa2_stratified_sample",
-    # sh1_deterministic_shuffle displaced for t1_fts_index_build (stemmed
-    # default) — its md5-ordering machinery is the same hash_sample family
-    # as the kept sa1/sa2 rows; refreshes with r13
-    "u1_union_all_aligned",
-    # u2_union_distinct displaced for the new e5_funnel_steps — its
-    # union-distinct form is family-covered by the kept u1/u3 rows and
-    # re-oracled locally every round; refreshes with r13
-    "u3_intersect_except",
-    "w1_topk_per_group",
-    # w2_running_sum / w3_rank_dense_rank displaced for t2_bm25_topk and
-    # t5_search_fanout (stemmed defaults) — window-function family covered
-    # by the kept w1 row; refresh with r13
-    "x10_corpus_composition",
-    "x11_quality_percentile_filter",
-    "x1_token_count",
-    "x2_quality_score",
-    "x5_redaction",
-    "x6_bpe_token_count",
-    "x7_repetition_signals",
-    "x8_sliding_chunks",
-    "x9_gopher_rules",
-    # (f) — j2_spatial_within (the planned r9 lead-off) displaced by ep4's
-    # behavior change above; the r9 cohort rotates in with r13
+    "e6_retention_cohorts",
+    "e7_rolling_active_users",
+    # (b) the r8 stragglers
+    "o6_nulls_last_sort",
+    "s11_count_probe",
+    "sh1_deterministic_shuffle",
+    "u2_union_distinct",
+    "w2_running_sum",
+    "w3_rank_dense_rank",
+    # (c) r9 cohort (file order; 30 of 35 — see deferral note above)
+    "cd1_corpus_diff",
+    "d3_simhash_buckets",
+    "d4_ngram_jaccard_pairs",
+    "d9_dup_rate_report",
+    "e2_sessionize",
+    "e3_lag_delta",
+    "fz1_fuzzy_pairs",
+    "g3_asgeojson_point",
+    "g5_distance_pairs",
+    "g6_intersection_area",
+    "i3_stateful_running_totals",
+    "i4_stream_stream_join",
+    "j2_spatial_within",
+    "j3_spatial_exclude",
+    "j4_spatial_bidirectional",
+    "j8_grid_banded_join",
+    "ld1_line_dedup",
+    "m2_asset_decode",
+    "m4_frame_sample",
+    "o7_zorder_by_area",
+    "p3_array_index_1based",
+    "qz1_embedding_quantize",
+    "s2_schema_probe",
+    "s9_s10_table_lifecycle",
+    "sa3_source_cap",
+    "sk2_skew_report",
+    "t4_search_name_composition",
+    "x12_vocab_topk",
+    "x13_intra_doc_dedup",
+    "y4_url_codec",
 ]
+
 
 
 def _ordered(src: dict) -> dict:
