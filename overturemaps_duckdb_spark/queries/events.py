@@ -553,7 +553,16 @@ def _act_days(ev: DataFrame) -> DataFrame:
     diverges for pre-1970 (negative-epoch) timestamps.  The pure-integer
     floor form ``(us - ((us % d + d) % d)) DIV d`` matches ``//`` for
     every input (and i1's window-start arithmetic) without the 2^53
-    exactness ceiling a float ``floor(us / d)`` would reintroduce."""
+    exactness ceiling a float ``floor(us / d)`` would reintroduce.
+
+    ``.persist()``: e7 references this frame from THREE plan branches
+    (dau, the window expansion, the observed-day spine) and e6 from two
+    (activity + cohort min), and exchange reuse does not fire across
+    them (r13 executed-plan read: ReusedExchange=0, the events scan +
+    distinct ran once per branch).  The cache bounds that to one
+    materialization per execution; the cached artifact is the distinct
+    (user, day) set — the already-reduced frame, never raw events.
+    Session-lived and deduped by plan, like the theme caches."""
     return (
         ev.select(F.col("user_id"), us_col(ev).alias("_us"))
         .select(
@@ -564,6 +573,7 @@ def _act_days(ev: DataFrame) -> DataFrame:
             ).alias("day"),
         )
         .distinct()
+        .persist()
     )
 
 _E6_ORACLE = f"""
