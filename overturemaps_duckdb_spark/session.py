@@ -84,6 +84,23 @@ def get_spark(
         # --- keep deep structs (Overture names/bbox/brand...) pruned to the
         #     accessed leaves only.
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        # --- InferFiltersFromGenerate synthesizes `size(e)>0 AND
+        #     isnotnull(e)` below every explode, duplicating the generator
+        #     expression: the tokenize chain (lower+regexp+split+filter)
+        #     appeared FOUR times per row in d3's scan stage (filter twice,
+        #     project, generate).  Every explode in this engine is adjacent
+        #     to its source scan or a cached frame — there is no join or
+        #     exchange below it for the inferred filter to prune through —
+        #     so the rule only multiplies per-row CPU (measured d3 warm:
+        #     0.70 → 0.59 s at sf0.1; plan: 4 → 1 chain evaluations).
+        #     Values are unchanged: a non-outer Generate already emits
+        #     nothing for empty/null arrays.  Scale-independent: at 100 TB
+        #     the duplicated expression is pure extra scan CPU.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer."
+            "InferFiltersFromGenerate",
+        )
         .config("spark.sql.parquet.filterPushdown", "true")
         # --- Arrow for pandas UDFs + toPandas (the geo kernel hot path).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
