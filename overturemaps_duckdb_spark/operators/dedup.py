@@ -313,6 +313,7 @@ def minhash_index(
     n_hashes: int = 16,
     shingle_k: int = 5,
     stop_df_cap: int | None = None,
+    assume_wide: bool = False,
 ) -> DataFrame:
     """The persisted per-doc MinHash index: (id, shingles, _m0.._m{n-1}).
 
@@ -352,9 +353,17 @@ def minhash_index(
     # plans/r13/d2_minhash_lsh_pairs_before.txt).  At 100 TB the scan
     # arrives wider than the core count and the guard is a no-op either
     # way.
-    spread = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < spread:
-        df = df.repartition(spread)
+    # ``assume_wide``: the collapse_exact callers KNOW their input is the
+    # post-groupBy representative frame (already at full shuffle width) —
+    # they skip the probe entirely, because ``df.rdd`` is not free: it
+    # runs the frame's whole analysis/optimization/physical-planning
+    # pipeline driver-side (measured ~1.1 s of d2's plan construction on
+    # the cached-groups lineage, the largest single driver-side cost in
+    # the query).
+    if not assume_wide:
+        spread = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < spread:
+            df = df.repartition(spread)
     norm_df = df.select(
         F.col(id_col).alias("id"), normalize(text_col).alias("_n")
     )
@@ -687,7 +696,10 @@ def minhash_lsh_pairs(
             norm_df, "_n", group_cap=bucket_cap, obs_name="minhash_group_cap"
         )
         reps = groups.select(F.element_at("gids", 1).alias("id"), "_n")
-        index = minhash_index(reps, "id", "_n", n_hashes=n_hashes, shingle_k=shingle_k)
+        index = minhash_index(
+            reps, "id", "_n", n_hashes=n_hashes, shingle_k=shingle_k,
+            assume_wide=True,  # reps is the post-groupBy frame
+        )
         rep_pairs = _self_pairs_from_index(
             index, n_hashes=n_hashes, bands=bands,
             jaccard_threshold=jaccard_threshold, bucket_cap=bucket_cap,
@@ -900,10 +912,12 @@ def cross_corpus_minhash_pairs(
         corpus = groups_a.select(F.element_at("gids", 1).alias(id_col), F.col("_n").alias(text_col))
         probe = groups_b.select(F.element_at("gids", 1).alias(id_col), F.col("_n").alias(text_col))
     idx_a = minhash_index(
-        corpus, id_col, text_col, n_hashes=n_hashes, shingle_k=shingle_k
+        corpus, id_col, text_col, n_hashes=n_hashes, shingle_k=shingle_k,
+        assume_wide=collapse_exact,  # collapse feeds post-groupBy frames
     )
     idx_b = minhash_index(
-        probe, id_col, text_col, n_hashes=n_hashes, shingle_k=shingle_k
+        probe, id_col, text_col, n_hashes=n_hashes, shingle_k=shingle_k,
+        assume_wide=collapse_exact,
     )
     keep = gate_k is not None
     ba = band_keys(idx_a, n_hashes=n_hashes, bands=bands, keep_sig=keep).select(

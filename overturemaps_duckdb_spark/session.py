@@ -105,6 +105,15 @@ def get_spark(
         # --- Arrow for pandas UDFs + toPandas (the geo kernel hot path).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- PySpark's per-call error-origin capture wraps EVERY
+        #     DataFrame method with getActiveSession + a conf RPC + a
+        #     Python stack walk + two JVM origin set/clear calls — ~4
+        #     py4j round trips per API call.  cProfile over d2's plan
+        #     construction: 176 wrapped calls cost 1.7 s of the ~4 s
+        #     construction (this is driver-side latency a cluster pays
+        #     identically).  The only loss is the Python call-site line
+        #     in error messages — a debug aid, not a production need.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     # --- streaming state store: default (HDFS-backed, in-heap) wins while
     #     state fits the executor heap — measured on the i4 stream-stream
