@@ -522,6 +522,19 @@ def main() -> None:
         "pass_totals": [
             round(sum(p.values()), 3) for p in pass_times
         ],
+        # Scaling observability (VERDICT r13 #2): the driver's low-core run
+        # flagged suspect_cpus_ignored because nothing in this line PROVED
+        # the effective parallelism.  `cpus_requested` is $SPARK_GRAFT_CPUS
+        # as read, `master` the literal master the session was built with,
+        # and `cpus_effective` the live sc.defaultParallelism of the timed
+        # session — the three together let the driver distinguish a harness
+        # bug from an overhead-bound fixture (at sf0.1 every query is
+        # dominated by driver latency + first-touch I/O, so 8-core ≈
+        # 32-core totals are the honest shape; see BENCH_COMPARE.md §r14
+        # for the sf1 pair where cores DO matter).
+        "cpus_requested": cpus,
+        "master": spark.sparkContext.master,
+        "cpus_effective": spark.sparkContext.defaultParallelism,
     }
     full = dict(payload)
     full["queries_median"] = times_median

@@ -331,11 +331,24 @@ def minhash_index(
     shingle hashes equals min over the distinct set, so no per-doc dedup
     is needed before the signature aggregates.
 
-    ONE aggregation produces the shingle set AND all n signature mins: a
-    doc's exploded rows are co-located in their input partition, so the
-    map-side partial agg condenses the hash rows to ~1 row per doc before
-    the shuffle.  At 100 TB the index is written to parquet instead of
-    session-persisted."""
+    Shape (r14, guide §2.4): the index is a pure PROJECTION — shingle set
+    via ``array_distinct``, each signature min via ``array_min`` over a
+    per-seed ``transform`` of the hash array bound ONCE as a real column
+    (`_hs` is expensive and multiply-referenced, so CollapseProject keeps
+    it in its own Project instead of inlining the chain per seed; pinned
+    by test_plan_shapes).  The previous form exploded every shingle hash
+    into rows and re-aggregated by id — a whole Exchange + two
+    ObjectHashAggregates (4.8 MB shuffle write and 25 s of task-run at
+    sf0.1; at 100 TB a full corpus-sized shuffle of partial shingle sets)
+    for values a per-row expression computes in place.  Verified
+    row-identical on the d2 reps frame (4992 rows, exceptAll both ways =
+    0).  Docs with NULL text are filtered — the explode form emitted no
+    rows for them (explode of a null array), so this is value-neutral —
+    and ids are assumed unique per doc, as everywhere in the family.
+
+    The explode+aggregate form survives only for ``stop_df_cap``, whose
+    document-frequency pass genuinely needs the exploded rows.  At 100 TB
+    the index is written to parquet instead of session-persisted."""
     from overturemaps_duckdb_spark.functions.text import (
         MINHASH_BASE_BITS,
         SHINGLE_B,
@@ -359,7 +372,12 @@ def minhash_index(
     # runs the frame's whole analysis/optimization/physical-planning
     # pipeline driver-side (measured ~1.1 s of d2's plan construction on
     # the cached-groups lineage, the largest single driver-side cost in
-    # the query).
+    # the query).  AQE caveat (ADVICE r13): coalescePartitions can shrink
+    # a SMALL aggregate output below the core count, so "full shuffle
+    # width" is an upper bound — for the collapse callers the coalesced
+    # width still tracks the data volume (AQE only merges sub-advisory-
+    # size partitions, i.e. exactly the inputs where narrow is fine), and
+    # correctness is unaffected either way.
     if not assume_wide:
         spread = df.sparkSession.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < spread:
@@ -384,28 +402,47 @@ def minhash_index(
             f"zip_with({zw}, slice(_arr, {j + 1}, _cnt), "
             f"(a, c) -> a + c * {weights[j]}L)"
         )
+    hs = f"transform({zw}, x -> x % {1 << MINHASH_BASE_BITS}L)"
+    a_list, b_list = minhash_coeffs(n_hashes)
+    if stop_df_cap is None:
+
+        def mix(a: int, b: int):
+            # factory keeps the lambda arity-1 (Spark would bind the array
+            # index to a second parameter of a 3-arg lambda)
+            return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
+
+        return (
+            norm_df.where(F.col("_n").isNotNull())
+            .withColumn("_cnt", count)
+            .withColumn("_arr", F.expr(arr))
+            .withColumn("_hs", F.expr(hs))
+            .select(
+                "id",
+                F.array_distinct("_hs").alias("shingles"),
+                *[
+                    F.array_min(
+                        F.transform(F.col("_hs"), mix(a_list[i], b_list[i]))
+                    ).alias(f"_m{i}")
+                    for i in range(n_hashes)
+                ],
+            )
+            .persist()
+        )
     ex = (
         norm_df.withColumn("_cnt", count)
         .withColumn("_arr", F.expr(arr))
-        .select(
-            "id",
-            F.explode(
-                F.expr(f"transform({zw}, x -> x % {1 << MINHASH_BASE_BITS}L)")
-            ).alias("h"),
-        )
+        .select("id", F.explode(F.expr(hs)).alias("h"))
     )
-    if stop_df_cap is not None:
-        # stop-shingle removal: df per shingle over distinct (id, h), keep
-        # only shingles under the cap — one extra shuffle on the 8-byte hash
-        keep = (
-            ex.distinct()
-            .groupBy("h")
-            .agg(F.count("*").alias("_df"))
-            .where(F.col("_df") <= stop_df_cap)
-            .select("h")
-        )
-        ex = ex.join(keep, "h")
-    a_list, b_list = minhash_coeffs(n_hashes)
+    # stop-shingle removal: df per shingle over distinct (id, h), keep
+    # only shingles under the cap — one extra shuffle on the 8-byte hash
+    keep = (
+        ex.distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") <= stop_df_cap)
+        .select("h")
+    )
+    ex = ex.join(keep, "h")
     return (
         ex.groupBy("id")
         .agg(

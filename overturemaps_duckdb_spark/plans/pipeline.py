@@ -41,6 +41,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from overturemaps_duckdb_spark.functions.geo import st_asgeojson
+from overturemaps_duckdb_spark.operators._util import lru_persist as _lru_persist
 from overturemaps_duckdb_spark.operators.fts import (
     FtsIndex,
     FtsScoringError,
@@ -249,19 +250,32 @@ def compile_pipeline(
             # source.  Session-lived like the theme caches (Spark dedupes
             # the entry by plan, so repeated calls reuse it); the cached
             # artifact is the distinct matched-id set, bounded by |base|.
+            # lru_persist (r14, VERDICT r13 #5): the handle is tracked in
+            # a bounded per-session LRU, so a session compiling MANY
+            # distinct pipelines releases superseded id sets instead of
+            # pinning one cache entry per pipeline forever (pinned by
+            # tests/test_pipeline_compiler.py::test_matched_set_cache_bounded).
             matched_sets.append(
-                bidirectional_match_ids(
-                    base0,
-                    _clone(catalog.tables[sf.table]),
-                    predicate="intersects" if sf.op == "intersect" else "within_distance",
-                    distance_deg=distance_degrees(sf.distance),
-                    band_deg=band_deg,
-                    exclude_self=True,  # base.id != b.id (pipeline.js:130)
-                    impl=spatial_impl,
-                    # catalog themes are POINT tables (query.js:35-44 ingest
-                    # projection) → distance predicate stays in codegen
-                    assume_points=True,
-                ).persist()
+                _lru_persist(
+                    bidirectional_match_ids(
+                        base0,
+                        _clone(catalog.tables[sf.table]),
+                        predicate=(
+                            "intersects" if sf.op == "intersect"
+                            else "within_distance"
+                        ),
+                        distance_deg=distance_degrees(sf.distance),
+                        band_deg=band_deg,
+                        # base.id != b.id (pipeline.js:130)
+                        exclude_self=True,
+                        impl=spatial_impl,
+                        # catalog themes are POINT tables (query.js:35-44
+                        # ingest projection) → distance predicate stays in
+                        # codegen
+                        assume_points=True,
+                    ),
+                    "pipeline_matched_ids",
+                )
             )
 
     base = base0

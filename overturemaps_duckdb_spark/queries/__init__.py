@@ -187,7 +187,21 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/{name}.parquet"
-    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir), name)
+    # (mtime_ns, size) in the key (ADVICE r13): a table file rewritten with
+    # a different schema mid-session would otherwise silently read through
+    # the stale schema (missing columns as nulls) instead of re-inferring.
+    # One os.stat per call — noise next to the inference job it replaces.
+    try:
+        st = os.stat(path)
+        stamp = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        stamp = None  # let spark.read raise its own error path
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.realpath(sf_dir),
+        name,
+        stamp,
+    )
     schema = _SCHEMA_CACHE.get(key)
     if schema is None:
         df = spark.read.parquet(path)

@@ -562,8 +562,13 @@ def _act_days(ev: DataFrame) -> DataFrame:
     distinct ran once per branch).  The cache bounds that to one
     materialization per execution; the cached artifact is the distinct
     (user, day) set — the already-reduced frame, never raw events.
-    Session-lived and deduped by plan, like the theme caches."""
-    return (
+    Session-lived and deduped by plan, like the theme caches; the handle
+    is tracked in a bounded per-session LRU (operators/_util.lru_persist,
+    r14) so a session touching many distinct event fixtures releases
+    superseded activity frames instead of pinning one per fixture."""
+    from overturemaps_duckdb_spark.operators._util import lru_persist
+
+    return lru_persist(
         ev.select(F.col("user_id"), us_col(ev).alias("_us"))
         .select(
             "user_id",
@@ -572,8 +577,8 @@ def _act_days(ev: DataFrame) -> DataFrame:
                 f"DIV {DAY_US}"
             ).alias("day"),
         )
-        .distinct()
-        .persist()
+        .distinct(),
+        "act_days",
     )
 
 _E6_ORACLE = f"""

@@ -176,3 +176,53 @@ def test_a7_production_form_is_sketch_only(spark, q):
         li, ["l_returnflag"], "l_partkey", certify=True
     ).collect()
     assert cert and all(r["approx_within_5rsd"] for r in cert)
+
+
+def test_fts_stem_map_broadcast_is_stat_gated(spark, q):
+    """r14 (VERDICT r13 #4): the stem-vocabulary map join carries NO hard
+    broadcast hint — the planner picks the strategy from size estimates.
+    At fixture scale the post-aggregate stem map estimates small and the
+    static plan is the same BroadcastHashJoin the old F.broadcast() hint
+    forced; a corpus whose raw vocabulary estimate outgrows
+    autoBroadcastJoinThreshold must plan a shuffle join instead of
+    OOMing the driver against the 8 GB / 512M-row broadcast cap."""
+    import pyspark.sql.functions as F
+
+    from overturemaps_duckdb_spark.operators.fts import build_fts_index
+    from overturemaps_duckdb_spark.queries import t
+
+    docs = t(spark, SF_SMOKE, "documents")
+    plan = _plan(build_fts_index(docs, "doc_id", "text").postings)
+    assert "BroadcastHashJoin" in plan  # small vocab still broadcasts
+    assert "SortMergeJoin" not in plan
+
+    # huge synthetic vocabulary (stats-big source, never executed): the
+    # stem join must NOT plan a driver-side broadcast
+    big = spark.range(0, 300_000_000).select(
+        F.col("id"), F.concat(F.lit("tok"), F.col("id")).alias("body")
+    )
+    huge = build_fts_index(big, "id", "body", cache_tokens=False)
+    plan2 = _plan(huge.postings)
+    assert "SortMergeJoin" in plan2 or "ShuffledHashJoin" in plan2
+    assert "BroadcastHashJoin" not in plan2
+
+
+def test_minhash_index_is_pure_projection(spark, q):
+    """r14 (VERDICT r13 #1): the default (stop_df_cap=None) MinHash index
+    is a projection — no Exchange, no ObjectHashAggregate — and the
+    rolling-hash chain is bound ONCE (CollapseProject must not inline the
+    expensive `_hs` column into the 17 consumers)."""
+    from overturemaps_duckdb_spark.operators.dedup import minhash_index
+    from overturemaps_duckdb_spark.queries import t
+
+    docs = t(spark, SF_SMOKE, "documents")
+    idx = minhash_index(docs, "doc_id", "text", assume_wide=True)
+    try:
+        plan = _plan(idx)
+        assert "Exchange" not in plan
+        assert "ObjectHashAggregate" not in plan
+        # the shingle chain evaluates once per row: its distinctive
+        # zip_with ladder appears exactly once in the physical plan
+        assert plan.count("zip_with(zip_with(zip_with(zip_with") == 1
+    finally:
+        idx.unpersist()
