@@ -405,24 +405,25 @@ def minhash_index(
     hs = f"transform({zw}, x -> x % {1 << MINHASH_BASE_BITS}L)"
     a_list, b_list = minhash_coeffs(n_hashes)
     if stop_df_cap is None:
-
-        def mix(a: int, b: int):
-            # factory keeps the lambda arity-1 (Spark would bind the array
-            # index to a second parameter of a 3-arg lambda)
-            return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
-
+        # whole projection as selectExpr strings (r14, VERDICT r13 #7):
+        # the Column-API form spent ~0.3 s of d2's plan construction on
+        # py4j round trips for the 16 transform/array_min towers; each
+        # selectExpr ships ONE string the JVM parses.  Arithmetic is the
+        # same bigint multiply-add-mod — values bit-identical.
         return (
             norm_df.where(F.col("_n").isNotNull())
-            .withColumn("_cnt", count)
-            .withColumn("_arr", F.expr(arr))
-            .withColumn("_hs", F.expr(hs))
-            .select(
+            .selectExpr(
                 "id",
-                F.array_distinct("_hs").alias("shingles"),
+                f"greatest(length(_n) - {shingle_k - 1}, 1) AS _cnt",
+                f"{arr} AS _arr",
+            )
+            .selectExpr("id", f"{hs} AS _hs")
+            .selectExpr(
+                "id",
+                "array_distinct(_hs) AS shingles",
                 *[
-                    F.array_min(
-                        F.transform(F.col("_hs"), mix(a_list[i], b_list[i]))
-                    ).alias(f"_m{i}")
+                    f"array_min(transform(_hs, h -> (h * {a_list[i]}L"
+                    f" + {b_list[i]}L) % {MINHASH_P}L)) AS _m{i}"
                     for i in range(n_hashes)
                 ],
             )
@@ -478,21 +479,18 @@ def band_keys(
             f"bands ({bands}) must divide n_hashes ({n_hashes})"
         )
     rows = n_hashes // bands
-    sig = index.select(
-        "id", F.array(*[F.col(f"_m{i}") for i in range(n_hashes)]).alias("sig")
+    # selectExpr strings (r14): one parsed string instead of ~40 py4j
+    # calls for the array/xxhash64/slice towers; identical expressions.
+    sig = index.selectExpr(
+        "id",
+        "array(" + ", ".join(f"_m{i}" for i in range(n_hashes)) + ") AS sig",
     )
     cols = ["id", "sig"] if keep_sig else ["id"]
-    return sig.select(
-        *cols,
-        F.explode(
-            F.array(
-                *[
-                    F.xxhash64(F.lit(bi), F.slice("sig", bi * rows + 1, rows))
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bkey"),
+    band_arr = ", ".join(
+        f"xxhash64({bi}, slice(sig, {bi * rows + 1}, {rows}))"
+        for bi in range(bands)
     )
+    return sig.selectExpr(*cols, f"explode(array({band_arr})) AS bkey")
 
 
 def _sig_gate_k(
@@ -604,15 +602,13 @@ def _explode_ordered_pairs(
     HOF lambda, the explode chain stays in codegen).  ``payload`` columns
     must already exist on ``df`` and are carried through per pair."""
     return (
-        df.select(
-            F.col(ids_col).alias("_ids"),
+        df.selectExpr(
+            f"{ids_col} AS _ids",
             *payload,
-            F.posexplode(ids_col).alias("_pi", "a_id"),
-        ).select(
+            f"posexplode({ids_col}) AS (_pi, a_id)",
+        ).selectExpr(
             "a_id",
-            F.explode(
-                F.slice(F.col("_ids"), F.col("_pi") + F.lit(2), F.size("_ids"))
-            ).alias("b_id"),
+            "explode(slice(_ids, _pi + 2, size(_ids))) AS b_id",
             *payload,
         )
     )
@@ -629,27 +625,21 @@ def _fanout_members(
     """Expand representative pairs to member pairs through the two group
     maps.  `normalize_order=True` re-normalizes a_id < b_id (self-pair
     families); False preserves side identity (cross-corpus)."""
-    ga = groups_a.select(
-        F.element_at("gids", 1).alias("a_id"), F.col("gids").alias("a_gids")
-    )
-    gb = groups_b.select(
-        F.element_at("gids", 1).alias("b_id"), F.col("gids").alias("b_gids")
-    )
+    ga = groups_a.selectExpr("element_at(gids, 1) AS a_id", "gids AS a_gids")
+    gb = groups_b.selectExpr("element_at(gids, 1) AS b_id", "gids AS b_gids")
     out = (
         rep_pairs.join(ga, "a_id")
         .join(gb, "b_id")
-        .select(F.explode("a_gids").alias("_xa"), "b_gids", *payload)
-        .select("_xa", F.explode("b_gids").alias("_xb"), *payload)
+        .selectExpr("explode(a_gids) AS _xa", "b_gids", *payload)
+        .selectExpr("_xa", "explode(b_gids) AS _xb", *payload)
     )
     if normalize_order:
-        return out.select(
-            F.least("_xa", "_xb").alias("a_id"),
-            F.greatest("_xa", "_xb").alias("b_id"),
+        return out.selectExpr(
+            "least(_xa, _xb) AS a_id",
+            "greatest(_xa, _xb) AS b_id",
             *payload,
         )
-    return out.select(
-        F.col("_xa").alias("a_id"), F.col("_xb").alias("b_id"), *payload
-    )
+    return out.selectExpr("_xa AS a_id", "_xb AS b_id", *payload)
 
 
 def minhash_lsh_pairs(
@@ -745,8 +735,8 @@ def minhash_lsh_pairs(
         # intra-group: every pair of docs sharing a normalized text is an
         # exact duplicate — Jaccard 1.0 by definition, no verify needed
         intra = _explode_ordered_pairs(
-            groups.where(F.size("gids") > 1), "gids", []
-        ).select("a_id", "b_id", F.lit(1.0).alias("jaccard"))
+            groups.where("size(gids) > 1"), "gids", []
+        ).selectExpr("a_id", "b_id", "1.0D AS jaccard")
         if jaccard_threshold > 1.0:
             intra = intra.where(F.lit(False))
         # cross-group: representative pairs fan back out to member ids —
@@ -838,18 +828,16 @@ def _self_pairs_from_index(
     # filtered per pair BEFORE the shingle-carrying verify join — the gate
     # semantics are unchanged, only the array materialization is gone.
     if gate_k is not None:
-        staged = buckets.select(
-            F.col("ids").alias("_ids"),
-            F.posexplode("ids").alias("_pi", "_ma"),
-        ).select(
-            "_ma",
-            F.explode(
-                F.slice(F.col("_ids"), F.col("_pi") + F.lit(2), F.size("_ids"))
-            ).alias("_mb"),
+        staged = buckets.selectExpr(
+            "ids AS _ids", "posexplode(ids) AS (_pi, _ma)"
+        ).selectExpr(
+            "_ma", "explode(slice(_ids, _pi + 2, size(_ids))) AS _mb"
         )
         cand = staged.where(
-            _sig_matches(F.col("_ma.sig"), F.col("_mb.sig")) >= gate_k
-        ).select(F.col("_ma.id").alias("a_id"), F.col("_mb.id").alias("b_id"))
+            f"aggregate(zip_with(_ma.sig, _mb.sig,"
+            f" (x, y) -> CAST(x = y AS INT)), 0, (acc, v) -> acc + v)"
+            f" >= {gate_k}"
+        ).selectExpr("_ma.id AS a_id", "_mb.id AS b_id")
     else:
         cand = _explode_ordered_pairs(buckets, "ids", []).select("a_id", "b_id")
     # Dedup multi-band duplicate candidates BEFORE the verify join, not
@@ -876,16 +864,20 @@ def _verify_jaccard_two(
     implementation every LSH family member routes through (self pairs,
     cross-corpus, incremental; r8 review fix: three inlined copies had to
     be kept in lockstep by hand)."""
-    a = sig_a.select(F.col("id").alias("a_id"), F.col("shingles").alias("a_sh"))
-    b = sig_b.select(F.col("id").alias("b_id"), F.col("shingles").alias("b_sh"))
-    joined = cand.join(a, "a_id").join(b, "b_id")
-    inter = F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
-    union = F.size(F.array_union("a_sh", "b_sh")).cast("double")
-    jac = F.round(inter / union, 6)
+    a = sig_a.selectExpr("id AS a_id", "shingles AS a_sh")
+    b = sig_b.selectExpr("id AS b_id", "shingles AS b_sh")
     return (
-        joined.withColumn("jaccard", jac)
-        .where(F.col("jaccard") >= threshold)
-        .select("a_id", "b_id", "jaccard")
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .selectExpr(
+            "a_id",
+            "b_id",
+            "round(CAST(size(array_intersect(a_sh, b_sh)) AS DOUBLE)"
+            " / CAST(size(array_union(a_sh, b_sh)) AS DOUBLE), 6) AS jaccard",
+        )
+        # `D` suffix: parse the threshold as a DOUBLE literal outright —
+        # bit-identical to the old Column form's Python-float lit()
+        .where(f"jaccard >= {threshold!r}D")
     )
 
 

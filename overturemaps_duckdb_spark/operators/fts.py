@@ -331,15 +331,19 @@ def bm25_score(
         # matching-term rows, cheaper than materializing df for every term
         dfreq = pruned.groupBy("term").agg(F.count("*").alias("df"))
     # corpus stats arrive via a broadcast cross-join — no driver collect,
-    # the whole score is ONE lazy plan
+    # the whole score is ONE lazy plan.  avgdl RIDES the term_idf relation
+    # (r14, guide §2.4): the old shape cross-joined broadcast(stats) a
+    # second time onto the postings slice, costing one extra
+    # BroadcastNestedLoopJoin + BroadcastExchange (≈ one sequential
+    # broadcast-build job) per scored table — pl6/t5 score several tables
+    # per query.  stats is exactly one row, so carrying avgdl through
+    # term_idf changes no multiplicities and no values.
     n = F.col("n").cast("double")
     idf = F.log(F.lit(1.0) + (n - F.col("df") + 0.5) / (F.col("df") + 0.5))
     term_idf = dfreq.crossJoin(F.broadcast(index.stats)).select(
-        "term", idf.alias("idf")
+        "term", idf.alias("idf"), F.col("avgdl")
     )
-    matches = pruned.join(F.broadcast(term_idf), "term").crossJoin(
-        F.broadcast(index.stats)
-    )
+    matches = pruned.join(F.broadcast(term_idf), "term")
     if "dl" not in index.postings.columns:  # legacy index without inline dl
         matches = matches.join(index.docstats, "id")
     tf = F.col("tf").cast("double")
@@ -361,12 +365,11 @@ def contributions(
         dfreq = index.postings.groupBy("term").agg(F.count("*").alias("df"))
     n = F.col("n").cast("double")
     idf = F.log(F.lit(1.0) + (n - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    # same avgdl-rides-term_idf fold as bm25_score (one broadcast, not two)
     term_idf = dfreq.crossJoin(F.broadcast(index.stats)).select(
-        "term", idf.alias("idf")
+        "term", idf.alias("idf"), F.col("avgdl")
     )
-    rows = index.postings.join(F.broadcast(term_idf), "term").crossJoin(
-        F.broadcast(index.stats)
-    )
+    rows = index.postings.join(F.broadcast(term_idf), "term")
     if "dl" not in index.postings.columns:
         rows = rows.join(index.docstats, "id")
     tf = F.col("tf").cast("double")

@@ -170,6 +170,49 @@ def t6_bm25_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t2p_bm25_persisted",
+    oracle=bm25_stemmed_sql(
+        table="documents", id_col="doc_id", text_col="text",
+        stemmed_terms=STEMMED_QUERY_TERMS,
+    )
+    + """
+    SELECT d.doc_id, ROUND(s._score, 6) AS _score
+    FROM documents d JOIN scores s ON d.doc_id = s.id
+    ORDER BY ROUND(s._score, 6) DESC, d.doc_id
+    LIMIT 10
+    """,
+)
+def t2p_bm25_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2p — the PRODUCTION FTS profile as a first-class certified row
+    (VERDICT r12 #5 / r13 #6): ingest-time ``write_fts_index`` stores the
+    stemmed index as parquet tables (postings term-distributed and
+    term-sorted within files, termstats materialized), then the exact t2
+    query scores against the REOPENED store — the steady-state per-query
+    path once the index is a table, vs t2's headline number which pays
+    the inline build on first touch.  Same BM25 values by construction
+    (df from the ingest-time termstats table equals the inline pruned
+    count; the stemmer mode rides the stats table), so the oracle is t2's
+    verbatim.  The staging write is per-(application, fixture) —
+    recomputed from the parquet inputs in every fresh session, never a
+    cross-run cache."""
+    from overturemaps_duckdb_spark.operators._util import staging_root
+    from overturemaps_duckdb_spark.operators.fts import (
+        read_fts_index,
+        write_fts_index,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    root = staging_root(spark, sf_dir, "t2pfts")
+    write_fts_index(
+        build_fts_index(d, "doc_id", "text", cache_tokens=False), root
+    )
+    stored = read_fts_index(spark, root)
+    return bm25_topk(stored, d, "doc_id", QUERY_TEXT, limit=10).select(
+        "doc_id", "_score"
+    )
+
+
+@query(
     "t3_ilike_fallback",
     oracle="""
     SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len
