@@ -31,79 +31,77 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q.QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-#: Certification rotation, round 13 (VERDICT r12 #2 + the optimization
-#: round's own re-certification duty).  Budget: the driver certifies the
-#: FIRST 50 entries.  Composition:
-#: (a) every query whose PHYSICAL PATH changed in the r13 optimization
-#: round leads, so the value-neutrality of each change lands as a green
-#: driver row: FTS vocabulary-stem restructure (t1/t2/t5/t6/pl6/ep4),
-#: minhash repartition guard (d2/d8 + sp1), closure checkpoint release
-#: (d6/d7), pl4 matched-set persist, e6/e7 floor-division day buckets;
-#: (b) the six r8 trivial forms displaced in r12 (o6/s11/sh1/u2/w2/w3 —
-#: q1 stays displaced: it is entry()'s flagship, smoke-run every round);
-#: (c) 30 rows of the r9 cohort (the remaining budget).  Four r9 rows
-#: are deferred to r14 with in-prefix family anchors: d1_exact_dedup
-#: (exact-dup machinery inside the certified d2/d9 rows),
-#: g1_g2_point_type_centroid (same WKB kernel as the in-prefix g3/g5/g6
-#: and the r10-certified polygon twin), m3_asset_byte_features
-#: (bench-smoked every round; m2/m4 in prefix), t3_ilike_fallback
-#: (ILIKE form certified via pl2 r12; runner-degrade pytest).  After a
-#: green r13 no driver row predates r10 except q1 (entry-smoked) and
-#: those four anchored r9 rows.
+#: Certification rotation, round 14 (optimization round 2 — same duty as
+#: r13: every query whose PHYSICAL PATH changed must re-certify green).
+#: Budget: the driver certifies the FIRST 50 entries.  Composition:
+#: (a) r14 physical-path changes lead: the NEW t2p persisted-index row
+#: (VERDICT r13 #6), the FTS family (un-hinted stem-map broadcast +
+#: avgdl folded into the term_idf broadcast: t1/t2/t5/t6/pl6/ep4), and
+#: the whole pair-machinery dedup family (minhash index now a pure
+#: projection; pair expansion / signature gate / fan-out / verify
+#: rebuilt as selectExpr strings: d1/d2/d4/d5/d6/d7/d8/d9/sp1/ct1/ct2/
+#: dc1/ld1/fz1), plus e6/e7 and pl4 (persists routed through the
+#: bounded lru_persist — plan content unchanged, re-certified anyway);
+#: (b) the four r9 rows the r13 rotation deferred to r14 as promised:
+#: d1_exact_dedup (also in (a)), g1_g2_point_type_centroid,
+#: m3_asset_byte_features, t3_ilike_fallback;
+#: (c) backfill from the cohort rotated OUT in r13 (last certified r12):
+#: the j*/pl*/u*/w1/x1-x11/qs1/e5 block below.  The r13 prefix members
+#: not re-listed here were all green at the r13 driver certification.
 _CERT_PRIORITY = [
-    # (a) r13 physical-path changes — prove value-neutrality first
+    # (a) r14 physical-path changes — prove value-neutrality first
+    "t2p_bm25_persisted",
     "t1_fts_index_build",
     "t2_bm25_topk",
     "t5_search_fanout",
     "t6_bm25_stemmed",
     "pl6_search_fts",
     "ep4_sql_fts_console",
+    "d1_exact_dedup",
     "d2_minhash_lsh_pairs",
-    "d8_cross_corpus_neardup",
-    "sp1_leakage_safe_split",
+    "d4_ngram_jaccard_pairs",
+    "d5_embedding_neardup",
     "d6_dedup_clusters",
     "d7_cluster_canonical",
-    "pl4_within_filter",
+    "d8_cross_corpus_neardup",
+    "d9_dup_rate_report",
+    "sp1_leakage_safe_split",
+    "ct1_containment_pairs",
+    "ct2_cross_corpus_containment",
+    "dc1_decontaminate",
+    "ld1_line_dedup",
+    "fz1_fuzzy_pairs",
     "e6_retention_cohorts",
     "e7_rolling_active_users",
-    # (b) the r8 stragglers
-    "o6_nulls_last_sort",
-    "s11_count_probe",
-    "sh1_deterministic_shuffle",
-    "u2_union_distinct",
-    "w2_running_sum",
-    "w3_rank_dense_rank",
-    # (c) r9 cohort (file order; 30 of 35 — see deferral note above)
-    "cd1_corpus_diff",
-    "d3_simhash_buckets",
-    "d4_ngram_jaccard_pairs",
-    "d9_dup_rate_report",
-    "e2_sessionize",
-    "e3_lag_delta",
-    "fz1_fuzzy_pairs",
-    "g3_asgeojson_point",
-    "g5_distance_pairs",
-    "g6_intersection_area",
-    "i3_stateful_running_totals",
-    "i4_stream_stream_join",
-    "j2_spatial_within",
-    "j3_spatial_exclude",
-    "j4_spatial_bidirectional",
-    "j8_grid_banded_join",
-    "ld1_line_dedup",
-    "m2_asset_decode",
-    "m4_frame_sample",
-    "o7_zorder_by_area",
-    "p3_array_index_1based",
-    "qz1_embedding_quantize",
-    "s2_schema_probe",
-    "s9_s10_table_lifecycle",
-    "sa3_source_cap",
-    "sk2_skew_report",
-    "t4_search_name_composition",
-    "x12_vocab_topk",
-    "x13_intra_doc_dedup",
-    "y4_url_codec",
+    "pl4_within_filter",
+    # (b) the r9 rows deferred from r13 (d1 already above)
+    "g1_g2_point_type_centroid",
+    "m3_asset_byte_features",
+    "t3_ilike_fallback",
+    # (c) backfill — rotated out in r13, last certified r12
+    "e5_funnel_steps",
+    "j1_inner_band_theta_join",
+    "j2_semi_join_within",
+    "j3_anti_join_exclude",
+    "j4_bidirectional_match",
+    "j5_join_distinct_matched_b",
+    "pl1_union_balanced_limit",
+    "pl2_search_ilike",
+    "pl3_bbox_filter",
+    "pl5_exclude_filter",
+    "u1_union_all_aligned",
+    "u3_intersect_except",
+    "w1_topk_per_group",
+    "x1_token_count",
+    "x2_quality_score",
+    "x5_redaction",
+    "x6_bpe_token_count",
+    "x7_repetition_signals",
+    "x8_sliding_chunks",
+    "x9_gopher_rules",
+    "x10_corpus_composition",
+    "x11_quality_percentile_filter",
+    "qs1_quality_weighted_sample",
 ]
 
 

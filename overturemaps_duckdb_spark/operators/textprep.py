@@ -887,10 +887,22 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     vocabulary groupBy, one token-key equi-join, one 1-row broadcast for
     TT, one per-doc sum.  Everything partial-aggregates; nothing
     broadcasts the vocabulary or collects to the driver."""
+    from overturemaps_duckdb_spark.operators._util import lru_persist
+
     inst = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("token")
     )
-    tf = inst.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # lru_persist (r14, guide §2.4): tf — the per-(doc, token) LM
+    # sufficient statistic — feeds BOTH the vocabulary aggregate and the
+    # scoring join, and exchange reuse does not fire across the two
+    # references (executed-plan read: x16/x20 re-tokenized the corpus
+    # once PER REFERENCE; x20 reached 6 parquet scans).  The cache bounds
+    # that to one tokenize+aggregate pass; at 100 TB tf is the LM stats
+    # table an ingest pipeline would write to storage.
+    tf = lru_persist(
+        inst.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf")),
+        "lm_stats",
+    )
     vocab = tf.groupBy("token").agg(F.sum("tf").alias("c"))
     tt = vocab.agg(F.sum("c").alias("tt"))
     term_micro = F.round(
@@ -943,13 +955,25 @@ def doc_novelty(
     the value is defined OVER the hashed gram space."""
     from overturemaps_duckdb_spark.functions.text import md5_long
 
+    from overturemaps_duckdb_spark.operators._util import lru_persist
+
     d = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_tk")).where(
         F.size("_tk") >= 1
     )
-    inst = d.select(
-        "id",
-        F.explode(F.array_distinct(token_ngrams(F.col("_tk"), n))).alias("_g"),
-    ).select("id", md5_long(F.col("_g")).alias("h"))
+    # lru_persist (r14, guide §2.4): the hashed gram-instance stream
+    # feeds the gram-frequency aggregate AND the join probe; without the
+    # cache the tokenize+ngram+md5 chain ran once per reference
+    # (executed x19: 2 parquet scans, 0 ReusedExchange).  16 bytes/row —
+    # far smaller than the text it derives from.
+    inst = lru_persist(
+        d.select(
+            "id",
+            F.explode(
+                F.array_distinct(token_ngrams(F.col("_tk"), n))
+            ).alias("_g"),
+        ).select("id", md5_long(F.col("_g")).alias("h")),
+        "lm_stats",
+    )
     dfreq = inst.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
     return (
         inst.join(dfreq, "h")
@@ -1006,13 +1030,26 @@ def bigram_logprob(
     1-row broadcasts (V).  The corpus text is tokenized twice (bigram
     pass + vocabulary pass) — both scan-speed map stages; everything
     downstream is vocabulary-sized."""
+    from overturemaps_duckdb_spark.operators._util import lru_persist
+
     d = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_tk"))
     inst = (
         d.where(F.size("_tk") >= 2)
         .select("id", F.explode(token_ngrams(F.col("_tk"), 2)).alias("bg"))
     )
-    bf = inst.groupBy("id", "bg").agg(F.count(F.lit(1)).alias("tf"))
-    cb = bf.groupBy("bg").agg(F.sum("tf").alias("c"))
+    # lru_persist (r14, guide §2.4): bf feeds the bigram vocabulary AND
+    # the scoring join; cb feeds the left-context aggregate AND the same
+    # join — without the caches the whole tokenize+bigram+aggregate chain
+    # re-ran once per reference (executed x18: 4 parquet scans, 0
+    # ReusedExchange).  Both frames are the bigram-LM stats tables an
+    # ingest pipeline would persist to storage at 100 TB.
+    bf = lru_persist(
+        inst.groupBy("id", "bg").agg(F.count(F.lit(1)).alias("tf")),
+        "lm_stats",
+    )
+    cb = lru_persist(
+        bf.groupBy("bg").agg(F.sum("tf").alias("c")), "lm_stats"
+    )
     ctx = (
         cb.select(F.element_at(F.split("bg", " "), 1).alias("l"), "c")
         .groupBy("l")

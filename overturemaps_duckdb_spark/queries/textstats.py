@@ -737,7 +737,14 @@ def x20_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from overturemaps_duckdb_spark.operators.textprep import unigram_logprob
 
     d = t(spark, sf_dir, "documents")
-    nll = unigram_logprob(d, "doc_id", "text")
+    # lru_persist (r14): the doc-level nll frame feeds the tercile-cut
+    # quantile pass AND the final bucketing projection — without it the
+    # whole LM pipeline re-ran per reference (executed x20: 6 parquet
+    # scans before the r14 caches, 1 after).  Tiny artifact: one row per
+    # document.
+    from overturemaps_duckdb_spark.operators._util import lru_persist
+
+    nll = lru_persist(unigram_logprob(d, "doc_id", "text"), "lm_stats")
     cuts = grouped_quantile_cont(
         nll,
         [],
